@@ -1,0 +1,244 @@
+"""HyperLogLog sketch — the parity core.
+
+From-scratch numpy implementation matching the semantics of the reference
+(``/root/reference/src/hll.c``): MurmurHash64A keys (seed 314), top-p-bit
+register index, clz-rank registers, element-wise-max merge
+(src/hll.c:776-815), and the reference's tau/sigma estimator
+(src/hll.c:653-678, 1167-1204). Golden-vector parity is locked by
+tests/test_hll.py against FIXTURES.md §3 (captured from the built C
+extension).
+
+Representation: always a dense ``uint8[2^p]`` numpy array in flight — the
+reference's sparse linked-list mode (src/hll.c:257-507) is an object-local
+memory optimization that vectorization makes moot (SURVEY.md §4.1); at-rest
+blobs are raw registers behind a small versioned header.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .codec import pack_header, unpack_header, KIND_HLL
+from .kernels import (
+    DEFAULT_SEED,
+    hll_index_rank,
+    murmur64a_bytes,
+    murmur64a_int32,
+    murmur64a_int64,
+    update_registers,
+)
+
+DEFAULT_P = 12  # reference default, src/hll.c:702
+
+
+def _sigma(x: float) -> float:
+    """Linear-counting power series; sigma(1) = +inf (src/hll.c:1167-1184)."""
+    if x == 1.0:
+        return math.inf
+    y = 1.0
+    z = x
+    while True:
+        x *= x
+        z_prime = z
+        z += x * y
+        y += y
+        if z == z_prime:
+            return z
+
+
+def _tau(x: float) -> float:
+    """High-end correction power series; tau(0)=tau(1)=0 (src/hll.c:1187-1204)."""
+    if x == 0.0 or x == 1.0:
+        return 0.0
+    y = 1.0
+    z = 1.0 - x
+    while True:
+        x = math.sqrt(x)
+        z_prime = z
+        y *= 0.5
+        z -= (1.0 - x) ** 2 * y
+        if z == z_prime:
+            return z / 3.0
+
+
+def estimate_from_histogram(hist: np.ndarray, p: int) -> int:
+    """Bias-corrected estimate from a 65-bin register-value histogram.
+
+    Exactly the reference arithmetic (src/hll.c:661-672) including its use
+    of ``hist[p+1]`` in the tau term (where Ertl Alg. 6 has ``hist[q+1]``;
+    verified to round to identical integers — SURVEY.md §2A estimator note).
+    """
+    alpha = 0.7213475
+    m = float(1 << p)
+    z = m * _tau((m - float(hist[p + 1])) / m)
+    for k in range(64 - p, 0, -1):
+        z += float(hist[k])
+        z *= 0.5
+    z += m * _sigma(float(hist[0]) / m)
+    return int(round(alpha * m * (m / z)))
+
+
+@dataclass
+class HllSketch:
+    """A mergeable HyperLogLog sketch over 64-bit MurmurHash64A hashes.
+
+    Implements the ``MergeableSketch`` discipline shared by every sketch in
+    this library: empty / update_batch / merge / finalize / to_bytes /
+    from_bytes. merge is associative, commutative, and idempotent
+    (element-wise max), which is what makes the distributed aggregation
+    shuffle-order- and partitioning-invariant.
+    """
+
+    p: int = DEFAULT_P
+    seed: int = DEFAULT_SEED
+    registers: np.ndarray = field(default=None, repr=False)  # type: ignore[assignment]
+
+    def __post_init__(self) -> None:
+        if not (2 <= int(self.p) <= 63):
+            # same contract as the reference (src/hll.c:708-712)
+            raise ValueError(f"p={self.p} is out of range [2, 63]")
+        self.p = int(self.p)
+        self.seed = int(self.seed)
+        if self.registers is None:
+            self.registers = np.zeros(1 << self.p, dtype=np.uint8)
+        else:
+            self.registers = np.asarray(self.registers, dtype=np.uint8)
+            if self.registers.shape != (1 << self.p,):
+                raise ValueError(
+                    f"registers shape {self.registers.shape} != (2^{self.p},)"
+                )
+
+    # -- constructors -------------------------------------------------------
+
+    @classmethod
+    def empty(cls, p: int = DEFAULT_P, seed: int = DEFAULT_SEED) -> "HllSketch":
+        return cls(p=p, seed=seed)
+
+    # -- properties ---------------------------------------------------------
+
+    @property
+    def size(self) -> int:
+        """Number of registers, 2^p (reference ``size()``, src/hll.c:989-992)."""
+        return 1 << self.p
+
+    def get_register(self, i: int) -> int:
+        """Read one register; IndexError beyond 2^p-1 (src/hll.c:1217-1228)."""
+        if not (0 <= i < self.size):
+            raise IndexError(f"register index {i} out of range [0, {self.size})")
+        return int(self.registers[i])
+
+    def histogram(self) -> np.ndarray:
+        """65-bin register-value histogram (reference ``_histogram()``,
+
+        src/hll.c:595-605 — maintained incrementally there; recomputed here
+        in one branch-free pass, SURVEY.md §4.1)."""
+        return np.bincount(self.registers, minlength=65)[:65]
+
+    # -- updates ------------------------------------------------------------
+
+    def update_hashes(self, hashes: np.ndarray) -> None:
+        """Max-update registers from precomputed 64-bit hashes."""
+        if len(hashes) == 0:
+            return
+        idx, rank = hll_index_rank(np.asarray(hashes, dtype=np.uint64), self.p)
+        update_registers(self.registers, idx, rank)
+
+    def update_batch(self, tokens: np.ndarray) -> None:
+        """Vectorized equivalent of reference ``add()`` per int32 token
+
+        (src/hll.c:630-649): token hashed as its 4-byte LE encoding."""
+        if len(tokens) == 0:
+            return
+        self.update_hashes(murmur64a_int32(tokens, self.seed))
+
+    def update_batch_int64(self, values: np.ndarray) -> None:
+        """Like update_batch but 8-byte LE keys (e.g. int64 user ids)."""
+        if len(values) == 0:
+            return
+        self.update_hashes(murmur64a_int64(values, self.seed))
+
+    def add(self, value: bytes | str | int) -> bool:
+        """Single-item parity API (reference ``add``, src/hll.c:630-649).
+
+        int values are hashed as 4-byte LE int32 (the library convention for
+        tokens); str/bytes exactly as the reference's buffer parse. Returns
+        True iff a register changed (dense-mode semantics).
+        """
+        if isinstance(value, (bytes, str)):
+            h = murmur64a_bytes(value, self.seed)
+        else:
+            h = int(murmur64a_int32(np.array([value], dtype=np.int32), self.seed)[0])
+        idx = h >> (64 - self.p)
+        payload = (h << self.p) & ((1 << 64) - 1)
+        rank = min((64 - payload.bit_length() if payload else 64) + 1, 64 - self.p + 1)
+        if rank > self.registers[idx]:
+            self.registers[idx] = rank
+            return True
+        return False
+
+    def hash(self, value: bytes | str) -> int:
+        """Reference ``hash()`` parity (src/hll.c:682-691)."""
+        return murmur64a_bytes(value, self.seed)
+
+    # -- merge / finalize ---------------------------------------------------
+
+    def _check_mergeable(self, other: "HllSketch") -> None:
+        if self.size != other.size:
+            # reference raises on size mismatch (src/hll.c:781-788)
+            raise ValueError(
+                f"cannot merge sketches of different size: 2^{self.p} vs 2^{other.p}"
+            )
+        if self.seed != other.seed:
+            raise ValueError(f"cannot merge sketches with different seeds: {self.seed} vs {other.seed}")
+
+    def merge(self, other: "HllSketch") -> "HllSketch":
+        """In-place element-wise max merge (src/hll.c:776-815); returns self."""
+        self._check_mergeable(other)
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def __or__(self, other: "HllSketch") -> "HllSketch":
+        self._check_mergeable(other)
+        return HllSketch(
+            p=self.p, seed=self.seed, registers=np.maximum(self.registers, other.registers)
+        )
+
+    def cardinality(self) -> int:
+        """Bias-corrected cardinality estimate (src/hll.c:653-678)."""
+        return estimate_from_histogram(self.histogram(), self.p)
+
+    # -- codec ---------------------------------------------------------------
+
+    def to_bytes(self) -> bytes:
+        """Versioned at-rest blob: header + raw uint8 registers.
+
+        The distributed analogue of the reference pickle (src/hll.c:847-909),
+        minus derivable state (histogram, cache) — SURVEY.md §3.4.
+        """
+        return pack_header(KIND_HLL, self.p, self.seed) + self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "HllSketch":
+        p, seed, payload = unpack_header(blob, KIND_HLL)
+        regs = np.frombuffer(payload, dtype=np.uint8, count=1 << p).copy()
+        return cls(p=p, seed=seed, registers=regs)
+
+    @staticmethod
+    def merge_blobs(blobs, p: int, seed: int = DEFAULT_SEED) -> "HllSketch":
+        """Merge many at-rest blobs into one sketch (tree-merge leaf op)."""
+        out = HllSketch.empty(p, seed)
+        for b in blobs:
+            if b is None:
+                continue
+            out.merge(HllSketch.from_bytes(bytes(b)))
+        return out
+
+    @staticmethod
+    def std_error(p: int) -> float:
+        """Published 1-sigma relative error bound 1.04/sqrt(2^p)
+
+        (reference README.md:92-97; Flajolet et al. 2007)."""
+        return 1.04 / math.sqrt(1 << p)

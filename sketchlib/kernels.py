@@ -1,0 +1,168 @@
+"""Vectorized numpy kernels shared by all sketches.
+
+Semantics anchor: the reference MurmurHash64A (``/root/reference/lib/murmur2.c:18-59``)
+and the HLL index/rank split (``/root/reference/src/hll.c:639-641``). The code
+here is a from-scratch numpy implementation of the *published* MurmurHash64A
+algorithm (Austin Appleby, public domain) — verified bit-identical to the
+reference on golden vectors (FIXTURES.md §3.1).
+
+Design notes (scale):
+- ``murmur64a_int32`` hashes an entire Arrow batch of int32 tokens in 5
+  vector ops — there is never per-row Python in the hot path.
+- ``vclz64`` is an *exact* count-leading-zeros (6-step masked binary
+  search). Never float ``log2``: it is off-by-one at 2^k boundaries, which
+  breaks bit-parity with the reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_M64 = np.uint64(0xC6A4A7935BD1E995)
+_R47 = np.uint64(47)
+_MASK64 = (1 << 64) - 1
+
+DEFAULT_SEED = 314  # reference default, src/hll.c:701
+
+
+def murmur64a_int32(tokens: np.ndarray, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """MurmurHash64A of each int32 token's 4-byte little-endian encoding.
+
+    Bit-identical to reference ``hll.hash(struct.pack('<i', t))`` for every t
+    (golden vectors in FIXTURES.md §3.1). For a 4-byte key the algorithm has
+    no 8-byte block loop — only the tail xor (the uint32 bit pattern of the
+    token) followed by one multiply and the final avalanche.
+    """
+    t = np.ascontiguousarray(tokens, dtype=np.int32)
+    h0 = np.uint64((seed ^ (4 * 0xC6A4A7935BD1E995)) & _MASK64)
+    h = h0 ^ t.view(np.uint32).astype(np.uint64)
+    h *= _M64
+    h ^= h >> _R47
+    h *= _M64
+    h ^= h >> _R47
+    return h
+
+
+def murmur64a_int64(values: np.ndarray, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """MurmurHash64A of each int64 value's 8-byte little-endian encoding.
+
+    One full 8-byte block, no tail. Used for 64-bit keys (e.g. user ids).
+    """
+    v = np.ascontiguousarray(values, dtype=np.int64)
+    k = v.view(np.uint64).copy()
+    k *= _M64
+    k ^= k >> _R47
+    k *= _M64
+    h = np.uint64((seed ^ ((8 * 0xC6A4A7935BD1E995) & _MASK64)) & _MASK64) ^ k
+    h *= _M64
+    # block loop ends; avalanche
+    h ^= h >> _R47
+    h *= _M64
+    h ^= h >> _R47
+    return h
+
+
+def murmur64a_bytes(data: bytes | str, seed: int = DEFAULT_SEED) -> int:
+    """Scalar MurmurHash64A over arbitrary bytes (parity with reference
+
+    ``hash(str|bytes)``, src/hll.c:682-691). str is UTF-8 encoded, matching
+    CPython's ``s#`` argument parsing of str objects.
+    """
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    m = 0xC6A4A7935BD1E995
+    h = (seed ^ ((len(data) * m) & _MASK64)) & _MASK64
+    nblocks = len(data) // 8
+    for i in range(nblocks):
+        k = int.from_bytes(data[i * 8 : i * 8 + 8], "little")
+        k = (k * m) & _MASK64
+        k ^= k >> 47
+        k = (k * m) & _MASK64
+        h ^= k
+        h = (h * m) & _MASK64
+    tail = data[nblocks * 8 :]
+    if tail:
+        h ^= int.from_bytes(tail, "little")
+        h = (h * m) & _MASK64
+    h ^= h >> 47
+    h = (h * m) & _MASK64
+    h ^= h >> 47
+    return h
+
+
+def murmur64a_str_array(values, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Vectorized MurmurHash64A over an array-like of str/bytes keys.
+
+    Batched (one Python loop per batch, constant work per key) — used for
+    string-key sketches where keys are not int32 tokens. For the int token
+    hot path use :func:`murmur64a_int32`.
+    """
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        out[i] = murmur64a_bytes(v, seed)
+    return out
+
+
+_CLZ_STEPS = tuple(
+    (np.uint64(1) << np.uint64(64 - s), np.uint8(s), np.uint64(s)) for s in (32, 16, 8, 4, 2, 1)
+)
+
+
+def vclz64(x: np.ndarray) -> np.ndarray:
+    """Exact count-leading-zeros of each uint64; clz(0) == 64.
+
+    Semantics of reference ``clz`` (src/hll.c:1107-1164) including the
+    zero case, as a 6-step masked binary search (no floats).
+    """
+    x = x.copy()
+    n = np.zeros(x.shape, dtype=np.uint8)
+    zero = x == 0
+    for thresh, inc8, shift in _CLZ_STEPS:
+        mask = x < thresh
+        n[mask] += inc8
+        x[mask] <<= shift
+    n[zero] = 64
+    return n
+
+
+def hll_index_rank(hashes: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """Split 64-bit hashes into (register index, rank).
+
+    index = top p bits; rank = clz(remaining 64-p bits) + 1, capped at
+    64-p+1 (Ertl's convention) for the all-zero payload. The reference
+    (src/hll.c:639-641) would emit rank 65 there, overflowing its 6-bit
+    register — probability ≤ 2^-(64-p) per item; documented deviation
+    (SURVEY.md §2A row 4 note).
+    """
+    q = 64 - p
+    idx = (hashes >> np.uint64(q)).astype(np.int64)
+    payload = hashes << np.uint64(p)
+    rank = vclz64(payload) + np.uint8(1)
+    np.minimum(rank, np.uint8(q + 1), out=rank)
+    return idx, rank
+
+
+def update_registers(registers: np.ndarray, idx: np.ndarray, rank: np.ndarray) -> None:
+    """Scatter-max ``registers[idx] = max(registers[idx], rank)`` in place.
+
+    Sort-based scatter-max: pack (idx << 6) | rank into one uint64 key,
+    sort, and write only each index's maximum (last element of its run).
+    rank ≤ 64-p+1 ≤ 63 for p ≥ 2, so 6 bits always hold it — same packing
+    budget as the reference's 6-bit registers (src/hll.c:44-254).
+    Measurably faster than ``np.maximum.at`` for large batches; falls back
+    to maximum.at for tiny ones where the sort constant dominates.
+    """
+    if len(idx) < 2048:
+        np.maximum.at(registers, idx, rank)
+        return
+    packed = (idx.astype(np.uint64) << np.uint64(6)) | rank.astype(np.uint64)
+    packed.sort()
+    boundary = np.empty(len(packed), dtype=bool)
+    boundary[-1] = True
+    # last element of each equal-index run == max rank for that index
+    np.not_equal(packed[1:] >> np.uint64(6), packed[:-1] >> np.uint64(6), out=boundary[:-1])
+    tops = packed[boundary]
+    top_idx = (tops >> np.uint64(6)).astype(np.int64)
+    top_rank = (tops & np.uint64(63)).astype(np.uint8)
+    # indices are unique after the run-dedupe, so plain fancy assignment works
+    registers[top_idx] = np.maximum(registers[top_idx], top_rank)

@@ -1,0 +1,201 @@
+"""HLL parity + law tests, mirroring the reference suite
+
+(/root/reference/test.py) plus golden values from FIXTURES.md §3.2-3.4.
+"""
+
+import numpy as np
+import pytest
+
+from sketchlib.hll import HllSketch, estimate_from_histogram
+
+
+def _sketch_of_range(p: int, n: int, seed: int = 314) -> HllSketch:
+    s = HllSketch.empty(p, seed)
+    s.update_batch(np.arange(n, dtype=np.int32))
+    return s
+
+
+# ---- constructor contract (test.py:44-76) ----------------------------------
+
+
+@pytest.mark.parametrize("p", [-1, 0, 1, 64])
+def test_p_out_of_range_raises(p):
+    with pytest.raises(ValueError):
+        HllSketch.empty(p)
+
+
+def test_fresh_sketch_zeroed():
+    s = HllSketch.empty(6)
+    assert s.size == 64
+    assert not s.registers.any()
+    assert int(s.histogram().sum()) == 64
+    assert s.cardinality() == 0
+
+
+def test_seed_changes_hash():
+    a, b = HllSketch(p=4, seed=1), HllSketch(p=4, seed=2)
+    assert a.hash("flibbertigibbet") != b.hash("flibbertigibbet")
+
+
+def test_get_register_bounds():
+    s = HllSketch.empty(4)
+    s.get_register(15)
+    with pytest.raises(IndexError):
+        s.get_register(16)
+
+
+# ---- golden register state & cardinalities (FIXTURES.md §3.2-3.3) ----------
+
+
+def test_golden_registers_p4():
+    s = _sketch_of_range(4, 10)
+    assert s.registers.tolist() == [0, 3, 2, 2, 0, 1, 0, 1, 6, 3, 0, 0, 0, 4, 0, 0]
+    assert s.cardinality() == 11
+
+
+GOLDEN_CARDS = [
+    (12, 10_000, 10_274),
+    (12, 100_000, 98_833),
+    (12, 1_000_000, 1_002_475),
+    (14, 10_000, 10_137),
+    (14, 100_000, 98_279),
+    (14, 1_000_000, 1_002_746),
+    (14, 2_000_000, 1_994_876),
+]
+
+
+@pytest.mark.parametrize("p,n,expect", GOLDEN_CARDS)
+def test_golden_cardinalities(p, n, expect):
+    assert _sketch_of_range(p, n).cardinality() == expect
+
+
+def test_scalar_add_matches_batch():
+    import struct
+
+    batch = _sketch_of_range(12, 500)
+    one = HllSketch.empty(12)
+    for t in range(500):
+        one.add(struct.pack("<i", t))
+    assert np.array_equal(batch.registers, one.registers)
+    # int add uses the same convention
+    one2 = HllSketch.empty(12)
+    for t in range(500):
+        one2.add(t)
+    assert np.array_equal(batch.registers, one2.registers)
+
+
+def test_add_returns_changed_flag():
+    s = HllSketch.empty(12)
+    assert s.add(b"asdf") is True
+    assert s.add(b"asdf") is False  # same register/rank -> no change
+
+
+# ---- merge laws (test.py:78-142) --------------------------------------------
+
+
+def test_merge_size_mismatch_raises():
+    with pytest.raises(ValueError):
+        HllSketch.empty(4).merge(HllSketch.empty(5))
+
+
+def test_merge_seed_mismatch_raises():
+    with pytest.raises(ValueError):
+        HllSketch(p=4, seed=1).merge(HllSketch(p=4, seed=2))
+
+
+def test_merge_is_elementwise_max():
+    rng = np.random.default_rng(0)
+    a = HllSketch.empty(10)
+    b = HllSketch.empty(10)
+    a.update_batch(rng.integers(0, 10_000, 5_000).astype(np.int32))
+    b.update_batch(rng.integers(5_000, 20_000, 5_000).astype(np.int32))
+    expect = np.maximum(a.registers, b.registers)
+    a.merge(b)
+    assert np.array_equal(a.registers, expect)
+
+
+def test_merge_laws_assoc_comm_idem_identity():
+    rng = np.random.default_rng(1)
+    parts = []
+    for _ in range(3):
+        s = HllSketch.empty(8)
+        s.update_batch(rng.integers(0, 50_000, 2_000).astype(np.int32))
+        parts.append(s)
+    a, b, c = parts
+    ab_c = (a | b) | c
+    a_bc = a | (b | c)
+    assert np.array_equal(ab_c.registers, a_bc.registers)
+    assert np.array_equal((a | b).registers, (b | a).registers)
+    assert np.array_equal((a | a).registers, a.registers)
+    assert np.array_equal((a | HllSketch.empty(8)).registers, a.registers)
+
+
+def test_split_merge_equals_single_pass():
+    """Partition-order independence: the distributed-safety property."""
+    tokens = np.random.default_rng(2).integers(0, 10**6, 100_000).astype(np.int32)
+    whole = HllSketch.empty(14)
+    whole.update_batch(tokens)
+    merged = HllSketch.empty(14)
+    for chunk in np.array_split(tokens, 17):
+        part = HllSketch.empty(14)
+        part.update_batch(chunk)
+        merged.merge(part)
+    assert np.array_equal(whole.registers, merged.registers)
+    assert whole.cardinality() == merged.cardinality()
+
+
+# ---- serialization round-trip (test.py:145-279) ------------------------------
+
+
+def test_bytes_roundtrip():
+    s = _sketch_of_range(14, 50_000, seed=271)
+    blob = s.to_bytes()
+    assert len(blob) == 16 + (1 << 14)
+    r = HllSketch.from_bytes(blob)
+    assert r.p == 14 and r.seed == 271
+    assert np.array_equal(r.registers, s.registers)
+    assert r.cardinality() == s.cardinality()
+    assert r.histogram().tolist() == s.histogram().tolist()
+
+
+def test_roundtrip_then_merge_equals_control():
+    """Mirror of the reference's issue-#46 regression (test.py:170-258)."""
+    rng = np.random.default_rng(0)
+    control = HllSketch.empty(12)
+    restored = HllSketch.empty(12)
+    for _ in range(5):
+        batch = rng.integers(0, 10**6, 10_000).astype(np.int32)
+        part = HllSketch.empty(12)
+        part.update_batch(batch)
+        control.merge(part)
+        restored = HllSketch.from_bytes(restored.to_bytes())
+        restored.merge(HllSketch.from_bytes(part.to_bytes()))
+    assert np.array_equal(control.registers, restored.registers)
+    assert control.cardinality() == restored.cardinality()
+
+
+def test_from_bytes_rejects_garbage():
+    with pytest.raises(ValueError):
+        HllSketch.from_bytes(b"\x00" * 40)
+
+
+# ---- accuracy bound (FIXTURES.md §3.4; BASELINE.md 1-sigma semantics) --------
+
+
+def test_error_bound_over_seed_ensemble():
+    n, p = 20_000, 12
+    bound = HllSketch.std_error(p)
+    within = 0
+    for seed in range(20):
+        s = HllSketch.empty(p, seed=seed)
+        s.update_batch(np.arange(n, dtype=np.int32))
+        rel = abs(s.cardinality() - n) / n
+        assert rel < 3 * bound, f"seed {seed}: {rel:.4f} > 3 sigma"
+        within += rel <= bound
+    assert within >= 12  # ~65% expected within 1 sigma; 12/20 is a safe floor
+
+
+def test_estimator_histogram_only():
+    # estimator consumes only the histogram — spot-check pure function
+    s = _sketch_of_range(12, 10_000)
+    assert estimate_from_histogram(s.histogram(), 12) == 10_274
