@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry() runs the flagship HLL query; queries()/oracle_sql() expose every
+implemented operator (SURVEY.md §2). Approximate sketch queries without an
+exact SQL equivalent intentionally omit oracle entries (rows-only check);
+their *accuracy companions* (``*_accuracy``) ARE oracle-checked: they emit the
+exact count plus a within-bound boolean the sketch must satisfy.
 """
 
 from __future__ import annotations
@@ -13,26 +13,46 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from sketchlib import queries as Q
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: HLL distinct tokens per source on the canonical sequences
+
+    table at tiny scale (deterministic synth per FIXTURES.md §1)."""
+    return Q.hll_tokens_per_source(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # approximate sketch queries (rows-only driver check)
+        "hll_tokens_per_source": Q.hll_tokens_per_source,
+        "hll_tokens_global": Q.hll_tokens_global,
+        "hll_users_per_event_type": Q.hll_users_per_event_type,
+        # oracle-checked: exact values + sketch-bound assertions
+        "hll_users_accuracy": Q.hll_users_accuracy,
+        "hll_parts_accuracy": Q.hll_parts_accuracy,
+        "exact_distinct_parts_per_returnflag": Q.exact_distinct_parts_per_returnflag,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "hll_users_accuracy": """
+            SELECT event_type,
+                   COUNT(DISTINCT user_id) AS exact_users,
+                   TRUE AS within_3sigma
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "hll_parts_accuracy": """
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_partkey) AS distinct_parts,
+                   TRUE AS within_3sigma
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "exact_distinct_parts_per_returnflag": """
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_partkey) AS distinct_parts
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+    }

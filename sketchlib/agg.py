@@ -1,0 +1,284 @@
+"""Distributed sketch aggregation — the Spark shape of the library.
+
+The reference is a single-process accumulator (`add` one value at a time under
+the GIL, src/hll.c:630-649). The distributed equivalent is the classic
+partial/combine/finalize aggregate, expressed with Spark's Arrow-batched
+Python surfaces and *no per-row Python anywhere*:
+
+    scan (column-pruned to key+value)                  -- Catalyst, codegen'd
+      -> mapInArrow(build partials)                    -- numpy kernel per batch;
+         one output row per (task-partition, key):        map-side combine by
+         (key..., sketch binary, n_rows, n_items)         construction
+      -> groupBy(key).applyInPandas(merge)             -- np.maximum/elementwise
+      -> finalize pandas_udf (estimate, quantile, ...)
+
+Physical property that makes this scale: the shuffle payload is *sketches*
+(KB each), never raw values. At 100 TB input the shuffle is
+#partitions x #keys x sketch_size — megabytes. Skewed/hot keys are handled by
+an optional salted two-stage merge (safe because every sketch merge here is
+associative + commutative, src/hll.c:776-815 semantics).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .hll import HllSketch
+from .kernels import DEFAULT_SEED, murmur64a_str_array
+
+_COUNT_FIELDS = [
+    T.StructField("sketch", T.BinaryType(), False),
+    T.StructField("n_rows", T.LongType(), False),
+    T.StructField("n_items", T.LongType(), False),
+]
+
+VALUE_KINDS = ("tokens", "int64", "int32", "double", "string")
+
+
+def _extract_values(batch: pa.RecordBatch, value_col: str, kind: str):
+    """Return (flat numpy values, per-row item counts) for one Arrow batch.
+
+    'tokens' flattens list<int32> zero-copy; scalar kinds drop nulls. The
+    per-row counts let us np.repeat group codes onto the flattened values —
+    still fully vectorized.
+    """
+    col = batch.column(value_col)
+    if kind == "tokens":
+        lengths = pc.list_value_length(col)
+        lengths = pc.fill_null(lengths, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = col.flatten()
+        values = flat.to_numpy(zero_copy_only=False)
+        if values.dtype != np.int32:
+            values = values.astype(np.int32)
+        return values, lengths
+    arr = col
+    counts = np.ones(len(arr), dtype=np.int64)
+    if arr.null_count:
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        counts = valid.astype(np.int64)
+        arr = arr.drop_null()
+    if kind == "string":
+        return arr.to_pylist(), counts
+    np_dtype = {"int64": np.int64, "int32": np.int32, "double": np.float64}[kind]
+    return arr.to_numpy(zero_copy_only=False).astype(np_dtype), counts
+
+
+class SketchAggregator:
+    """Base distributed aggregator for any MergeableSketch.
+
+    Subclasses define ``_empty() -> sketch``, ``_update(sketch, values)`` and
+    the finalize UDFs; everything Spark-shaped (partial build, salted tree
+    merge) lives here once.
+    """
+
+    def __init__(
+        self,
+        key_cols: Sequence[str] = ("source",),
+        value_col: str = "tokens",
+        value_kind: str = "tokens",
+    ):
+        if value_kind not in VALUE_KINDS:
+            raise ValueError(f"value_kind {value_kind!r} not in {VALUE_KINDS}")
+        self.key_cols = list(key_cols)
+        self.value_col = value_col
+        self.value_kind = value_kind
+
+    # -- subclass hooks -------------------------------------------------------
+
+    def _empty(self):
+        raise NotImplementedError
+
+    def _update(self, sketch, values) -> None:
+        raise NotImplementedError
+
+    def _merge_blobs(self, blobs):
+        raise NotImplementedError
+
+    # -- schemas --------------------------------------------------------------
+
+    def _partial_schema(self, df: DataFrame, extra: Sequence[T.StructField] = ()) -> T.StructType:
+        by_name = {f.name: f for f in df.schema.fields}
+        fields = [by_name[k] for k in self.key_cols]
+        return T.StructType(fields + list(extra) + _COUNT_FIELDS)
+
+    # -- partial build ----------------------------------------------------------
+
+    def partials(self, df: DataFrame) -> DataFrame:
+        """One sketch per (task partition, key): the map-side combine.
+
+        Input partitioning is whatever the scan produced — no shuffle of raw
+        values, ever. Column pruning happens here via select().
+        """
+        key_cols, value_col, kind = self.key_cols, self.value_col, self.value_kind
+        out_schema = self._partial_schema(df)
+        arrow_schema = None  # captured from first batch for key dtypes
+        empty = self._empty
+        update = self._update
+        to_blob = lambda s: s.to_bytes()  # noqa: E731
+
+        def build(batches):
+            acc: dict[tuple, list] = {}
+            key_types = None
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                if key_types is None:
+                    key_types = [batch.schema.field(k).type for k in key_cols]
+                values, counts = _extract_values(batch, value_col, kind)
+                if key_cols:
+                    if len(key_cols) == 1:
+                        keys = batch.column(key_cols[0]).to_pandas()
+                        codes, uniques = pd.factorize(keys, sort=False)
+                        uniq_tuples = [(u,) for u in uniques]
+                    else:
+                        kdf = pa.table(
+                            {k: batch.column(k) for k in key_cols}
+                        ).to_pandas()
+                        tuples = pd.Series(list(zip(*[kdf[k] for k in key_cols])))
+                        codes, uniques = pd.factorize(tuples, sort=False)
+                        uniq_tuples = list(uniques)
+                else:
+                    codes = np.zeros(batch.num_rows, dtype=np.int64)
+                    uniq_tuples = [()]
+                if kind == "tokens":
+                    value_codes = np.repeat(codes, counts)
+                else:
+                    value_codes = codes[counts.astype(bool)]
+                row_counts = np.bincount(codes, minlength=len(uniq_tuples))
+                item_counts = np.bincount(codes, weights=counts, minlength=len(uniq_tuples))
+                for gi, keyt in enumerate(uniq_tuples):
+                    slot = acc.get(keyt)
+                    if slot is None:
+                        slot = acc[keyt] = [empty(), 0, 0]
+                    mask = value_codes == gi
+                    if kind == "string":
+                        gvals = [v for v, m in zip(values, mask) if m]
+                    else:
+                        gvals = values[mask]
+                    update(slot[0], gvals)
+                    slot[1] += int(row_counts[gi])
+                    slot[2] += int(item_counts[gi])
+            if not acc:
+                return
+            keys_out = list(acc.keys())
+            arrays = []
+            for j, kname in enumerate(key_cols):
+                arrays.append(pa.array([kt[j] for kt in keys_out], type=key_types[j]))
+            arrays.append(pa.array([to_blob(v[0]) for v in acc.values()], type=pa.binary()))
+            arrays.append(pa.array([v[1] for v in acc.values()], type=pa.int64()))
+            arrays.append(pa.array([v[2] for v in acc.values()], type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=key_cols + ["sketch", "n_rows", "n_items"]
+            )
+
+        pruned = df.select(*(key_cols + [value_col]))
+        return pruned.mapInArrow(build, out_schema)
+
+    # -- tree merge -------------------------------------------------------------
+
+    def _merge_stage(self, partials: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+        merge_blobs = self._merge_blobs
+        group_cols = list(group_cols)
+        by_name = {f.name: f for f in partials.schema.fields}
+        schema = T.StructType([by_name[c] for c in group_cols] + _COUNT_FIELDS)
+
+        def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+            s = merge_blobs(pdf["sketch"])
+            out = {c: [pdf[c].iloc[0]] for c in group_cols}
+            out["sketch"] = [s.to_bytes()]
+            out["n_rows"] = [int(pdf["n_rows"].sum())]
+            out["n_items"] = [int(pdf["n_items"].sum())]
+            return pd.DataFrame(out)
+
+        return partials.groupBy(*group_cols).applyInPandas(merge, schema)
+
+    def merged(self, df_or_partials: DataFrame, salt: int | None = None, *, is_partials: bool = False) -> DataFrame:
+        """Tree-merge partials down to one sketch row per key.
+
+        ``salt > 1`` inserts a fan-in-bounding intermediate stage: partials
+        first merge within (key, salt) groups, then across salts. Use for
+        hot keys / very high partial counts (axis A skew handling); safe for
+        any associative+commutative merge. ``spark_partition_id() % salt``
+        spreads partials of the same key over salts deterministically-enough
+        without hashing sketch bytes.
+        """
+        partials = df_or_partials if is_partials else self.partials(df_or_partials)
+        if salt and salt > 1:
+            salted = partials.withColumn(
+                "__salt", F.pmod(F.spark_partition_id(), F.lit(salt)).cast("int")
+            )
+            stage1 = self._merge_stage(salted, self.key_cols + ["__salt"])
+            partials = stage1.drop("__salt")
+        if not self.key_cols:
+            const = partials.withColumn("__g", F.lit(0))
+            out = self._merge_stage(const, ["__g"])
+            return out.drop("__g")
+        return self._merge_stage(partials, self.key_cols)
+
+
+class HllAggregator(SketchAggregator):
+    """Distributed HyperLogLog distinct-count over any key grouping."""
+
+    def __init__(
+        self,
+        p: int = 14,
+        seed: int = DEFAULT_SEED,
+        key_cols: Sequence[str] = ("source",),
+        value_col: str = "tokens",
+        value_kind: str = "tokens",
+    ):
+        super().__init__(key_cols, value_col, value_kind)
+        if not (2 <= int(p) <= 63):
+            # fail fast on the driver, not inside an executor task
+            raise ValueError(f"p={p} is out of range [2, 63]")
+        self.p = int(p)
+        self.seed = int(seed)
+
+    def _empty(self) -> HllSketch:
+        return HllSketch.empty(self.p, self.seed)
+
+    def _update(self, sketch: HllSketch, values) -> None:
+        kind = self.value_kind
+        if kind == "tokens" or kind == "int32":
+            sketch.update_batch(values)
+        elif kind == "int64":
+            sketch.update_batch_int64(values)
+        elif kind == "string":
+            if len(values):
+                sketch.update_hashes(murmur64a_str_array(values, self.seed))
+        else:
+            raise ValueError(f"HLL does not support value_kind={kind!r}")
+
+    def _merge_blobs(self, blobs) -> HllSketch:
+        return HllSketch.merge_blobs(blobs, self.p, self.seed)
+
+    # -- finalize ---------------------------------------------------------------
+
+    def estimate_udf(self) -> Callable:
+        p, seed = self.p, self.seed
+
+        @F.pandas_udf(T.LongType())
+        def est(blobs: pd.Series) -> pd.Series:
+            return blobs.map(
+                lambda b: HllSketch.from_bytes(bytes(b)).cardinality()
+            ).astype("int64")
+
+        return est
+
+    def estimates(self, df: DataFrame, salt: int | None = None, *, is_partials: bool = False) -> DataFrame:
+        """key cols + ``est_distinct`` (+ n_rows/n_items rollups)."""
+        merged = self.merged(df, salt=salt, is_partials=is_partials)
+        return merged.select(
+            *self.key_cols,
+            self.estimate_udf()(F.col("sketch")).alias("est_distinct"),
+            "n_rows",
+            "n_items",
+        )

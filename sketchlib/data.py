@@ -1,0 +1,133 @@
+"""Deterministic synthetic `sequences` table + documents tokenizer.
+
+Canonical input shape (BASELINE.json ``input_hint``)::
+
+    doc_id: string, tokens: array<int32>, n_tok: int32, source: string
+
+Generation follows FIXTURES.md §1 exactly: numpy ``default_rng(42 + block)``
+keyed by 10k-row block so the table is reproducible *and* embarrassingly
+parallel — at bench scale each Spark task generates its own blocks
+(``sequences_df``), so no driver bottleneck and no data movement. Sources are
+Zipf-skewed (s00 is hot, ≈60% of rows) to exercise salted-merge skew handling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BLOCK_ROWS = 10_000
+VOCAB = 50_000
+N_SOURCES = 12
+
+SEQUENCES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType(), False), False),
+        T.StructField("n_tok", T.IntegerType(), False),
+        T.StructField("source", T.StringType(), False),
+    ]
+)
+
+ROWS_BY_SF = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
+
+
+def rows_for_sf_dir(sf_dir: str, default: int = 20_000) -> int:
+    tail = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return ROWS_BY_SF.get(tail, default)
+
+
+def gen_block(block_id: int, n_rows: int) -> pd.DataFrame:
+    """One deterministic 10k-row block (FIXTURES.md §1 generator)."""
+    rng = np.random.default_rng(42 + block_id)
+    lengths = rng.integers(8, 257, size=n_rows)
+    zipf = np.minimum(rng.zipf(1.5, size=n_rows) - 1, N_SOURCES - 1)
+    flat = rng.integers(0, VOCAB, size=int(lengths.sum()), dtype=np.int32)
+    bounds = np.cumsum(lengths)[:-1]
+    base = block_id * BLOCK_ROWS
+    return pd.DataFrame(
+        {
+            "doc_id": [f"doc{base + i:08d}" for i in range(n_rows)],
+            "tokens": np.split(flat, bounds),
+            "n_tok": lengths.astype(np.int32),
+            "source": [f"s{z:02d}" for z in zipf],
+        }
+    )
+
+
+def gen_sequences_pandas(n_rows: int) -> pd.DataFrame:
+    """Driver-side generation for tests (tiny/small scales)."""
+    blocks = []
+    for block_id in range((n_rows + BLOCK_ROWS - 1) // BLOCK_ROWS):
+        take = min(BLOCK_ROWS, n_rows - block_id * BLOCK_ROWS)
+        blocks.append(gen_block(block_id, take))
+    return pd.concat(blocks, ignore_index=True)
+
+
+def sequences_df(spark: SparkSession, n_rows: int, partitions: int | None = None) -> DataFrame:
+    """Distributed generation: one task per block set; fully deterministic.
+
+    Each executor task generates its assigned blocks locally — the pattern a
+    100 TB synthetic load uses (no driver materialization, no shuffle).
+    """
+    n_blocks = (n_rows + BLOCK_ROWS - 1) // BLOCK_ROWS
+    partitions = partitions or min(n_blocks, max(spark.sparkContext.defaultParallelism, 1))
+    blocks = spark.range(n_blocks, numPartitions=partitions).withColumnRenamed("id", "block_id")
+    total = n_rows
+
+    def gen(batches):
+        for batch in batches:
+            for block_id in batch.column("block_id").to_pylist():
+                take = min(BLOCK_ROWS, total - block_id * BLOCK_ROWS)
+                if take <= 0:
+                    continue
+                import pyarrow as pa
+
+                yield pa.RecordBatch.from_pandas(
+                    gen_block(block_id, take), preserve_index=False
+                )
+
+    return blocks.mapInArrow(gen, SEQUENCES_SCHEMA)
+
+
+def tokenize_documents(docs: DataFrame) -> DataFrame:
+    """Tokenize the driver `documents` table into the sequences shape.
+
+    Stable token ids via a sorted vocab (FIXTURES.md §2): id = dense rank of
+    the token string over the distinct-vocabulary — reproducible in ANSI SQL
+    (``dense_rank() over (order by tok)``), which keeps DuckDB oracles
+    possible. The vocab is tiny relative to the corpus, so the rank window
+    plus broadcast join is the right plan even at scale (vocab ≪ corpus).
+    """
+    from pyspark.sql.window import Window
+
+    words = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("source"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("words"),
+    )
+    vocab = (
+        words.select(F.explode("words").alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+        .withColumn("token", (F.dense_rank().over(Window.orderBy("word")) - 1).cast("int"))
+    )
+    exploded = words.select("doc_id", "source", F.posexplode("words").alias("pos", "word"))
+    return (
+        exploded.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id", "source")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "token"))).alias("pt"))
+        .select(
+            "doc_id",
+            F.col("pt.token").alias("tokens"),
+            F.size("pt").cast("int").alias("n_tok"),
+            "source",
+        )
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

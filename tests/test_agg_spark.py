@@ -1,0 +1,141 @@
+"""Distributed aggregation tests: the Spark pipeline must be bit-identical to
+
+the single-threaded numpy oracle at ANY partitioning (the property that makes
+the design safe on a 1000-executor cluster), and the salted tree-merge must
+change nothing but the plan shape.
+"""
+
+import numpy as np
+import pytest
+
+from sketchlib.agg import HllAggregator
+from sketchlib.data import SEQUENCES_SCHEMA, gen_sequences_pandas, sequences_df
+from sketchlib.hll import HllSketch
+
+P = 12
+
+
+@pytest.fixture(scope="module")
+def tiny_pdf():
+    return gen_sequences_pandas(2_000)
+
+
+@pytest.fixture(scope="module")
+def tiny_df(spark, tiny_pdf):
+    return spark.createDataFrame(tiny_pdf, schema=SEQUENCES_SCHEMA)
+
+
+def numpy_oracle_per_source(pdf, p=P):
+    out = {}
+    for src, grp in pdf.groupby("source"):
+        s = HllSketch.empty(p)
+        s.update_batch(np.concatenate(grp["tokens"].to_list()).astype(np.int32))
+        out[src] = s
+    return out
+
+
+def test_per_source_sketches_match_numpy_oracle(spark, tiny_df, tiny_pdf):
+    agg = HllAggregator(p=P, key_cols=["source"])
+    merged = {r["source"]: r for r in agg.merged(tiny_df).collect()}
+    oracle = numpy_oracle_per_source(tiny_pdf)
+    assert set(merged) == set(oracle)
+    for src, row in merged.items():
+        got = HllSketch.from_bytes(bytes(row["sketch"]))
+        assert np.array_equal(got.registers, oracle[src].registers), src
+        assert got.cardinality() == oracle[src].cardinality()
+
+
+def test_partitioning_invariance(spark, tiny_df):
+    """Identical final registers regardless of partition count — merge
+
+    associativity/commutativity in action (SURVEY.md §4.2)."""
+    agg = HllAggregator(p=P, key_cols=["source"])
+    a = {r["source"]: bytes(r["sketch"]) for r in agg.merged(tiny_df.repartition(3)).collect()}
+    b = {r["source"]: bytes(r["sketch"]) for r in agg.merged(tiny_df.repartition(17)).collect()}
+    assert a == b
+
+
+def test_salted_merge_equals_unsalted(spark, tiny_df):
+    agg = HllAggregator(p=P, key_cols=["source"])
+    plain = {r["source"]: bytes(r["sketch"]) for r in agg.merged(tiny_df).collect()}
+    salted = {r["source"]: bytes(r["sketch"]) for r in agg.merged(tiny_df, salt=5).collect()}
+    assert plain == salted
+
+
+def test_keyless_global_rollup(spark, tiny_df, tiny_pdf):
+    agg = HllAggregator(p=P, key_cols=[])
+    row = agg.estimates(tiny_df, salt=4).collect()[0]
+    oracle = HllSketch.empty(P)
+    oracle.update_batch(np.concatenate(tiny_pdf["tokens"].to_list()).astype(np.int32))
+    assert row["est_distinct"] == oracle.cardinality()
+    assert row["n_rows"] == len(tiny_pdf)
+    assert row["n_items"] == int(tiny_pdf["n_tok"].sum())
+
+
+def test_global_equals_merge_of_per_source(spark, tiny_df):
+    """Set-union rollup: global sketch == merge of per-source sketches."""
+    agg = HllAggregator(p=P, key_cols=["source"])
+    per_source = [bytes(r["sketch"]) for r in agg.merged(tiny_df).collect()]
+    rollup = HllSketch.merge_blobs(per_source, P)
+    g = HllAggregator(p=P, key_cols=[]).merged(tiny_df).collect()[0]
+    assert np.array_equal(HllSketch.from_bytes(bytes(g["sketch"])).registers, rollup.registers)
+
+
+def test_int64_and_string_kinds(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 50 + ["b"] * 50,
+            "v64": np.arange(100, dtype=np.int64) * 10**10,
+            "vs": [f"user-{i}" for i in range(100)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    for col, kind in [("v64", "int64"), ("vs", "string")]:
+        agg = HllAggregator(p=10, key_cols=["k"], value_col=col, value_kind=kind)
+        rows = {r["k"]: r for r in agg.merged(df).collect()}
+        for key, grp in pdf.groupby("k"):
+            oracle = HllSketch.empty(10)
+            if kind == "int64":
+                oracle.update_batch_int64(grp[col].to_numpy())
+            else:
+                from sketchlib.kernels import murmur64a_str_array
+
+                oracle.update_hashes(murmur64a_str_array(grp[col].tolist()))
+            got = HllSketch.from_bytes(bytes(rows[key]["sketch"]))
+            assert np.array_equal(got.registers, oracle.registers), (col, key)
+
+
+def test_nulls_are_dropped(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"k": ["a"] * 4, "v": pd.array([1, None, 3, None], dtype="Int64")})
+    df = spark.createDataFrame(pdf)
+    agg = HllAggregator(p=8, key_cols=["k"], value_col="v", value_kind="int64")
+    row = agg.estimates(df).collect()[0]
+    oracle = HllSketch.empty(8)
+    oracle.update_batch_int64(np.array([1, 3], dtype=np.int64))
+    assert row["est_distinct"] == oracle.cardinality()
+    assert row["n_rows"] == 4 and row["n_items"] == 2
+
+
+def test_per_row_invariant_tokens_unmutated(spark):
+    """input_hint invariant: the pipeline never mutates the tokens arrays."""
+    df = sequences_df(spark, 2_000).cache()
+    before = df.selectExpr("sum(hash(doc_id, tokens)) as h").collect()[0]["h"]
+    HllAggregator(p=P, key_cols=["source"]).estimates(df).collect()
+    after = df.selectExpr("sum(hash(doc_id, tokens)) as h").collect()[0]["h"]
+    assert before == after
+    df.unpersist()
+
+
+def test_distributed_generator_matches_pandas(spark, tiny_pdf):
+    got = sequences_df(spark, 2_000, partitions=2).toPandas().sort_values("doc_id")
+    exp = tiny_pdf.sort_values("doc_id")
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["source"].tolist() == exp["source"].tolist()
+    assert got["n_tok"].tolist() == exp["n_tok"].tolist()
+    a = np.concatenate([np.asarray(t) for t in got["tokens"]])
+    b = np.concatenate([np.asarray(t) for t in exp["tokens"]])
+    assert np.array_equal(a, b)

@@ -1,0 +1,48 @@
+"""Driver-contract smoke tests: entry(), queries()/oracle_sql() consistency,
+
+and DuckDB oracle agreement at sf0.001 (fast; the driver runs sf0.01)."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def test_entry_returns_rows(spark):
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"source", "est_distinct"} <= set(df.columns)
+
+
+def test_oracle_keys_subset_of_queries():
+    q, o = E.queries(), E.oracle_sql()
+    assert set(o) <= set(q)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def test_all_queries_run_and_oracles_match(spark, duck):
+    qs, osql = E.queries(), E.oracle_sql()
+    for name, fn in qs.items():
+        df = fn(spark, SF)
+        rows = df.collect()
+        assert len(rows) >= 0, name
+        if name in osql:
+            got = sorted(tuple(r) for r in rows)
+            exp = sorted(
+                tuple(r) for r in duck.execute(osql[name]).fetchdf().itertuples(index=False)
+            )
+            assert got == exp, f"{name}: spark {got[:3]} != duckdb {exp[:3]}"
