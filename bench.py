@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs every query in ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "tokens_per_sec": ...}
+
+Scaling evidence (N vs 4N parallelism) lives in bench/scaling.py; this file
+is the per-round throughput snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    import __spark_entry__ as E
+    from sketchlib.session import get_spark
+
+    spark = get_spark(app="sketchlib-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    # warm the JVM and the Python worker pool (imports of numpy/pandas/
+    # sketchlib in each reused worker) so per-query timings measure the
+    # pipeline, not process startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+    from sketchlib.agg import HllAggregator
+    from sketchlib.data import SEQUENCES_SCHEMA, gen_sequences_pandas
+
+    warm = spark.createDataFrame(gen_sequences_pandas(512), schema=SEQUENCES_SCHEMA)
+    HllAggregator(p=8, key_cols=["source"]).estimates(warm.repartition(cpus)).collect()
+    # warm the parquet-scan imports (pyarrow dataset/parquet) in every worker
+    def _warm_imports(it):
+        import pyarrow.dataset  # noqa: F401
+        import pyarrow.parquet  # noqa: F401
+
+        yield from it
+
+    spark.range(cpus * 4, numPartitions=cpus).mapInArrow(_warm_imports, "id long").collect()
+
+    timings: dict[str, float] = {}
+    n_items_flagship = 0
+    total0 = time.perf_counter()
+    for name, fn in E.queries().items():
+        t0 = time.perf_counter()
+        rows = fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        if name == "hll_tokens_per_source":
+            n_items_flagship = sum(r["n_items"] for r in rows)
+    total = round(time.perf_counter() - total0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    flag_t = timings.get("hll_tokens_per_source", 0.0)
+    out = {
+        "metric": "sketch_query_suite_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "cpus": cpus,
+        "tokens_per_sec": round(n_items_flagship / flag_t) if flag_t else None,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as papq
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -111,15 +113,13 @@ class SketchAggregator:
 
     # -- partial build ----------------------------------------------------------
 
-    def partials(self, df: DataFrame) -> DataFrame:
-        """One sketch per (task partition, key): the map-side combine.
+    def _make_build_fn(self):
+        """Shared Arrow-batch accumulator: one sketch per key per task.
 
-        Input partitioning is whatever the scan produced — no shuffle of raw
-        values, ever. Column pruning happens here via select().
+        Used by both the DataFrame path (mapInArrow over a Spark scan) and
+        the direct-parquet path (pyarrow row-group reads inside the task).
         """
         key_cols, value_col, kind = self.key_cols, self.value_col, self.value_kind
-        out_schema = self._partial_schema(df)
-        arrow_schema = None  # captured from first batch for key dtypes
         empty = self._empty
         update = self._update
         to_blob = lambda s: s.to_bytes()  # noqa: E731
@@ -179,8 +179,80 @@ class SketchAggregator:
                 arrays, names=key_cols + ["sketch", "n_rows", "n_items"]
             )
 
-        pruned = df.select(*(key_cols + [value_col]))
-        return pruned.mapInArrow(build, out_schema)
+        return build
+
+    def partials(self, df: DataFrame) -> DataFrame:
+        """One sketch per (task partition, key): the map-side combine.
+
+        Input partitioning is whatever the scan produced — no shuffle of raw
+        values, ever. Column pruning happens here via select().
+        """
+        build = self._make_build_fn()
+        pruned = df.select(*(self.key_cols + [self.value_col]))
+        return pruned.mapInArrow(build, self._partial_schema(df))
+
+    def partials_from_parquet(
+        self,
+        spark,
+        path: str,
+        parallelism: int | None = None,
+        batch_rows: int = 32768,
+    ) -> DataFrame:
+        """Partial build with task-local vectorized parquet IO.
+
+        Spark still owns scheduling/shuffle/merge, but each task reads its
+        assigned parquet *row groups* directly with pyarrow instead of going
+        through the JVM scan. Rationale (measured): Spark's InternalRow ->
+        Arrow re-encode of array<int32> columns costs ~10x the sketch kernel;
+        reading the columnar file straight into Arrow recovers that. Columns
+        are pruned at the reader (only key+value are decoded). Row-group
+        granularity matches what Spark's own split planning uses, so skew
+        and parallelism behave the same at cluster scale.
+        """
+        cols = self.key_cols + [self.value_col]
+        dset = pads.dataset(path, format="parquet")
+        shards = []
+        for frag in dset.get_fragments():
+            n_rg = frag.metadata.num_row_groups
+            shards.extend((frag.path, rg) for rg in range(n_rg))
+        if not shards:
+            raise ValueError(f"no parquet row groups under {path}")
+        parallelism = parallelism or spark.sparkContext.defaultParallelism
+        # group shards round-robin into exactly n_tasks rows, one task each;
+        # plain repartition(n) round-robins n rows -> 1 per partition. The
+        # shard list rides as a pandas/Arrow DataFrame: no Python-RDD pickle
+        # stage, nothing sizable shuffled.
+        n_tasks = min(parallelism, len(shards))
+        groups: list[list] = [[] for _ in range(n_tasks)]
+        for i, s in enumerate(shards):
+            groups[i % n_tasks].append(s)
+        shard_pdf = pd.DataFrame(
+            {
+                "files": [[s[0] for s in g] for g in groups],
+                "rgs": [[s[1] for s in g] for g in groups],
+            }
+        )
+        sdf = spark.createDataFrame(shard_pdf).repartition(n_tasks)
+        build = self._make_build_fn()
+
+        def scan_and_build(batches):
+            def rb_iter():
+                for b in batches:
+                    for files, rgs in zip(
+                        b.column("files").to_pylist(), b.column("rgs").to_pylist()
+                    ):
+                        for f, rg in zip(files, rgs):
+                            pf = papq.ParquetFile(f)
+                            yield from pf.iter_batches(
+                                batch_size=batch_rows, row_groups=[rg], columns=cols
+                            )
+
+            yield from build(rb_iter())
+
+        # partial schema: map the parquet arrow schema to Spark types via a
+        # zero-row read on the driver (footer only)
+        probe = spark.read.parquet(path).select(*cols)
+        return sdf.mapInArrow(scan_and_build, self._partial_schema(probe))
 
     # -- tree merge -------------------------------------------------------------
 
@@ -200,8 +272,18 @@ class SketchAggregator:
 
         return partials.groupBy(*group_cols).applyInPandas(merge, schema)
 
-    def merged(self, df_or_partials: DataFrame, salt: int | None = None, *, is_partials: bool = False) -> DataFrame:
+    def merged(
+        self,
+        source: DataFrame | str,
+        salt: int | None = None,
+        *,
+        is_partials: bool = False,
+        spark=None,
+    ) -> DataFrame:
         """Tree-merge partials down to one sketch row per key.
+
+        ``source`` may be a DataFrame (generic path) or a parquet path string
+        (task-local vectorized IO path, see partials_from_parquet).
 
         ``salt > 1`` inserts a fan-in-bounding intermediate stage: partials
         first merge within (key, salt) groups, then across salts. Use for
@@ -210,7 +292,15 @@ class SketchAggregator:
         spreads partials of the same key over salts deterministically-enough
         without hashing sketch bytes.
         """
-        partials = df_or_partials if is_partials else self.partials(df_or_partials)
+        if isinstance(source, str):
+            from pyspark.sql import SparkSession
+
+            spark = spark or SparkSession.getActiveSession()
+            partials = self.partials_from_parquet(spark, source)
+        elif is_partials:
+            partials = source
+        else:
+            partials = self.partials(source)
         if salt and salt > 1:
             salted = partials.withColumn(
                 "__salt", F.pmod(F.spark_partition_id(), F.lit(salt)).cast("int")
@@ -273,9 +363,16 @@ class HllAggregator(SketchAggregator):
 
         return est
 
-    def estimates(self, df: DataFrame, salt: int | None = None, *, is_partials: bool = False) -> DataFrame:
+    def estimates(
+        self,
+        source: DataFrame | str,
+        salt: int | None = None,
+        *,
+        is_partials: bool = False,
+        spark=None,
+    ) -> DataFrame:
         """key cols + ``est_distinct`` (+ n_rows/n_items rollups)."""
-        merged = self.merged(df, salt=salt, is_partials=is_partials)
+        merged = self.merged(source, salt=salt, is_partials=is_partials, spark=spark)
         return merged.select(
             *self.key_cols,
             self.estimate_udf()(F.col("sketch")).alias("est_distinct"),

@@ -13,6 +13,8 @@ Zipf-skewed (s00 is hot, ≈60% of rows) to exercise salted-merge skew handling.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -91,6 +93,32 @@ def sequences_df(spark: SparkSession, n_rows: int, partitions: int | None = None
                 )
 
     return blocks.mapInArrow(gen, SEQUENCES_SCHEMA)
+
+
+def sequences_parquet(
+    spark: SparkSession, n_rows: int, cache_root: str | None = None
+) -> str:
+    """Materialize the deterministic sequences table to parquet once,
+
+    return its path. Queries scan this like any production table — so the
+    engine benchmarks measure scan+sketch, not data synthesis. Writes are
+    atomic-ish: build under a temp name, rename into place.
+    """
+    import shutil
+
+    root = cache_root or os.environ.get("SKETCHLIB_CACHE", "/tmp/sketchlib_cache")
+    path = os.path.join(root, f"sequences_{n_rows}")
+    if os.path.isdir(path) and os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    os.makedirs(root, exist_ok=True)
+    tmp = f"{path}.tmp{os.getpid()}"
+    sequences_df(spark, n_rows).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # another process won the race
+    return path
 
 
 def tokenize_documents(docs: DataFrame) -> DataFrame:

@@ -103,26 +103,29 @@ def murmur64a_str_array(values, seed: int = DEFAULT_SEED) -> np.ndarray:
     return out
 
 
-_CLZ_STEPS = tuple(
-    (np.uint64(1) << np.uint64(64 - s), np.uint8(s), np.uint64(s)) for s in (32, 16, 8, 4, 2, 1)
-)
-
-
 def vclz64(x: np.ndarray) -> np.ndarray:
     """Exact count-leading-zeros of each uint64; clz(0) == 64.
 
-    Semantics of reference ``clz`` (src/hll.c:1107-1164) including the
-    zero case, as a 6-step masked binary search (no floats).
+    Semantics of reference ``clz`` (src/hll.c:1107-1164) including the zero
+    case. Method: smear the highest set bit downward, isolate it, convert to
+    float64 (EXACT — a single set bit always converts exactly, unlike a raw
+    uint64, which is why naive float log2 is banned), and read the IEEE
+    exponent field directly from the bit pattern. Branch-free, no fancy
+    indexing, no libm. Exhaustively tested at every bit boundary.
     """
-    x = x.copy()
-    n = np.zeros(x.shape, dtype=np.uint8)
-    zero = x == 0
-    for thresh, inc8, shift in _CLZ_STEPS:
-        mask = x < thresh
-        n[mask] += inc8
-        x[mask] <<= shift
-    n[zero] = 64
-    return n
+    y = x.copy()
+    y |= y >> np.uint64(1)
+    y |= y >> np.uint64(2)
+    y |= y >> np.uint64(4)
+    y |= y >> np.uint64(8)
+    y |= y >> np.uint64(16)
+    y |= y >> np.uint64(32)
+    top = y - (y >> np.uint64(1))  # isolated highest bit; 0 stays 0
+    exp = top.astype(np.float64).view(np.uint64) >> np.uint64(52)  # biased exponent
+    # nonzero: clz = 63 - (exp - 1023) = 1086 - exp ; zero: exp==0 -> 1086 -> clamp
+    n = np.uint64(1086) - exp
+    np.minimum(n, np.uint64(64), out=n)
+    return n.astype(np.uint8)
 
 
 def hll_index_rank(hashes: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
@@ -136,6 +139,16 @@ def hll_index_rank(hashes: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
     """
     q = 64 - p
     idx = (hashes >> np.uint64(q)).astype(np.int64)
+    if q <= 52:
+        # the q payload bits fit float64's 53-bit mantissa, so the uint->float
+        # conversion is EXACT and the IEEE exponent field gives bit_length
+        # directly: rank = q - bit_length(payload) + 1, capped at q+1 for
+        # payload==0 (which lands exactly on the cap after the clamp).
+        v = hashes & np.uint64((1 << q) - 1)
+        exp = v.astype(np.float64).view(np.uint64) >> np.uint64(52)
+        rank64 = np.uint64(q + 1023) - exp
+        np.minimum(rank64, np.uint64(q + 1), out=rank64)
+        return idx, rank64.astype(np.uint8)
     payload = hashes << np.uint64(p)
     rank = vclz64(payload) + np.uint8(1)
     np.minimum(rank, np.uint8(q + 1), out=rank)

@@ -12,29 +12,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .agg import HllAggregator
-from .data import load_table, rows_for_sf_dir, sequences_df
+from .data import load_table, rows_for_sf_dir, sequences_parquet
 from .hll import HllSketch
 
 DEFAULT_P = 14
 
 
+def sequences_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialized canonical sequences table at this scale."""
+    return sequences_parquet(spark, rows_for_sf_dir(sf_dir))
+
+
 def sequences_for(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sequences_df(spark, rows_for_sf_dir(sf_dir))
+    """The canonical sequences table as a DataFrame (generic Spark path)."""
+    return spark.read.parquet(sequences_path(spark, sf_dir))
 
 
 # ---- HLL: distinct tokens over the canonical sequences table -----------------
 
 
 def hll_tokens_per_source(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> DataFrame:
-    """Approximate distinct tokens per source (the flagship sketch query)."""
+    """Approximate distinct tokens per source (the flagship sketch query).
+
+    Uses the direct-parquet scan path: task-local pyarrow row-group reads
+    feed the numpy kernel with zero JVM->Arrow re-encode of token arrays.
+    """
     agg = HllAggregator(p=p, key_cols=["source"], value_col="tokens", value_kind="tokens")
-    return agg.estimates(sequences_for(spark, sf_dir)).orderBy("source")
+    return agg.estimates(sequences_path(spark, sf_dir), spark=spark).orderBy("source")
 
 
 def hll_tokens_global(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> DataFrame:
     """Approximate distinct tokens over the whole table (keyless rollup)."""
     agg = HllAggregator(p=p, key_cols=[], value_col="tokens", value_kind="tokens")
-    return agg.estimates(sequences_for(spark, sf_dir), salt=8)
+    return agg.estimates(sequences_path(spark, sf_dir), salt=8, spark=spark)
 
 
 def exact_distinct_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
