@@ -29,10 +29,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_tokens_per_source": Q.hll_tokens_per_source,
         "hll_tokens_global": Q.hll_tokens_global,
         "hll_users_per_event_type": Q.hll_users_per_event_type,
+        "cms_token_freq_topk": Q.cms_token_freq_topk,
+        "kll_ntok_quantiles": Q.kll_ntok_quantiles,
         # oracle-checked: exact values + sketch-bound assertions
         "hll_users_accuracy": Q.hll_users_accuracy,
         "hll_parts_accuracy": Q.hll_parts_accuracy,
         "exact_distinct_parts_per_returnflag": Q.exact_distinct_parts_per_returnflag,
+        "cms_user_freq_accuracy": Q.cms_user_freq_accuracy,
+        "bloom_users_no_false_negatives": Q.bloom_users_no_false_negatives,
+        "bloom_semijoin_prefilter": Q.bloom_semijoin_prefilter,
+        "kll_value_rank_accuracy": Q.kll_value_rank_accuracy,
+        "tdigest_value_rank_accuracy": Q.tdigest_value_rank_accuracy,
     }
 
 
@@ -54,5 +61,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag,
                    COUNT(DISTINCT l_partkey) AS distinct_parts
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "cms_user_freq_accuracy": """
+            SELECT user_id, exact_cnt,
+                   TRUE AS never_undercounts, TRUE AS within_eps
+            FROM (SELECT user_id, COUNT(*) AS exact_cnt FROM events
+                  GROUP BY user_id ORDER BY exact_cnt DESC, user_id LIMIT 5)
+            ORDER BY user_id
+        """,
+        "bloom_users_no_false_negatives": """
+            SELECT user_id, TRUE AS present
+            FROM (SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 100)
+            ORDER BY user_id
+        """,
+        "bloom_semijoin_prefilter": """
+            SELECT (SELECT COUNT(*) FROM lineitem
+                    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 10)
+                   ) AS exact_semi_count,
+                   TRUE AS no_false_negatives
+        """,
+        "kll_value_rank_accuracy": """
+            SELECT q, TRUE AS within_bound
+            FROM (SELECT UNNEST([0.1, 0.25, 0.5, 0.75, 0.9]::DOUBLE[]) AS q)
+            ORDER BY q
+        """,
+        "tdigest_value_rank_accuracy": """
+            SELECT q, TRUE AS within_bound
+            FROM (SELECT UNNEST([0.01, 0.25, 0.5, 0.75, 0.99]::DOUBLE[]) AS q)
+            ORDER BY q
         """,
     }

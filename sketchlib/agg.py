@@ -33,8 +33,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .bloom import BloomFilter
+from .cms import CountMinSketch
 from .hll import HllSketch
 from .kernels import DEFAULT_SEED, murmur64a_str_array
+from .kll import KllSketch
+from .tdigest import TDigest
 
 _COUNT_FIELDS = [
     T.StructField("sketch", T.BinaryType(), False),
@@ -313,6 +317,35 @@ class SketchAggregator:
             return out.drop("__g")
         return self._merge_stage(partials, self.key_cols)
 
+    def finalize_rows(
+        self,
+        merged: DataFrame,
+        row_fn: Callable,
+        extra_fields: Sequence[T.StructField],
+    ) -> DataFrame:
+        """Expand each merged sketch row into result rows, distributed.
+
+        ``row_fn(sketch_bytes) -> pd.DataFrame[extra cols]`` runs inside an
+        applyInPandas task per key (never a driver collect), so point/quantile
+        queries against millions of per-key sketches stay parallel.
+        """
+        key_cols = self.key_cols
+        by_name = {f.name: f for f in merged.schema.fields}
+        group_cols = key_cols if key_cols else ["__g"]
+        if not key_cols:
+            merged = merged.withColumn("__g", F.lit(0))
+            by_name["__g"] = T.StructField("__g", T.IntegerType(), False)
+        schema = T.StructType([by_name[c] for c in group_cols] + list(extra_fields))
+
+        def expand(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = row_fn(bytes(pdf["sketch"].iloc[0]))
+            for c in group_cols:
+                out[c] = pdf[c].iloc[0]
+            return out[group_cols + [f.name for f in extra_fields]]
+
+        result = merged.groupBy(*group_cols).applyInPandas(expand, schema)
+        return result.drop("__g") if not key_cols else result
+
 
 class HllAggregator(SketchAggregator):
     """Distributed HyperLogLog distinct-count over any key grouping."""
@@ -379,3 +412,205 @@ class HllAggregator(SketchAggregator):
             "n_rows",
             "n_items",
         )
+
+
+class CmsAggregator(SketchAggregator):
+    """Distributed count-min: frequency point queries / heavy hitters."""
+
+    def __init__(
+        self,
+        width_log2: int = 16,
+        depth: int = 5,
+        seed: int = DEFAULT_SEED,
+        key_cols: Sequence[str] = (),
+        value_col: str = "tokens",
+        value_kind: str = "tokens",
+    ):
+        super().__init__(key_cols, value_col, value_kind)
+        self.width_log2, self.depth, self.seed = int(width_log2), int(depth), int(seed)
+        CountMinSketch.empty(self.width_log2, self.depth, self.seed)  # validate
+
+    def _empty(self) -> CountMinSketch:
+        return CountMinSketch.empty(self.width_log2, self.depth, self.seed)
+
+    def _update(self, sketch: CountMinSketch, values) -> None:
+        sketch.update_batch(values, kind=self.value_kind)
+
+    def _merge_blobs(self, blobs) -> CountMinSketch:
+        return CountMinSketch.merge_blobs(blobs, self.width_log2, self.depth, self.seed)
+
+    def point_estimates(
+        self, source, probes, *, salt: int | None = None, spark=None
+    ) -> DataFrame:
+        """key cols + (value, est_freq) for each probe value."""
+        kind = self.value_kind
+        probes_arr = (
+            list(probes) if kind == "string" else np.asarray(probes)
+        )
+        probe_field = {
+            "tokens": T.IntegerType(),
+            "int32": T.IntegerType(),
+            "int64": T.LongType(),
+            "string": T.StringType(),
+        }[kind]
+
+        def row_fn(blob: bytes) -> pd.DataFrame:
+            s = CountMinSketch.from_bytes(blob)
+            est = s.query_batch(probes_arr, kind=kind)
+            return pd.DataFrame({"value": probes_arr, "est_freq": est.astype("int64")})
+
+        fields = [
+            T.StructField("value", probe_field, False),
+            T.StructField("est_freq", T.LongType(), False),
+        ]
+        return self.finalize_rows(self.merged(source, salt=salt, spark=spark), row_fn, fields)
+
+
+class BloomAggregator(SketchAggregator):
+    """Distributed Bloom filter: set membership over huge key sets."""
+
+    def __init__(
+        self,
+        m_log2: int = 22,
+        k: int = 7,
+        seed: int = DEFAULT_SEED,
+        key_cols: Sequence[str] = (),
+        value_col: str = "tokens",
+        value_kind: str = "tokens",
+    ):
+        super().__init__(key_cols, value_col, value_kind)
+        self.m_log2, self.k, self.seed = int(m_log2), int(k), int(seed)
+        BloomFilter.empty(self.m_log2, self.k, self.seed)  # validate
+
+    def _empty(self) -> BloomFilter:
+        return BloomFilter.empty(self.m_log2, self.k, self.seed)
+
+    def _update(self, sketch: BloomFilter, values) -> None:
+        sketch.update_batch(values, kind=self.value_kind)
+
+    def _merge_blobs(self, blobs) -> BloomFilter:
+        return BloomFilter.merge_blobs(blobs, self.m_log2, self.k, self.seed)
+
+    def membership(
+        self, source, probes, *, salt: int | None = None, spark=None
+    ) -> DataFrame:
+        """key cols + (value, present) for each probe value."""
+        kind = self.value_kind
+        probes_arr = list(probes) if kind == "string" else np.asarray(probes)
+        probe_field = {
+            "tokens": T.IntegerType(),
+            "int32": T.IntegerType(),
+            "int64": T.LongType(),
+            "string": T.StringType(),
+        }[kind]
+
+        def row_fn(blob: bytes) -> pd.DataFrame:
+            s = BloomFilter.from_bytes(blob)
+            present = s.contains_batch(probes_arr, kind=kind)
+            return pd.DataFrame({"value": probes_arr, "present": present})
+
+        fields = [
+            T.StructField("value", probe_field, False),
+            T.StructField("present", T.BooleanType(), False),
+        ]
+        return self.finalize_rows(self.merged(source, salt=salt, spark=spark), row_fn, fields)
+
+    def filter_column_udf(self):
+        """Scalar pandas UDF factory: broadcast one merged Bloom blob and use
+
+        it to pre-filter a huge table (the classic semi-join pushdown)."""
+        kind = self.value_kind
+
+        def make(blob: bytes):
+            sketch = BloomFilter.from_bytes(blob)
+
+            @F.pandas_udf(T.BooleanType())
+            def maybe_member(vals: pd.Series) -> pd.Series:
+                if kind == "string":
+                    got = sketch.contains_batch(vals.tolist(), kind=kind)
+                else:
+                    got = sketch.contains_batch(vals.to_numpy(), kind=kind)
+                return pd.Series(got)
+
+            return maybe_member
+
+        return make
+
+
+class KllAggregator(SketchAggregator):
+    """Distributed KLL: rank/quantile queries over numeric columns."""
+
+    def __init__(
+        self,
+        k: int = 200,
+        seed: int = 0,
+        key_cols: Sequence[str] = (),
+        value_col: str = "n_tok",
+        value_kind: str = "double",
+    ):
+        super().__init__(key_cols, value_col, value_kind)
+        self.k, self.seed = int(k), int(seed)
+        KllSketch.empty(self.k, self.seed)  # validate
+
+    def _empty(self) -> KllSketch:
+        return KllSketch.empty(self.k, self.seed)
+
+    def _update(self, sketch: KllSketch, values) -> None:
+        sketch.update_batch(np.asarray(values, dtype=np.float64))
+
+    def _merge_blobs(self, blobs) -> KllSketch:
+        return KllSketch.merge_blobs(blobs, self.k, self.seed)
+
+    def quantiles(
+        self, source, qs, *, salt: int | None = None, spark=None
+    ) -> DataFrame:
+        qs = [float(q) for q in qs]
+
+        def row_fn(blob: bytes) -> pd.DataFrame:
+            s = KllSketch.from_bytes(blob)
+            return pd.DataFrame({"q": qs, "value": s.quantiles(qs)})
+
+        fields = [
+            T.StructField("q", T.DoubleType(), False),
+            T.StructField("value", T.DoubleType(), False),
+        ]
+        return self.finalize_rows(self.merged(source, salt=salt, spark=spark), row_fn, fields)
+
+
+class TDigestAggregator(SketchAggregator):
+    """Distributed t-digest: quantile/CDF queries, tight at the tails."""
+
+    def __init__(
+        self,
+        delta: float = 200.0,
+        key_cols: Sequence[str] = (),
+        value_col: str = "value",
+        value_kind: str = "double",
+    ):
+        super().__init__(key_cols, value_col, value_kind)
+        self.delta = float(delta)
+        TDigest.empty(self.delta)  # validate
+
+    def _empty(self) -> TDigest:
+        return TDigest.empty(self.delta)
+
+    def _update(self, sketch: TDigest, values) -> None:
+        sketch.update_batch(np.asarray(values, dtype=np.float64))
+
+    def _merge_blobs(self, blobs) -> TDigest:
+        return TDigest.merge_blobs(blobs, self.delta)
+
+    def quantiles(
+        self, source, qs, *, salt: int | None = None, spark=None
+    ) -> DataFrame:
+        qs = [float(q) for q in qs]
+
+        def row_fn(blob: bytes) -> pd.DataFrame:
+            s = TDigest.from_bytes(blob)
+            return pd.DataFrame({"q": qs, "value": s.quantiles(qs)})
+
+        fields = [
+            T.StructField("q", T.DoubleType(), False),
+            T.StructField("value", T.DoubleType(), False),
+        ]
+        return self.finalize_rows(self.merged(source, salt=salt, spark=spark), row_fn, fields)

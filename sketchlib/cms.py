@@ -1,0 +1,153 @@
+"""Count-min sketch — token frequency point queries (Cormode–Muthukrishnan 2005).
+
+Mergeable-sketch discipline identical to HLL (SURVEY.md §2C): numpy counter
+matrix in flight, element-wise ``+`` merge (associative/commutative), binary
+blob at rest. Hashing is the same MurmurHash64A family as the reference HLL,
+with the Kirsch–Mitzenmacher double-hashing construction
+(g_j(x) = h1(x) + j*h2(x) mod w, h2 forced odd for power-of-two w) so each
+batch needs two hash passes instead of depth passes.
+
+Published bound: point estimate overcounts by at most eps*N with probability
+>= 1 - delta, where eps = e/w and delta = e^-depth.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .codec import KIND_CMS, pack_header, unpack_header
+from .kernels import (
+    DEFAULT_SEED,
+    murmur64a_int32,
+    murmur64a_int64,
+    murmur64a_str_array,
+)
+
+_H2_SEED_XOR = 0x9E3779B97F4A7C15  # golden-ratio constant, second hash family
+
+
+@dataclass
+class CountMinSketch:
+    width_log2: int = 16
+    depth: int = 5
+    seed: int = DEFAULT_SEED
+    counters: np.ndarray = field(default=None, repr=False)  # type: ignore[assignment]
+
+    def __post_init__(self) -> None:
+        if not (4 <= int(self.width_log2) <= 30):
+            raise ValueError(f"width_log2={self.width_log2} out of range [4, 30]")
+        if not (1 <= int(self.depth) <= 16):
+            raise ValueError(f"depth={self.depth} out of range [1, 16]")
+        self.width_log2 = int(self.width_log2)
+        self.depth = int(self.depth)
+        self.seed = int(self.seed)
+        if self.counters is None:
+            self.counters = np.zeros((self.depth, self.width), dtype=np.uint64)
+        else:
+            self.counters = np.asarray(self.counters, dtype=np.uint64)
+            if self.counters.shape != (self.depth, self.width):
+                raise ValueError("counters shape mismatch")
+
+    @classmethod
+    def empty(cls, width_log2: int = 16, depth: int = 5, seed: int = DEFAULT_SEED) -> "CountMinSketch":
+        return cls(width_log2=width_log2, depth=depth, seed=seed)
+
+    @property
+    def width(self) -> int:
+        return 1 << self.width_log2
+
+    @property
+    def total(self) -> int:
+        """N — total weight added (row sums are all equal)."""
+        return int(self.counters[0].sum())
+
+    # -- hashing ---------------------------------------------------------------
+
+    def _hash_pair(self, values, kind: str) -> tuple[np.ndarray, np.ndarray]:
+        seed2 = (self.seed ^ _H2_SEED_XOR) & ((1 << 64) - 1)
+        if kind in ("tokens", "int32"):
+            h1 = murmur64a_int32(values, self.seed)
+            h2 = murmur64a_int32(values, seed2)
+        elif kind == "int64":
+            h1 = murmur64a_int64(values, self.seed)
+            h2 = murmur64a_int64(values, seed2)
+        elif kind == "string":
+            h1 = murmur64a_str_array(values, self.seed)
+            h2 = murmur64a_str_array(values, seed2)
+        else:
+            raise ValueError(f"unsupported kind {kind!r}")
+        return h1, h2 | np.uint64(1)
+
+    def _positions(self, h1: np.ndarray, h2: np.ndarray, j: int) -> np.ndarray:
+        mask = np.uint64(self.width - 1)
+        return ((h1 + np.uint64(j) * h2) & mask).astype(np.int64)
+
+    # -- update / query ----------------------------------------------------------
+
+    def update_batch(self, values, kind: str = "tokens", weights: np.ndarray | None = None) -> None:
+        if len(values) == 0:
+            return
+        h1, h2 = self._hash_pair(values, kind)
+        for j in range(self.depth):
+            pos = self._positions(h1, h2, j)
+            if weights is None:
+                row = np.bincount(pos, minlength=self.width)
+            else:
+                row = np.bincount(pos, weights=weights, minlength=self.width)
+            self.counters[j] += row.astype(np.uint64)
+
+    def query_batch(self, values, kind: str = "tokens") -> np.ndarray:
+        """Estimated frequency per value: min over depth rows (never undercounts)."""
+        if len(values) == 0:
+            return np.zeros(0, dtype=np.uint64)
+        h1, h2 = self._hash_pair(values, kind)
+        est = self.counters[0][self._positions(h1, h2, 0)]
+        for j in range(1, self.depth):
+            np.minimum(est, self.counters[j][self._positions(h1, h2, j)], out=est)
+        return est
+
+    # -- merge / bounds ------------------------------------------------------------
+
+    def _check(self, other: "CountMinSketch") -> None:
+        if (self.width_log2, self.depth, self.seed) != (other.width_log2, other.depth, other.seed):
+            raise ValueError("cannot merge count-min sketches with different configs")
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        self._check(other)
+        self.counters += other.counters
+        return self
+
+    @property
+    def epsilon(self) -> float:
+        return math.e / self.width
+
+    @property
+    def delta(self) -> float:
+        return math.exp(-self.depth)
+
+    # -- codec ----------------------------------------------------------------------
+
+    def to_bytes(self) -> bytes:
+        head = pack_header(KIND_CMS, self.width_log2, self.seed)
+        return head + struct.pack("<H", self.depth) + self.counters.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "CountMinSketch":
+        width_log2, seed, payload = unpack_header(blob, KIND_CMS)
+        (depth,) = struct.unpack_from("<H", payload, 0)
+        counters = np.frombuffer(
+            payload, dtype=np.uint64, count=depth * (1 << width_log2), offset=2
+        ).reshape(depth, 1 << width_log2).copy()
+        return cls(width_log2=width_log2, depth=depth, seed=seed, counters=counters)
+
+    @staticmethod
+    def merge_blobs(blobs, width_log2: int, depth: int, seed: int = DEFAULT_SEED) -> "CountMinSketch":
+        out = CountMinSketch.empty(width_log2, depth, seed)
+        for b in blobs:
+            if b is not None:
+                out.merge(CountMinSketch.from_bytes(bytes(b)))
+        return out

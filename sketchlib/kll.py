@@ -1,0 +1,181 @@
+"""KLL quantile sketch (Karnin–Lang–Liberty 2016, as deployed in the
+
+DataSketches lineage). Mergeable-sketch discipline (SURVEY.md §2C).
+
+State: a stack of "compactor" levels; items at level i carry weight 2^i.
+Level capacities shrink geometrically (c = 2/3) from k at the top. A level
+over capacity is sorted and every other item (random parity) is promoted up
+— halving count, doubling weight, unbiased rank error.
+
+Published bound: rank error eps with constant ~O(1/k); k=200 gives ~1.65%
+worst-case single-sided at 99% confidence (DataSketches' published figure);
+in practice ~<1% mid-range. Tests assert the empirical bound.
+
+Determinism: compaction parity comes from a counter-seeded RNG, so a sketch
+built from the same value sequence is reproducible; parallel/merged builds
+are *statistically* equivalent but not bit-equal (SURVEY.md §7 hard part 7),
+unlike HLL/CMS/Bloom which are order-exact.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .codec import KIND_KLL, pack_header, unpack_header
+
+_C = 2.0 / 3.0
+
+
+@dataclass
+class KllSketch:
+    k: int = 200
+    seed: int = 0
+    levels: list = field(default_factory=list, repr=False)  # list[np.ndarray float64]
+    n: int = 0
+    min_v: float = np.inf
+    max_v: float = -np.inf
+    _ops: int = 0  # compaction counter -> deterministic parity stream
+
+    def __post_init__(self) -> None:
+        if not (8 <= int(self.k) <= 65535):
+            raise ValueError(f"k={self.k} out of range [8, 65535]")
+        self.k = int(self.k)
+        if not self.levels:
+            self.levels = [np.empty(0, dtype=np.float64)]
+
+    @classmethod
+    def empty(cls, k: int = 200, seed: int = 0) -> "KllSketch":
+        return cls(k=k, seed=seed)
+
+    # -- internals ---------------------------------------------------------------
+
+    def _capacity(self, level: int) -> int:
+        # top level has capacity k; lower levels shrink by factor c
+        depth = len(self.levels)
+        return max(2, int(self.k * (_C ** (depth - 1 - level))))
+
+    def _parity(self) -> int:
+        self._ops += 1
+        rng = np.random.default_rng((self.seed * 0x9E3779B9 + self._ops) & 0xFFFFFFFF)
+        return int(rng.integers(0, 2))
+
+    def _compact(self) -> None:
+        while sum(len(lv) for lv in self.levels) > sum(
+            self._capacity(i) for i in range(len(self.levels))
+        ):
+            for i, lv in enumerate(self.levels):
+                if len(lv) > self._capacity(i):
+                    arr = np.sort(lv)
+                    promoted = arr[self._parity() :: 2]
+                    self.levels[i] = np.empty(0, dtype=np.float64)
+                    if i + 1 == len(self.levels):
+                        self.levels.append(np.empty(0, dtype=np.float64))
+                    self.levels[i + 1] = np.concatenate([self.levels[i + 1], promoted])
+                    break
+            else:
+                break
+
+    # -- updates -------------------------------------------------------------------
+
+    def update_batch(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return
+        self.n += len(v)
+        self.min_v = min(self.min_v, float(v.min()))
+        self.max_v = max(self.max_v, float(v.max()))
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compact()
+
+    def merge(self, other: "KllSketch") -> "KllSketch":
+        if self.k != other.k:
+            raise ValueError("cannot merge KLL sketches with different k")
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, dtype=np.float64))
+        for i, lv in enumerate(other.levels):
+            if len(lv):
+                self.levels[i] = np.concatenate([self.levels[i], lv])
+        self.n += other.n
+        self.min_v = min(self.min_v, other.min_v)
+        self.max_v = max(self.max_v, other.max_v)
+        self._ops = max(self._ops, other._ops) + 1
+        self._compact()
+        return self
+
+    # -- queries --------------------------------------------------------------------
+
+    def _weighted(self) -> tuple[np.ndarray, np.ndarray]:
+        items, weights = [], []
+        for i, lv in enumerate(self.levels):
+            if len(lv):
+                items.append(lv)
+                weights.append(np.full(len(lv), 1 << i, dtype=np.int64))
+        if not items:
+            return np.empty(0), np.empty(0, dtype=np.int64)
+        it = np.concatenate(items)
+        wt = np.concatenate(weights)
+        order = np.argsort(it, kind="stable")
+        return it[order], wt[order]
+
+    def quantile(self, q: float) -> float:
+        """Value whose rank is ~q*n (returns an actual stored item)."""
+        if self.n == 0:
+            return float("nan")
+        if q <= 0.0:
+            return self.min_v
+        if q >= 1.0:
+            return self.max_v
+        items, weights = self._weighted()
+        cum = np.cumsum(weights)
+        target = q * cum[-1]
+        idx = int(np.searchsorted(cum, target, side="left"))
+        return float(items[min(idx, len(items) - 1)])
+
+    def quantiles(self, qs) -> np.ndarray:
+        return np.array([self.quantile(q) for q in qs])
+
+    def rank(self, x: float) -> float:
+        """Estimated fraction of values <= x."""
+        if self.n == 0:
+            return float("nan")
+        items, weights = self._weighted()
+        idx = np.searchsorted(items, x, side="right")
+        return float(weights[:idx].sum() / weights.sum())
+
+    # -- codec -----------------------------------------------------------------------
+
+    def to_bytes(self) -> bytes:
+        head = pack_header(KIND_KLL, 0, self.seed)
+        meta = struct.pack(
+            "<HQddIq", self.k, self.n, self.min_v, self.max_v, len(self.levels), self._ops
+        )
+        lens = struct.pack(f"<{len(self.levels)}I", *(len(lv) for lv in self.levels))
+        body = b"".join(np.ascontiguousarray(lv).tobytes() for lv in self.levels)
+        return head + meta + lens + body
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "KllSketch":
+        _, seed, payload = unpack_header(blob, KIND_KLL)
+        k, n, min_v, max_v, n_levels, ops = struct.unpack_from("<HQddIq", payload, 0)
+        off = struct.calcsize("<HQddIq")
+        lens = struct.unpack_from(f"<{n_levels}I", payload, off)
+        off += 4 * n_levels
+        levels = []
+        for ln in lens:
+            levels.append(np.frombuffer(payload, dtype=np.float64, count=ln, offset=off).copy())
+            off += 8 * ln
+        s = cls(k=k, seed=seed, levels=levels, n=n, min_v=min_v, max_v=max_v)
+        s._ops = ops
+        return s
+
+    @staticmethod
+    def merge_blobs(blobs, k: int, seed: int = 0) -> "KllSketch":
+        out = KllSketch.empty(k, seed)
+        for b in blobs:
+            if b is not None:
+                out.merge(KllSketch.from_bytes(bytes(b)))
+        return out

@@ -142,3 +142,157 @@ def hll_parts_accuracy(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> 
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---- count-min: frequency point queries ---------------------------------------
+
+
+def cms_user_freq_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point estimates for the 5 hottest users vs exact counts.
+
+    Emits the published guarantees as booleans: never undercounts, and
+    overcount <= eps*N (eps = e/width) — both must be TRUE.
+    """
+    from .agg import CmsAggregator
+
+    events_path = f"{sf_dir}/events.parquet"
+    events = load_table(spark, sf_dir, "events")
+    top = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+        .limit(5)
+    )
+    probes = [r["user_id"] for r in top.collect()]
+    agg = CmsAggregator(width_log2=18, depth=5, key_cols=[], value_col="user_id", value_kind="int64")
+    est = agg.point_estimates(events_path, probes, spark=spark)
+    n = events.count()
+    eps = 2.718281828459045 / (1 << 18)
+    return (
+        top.join(est.withColumnRenamed("value", "user_id"), "user_id")
+        .select(
+            "user_id",
+            "exact_cnt",
+            (F.col("est_freq") >= F.col("exact_cnt")).alias("never_undercounts"),
+            (F.col("est_freq") - F.col("exact_cnt") <= F.lit(eps * n)).alias("within_eps"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def cms_token_freq_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Top-k token frequencies on the sequences table, estimated from one
+
+    count-min sketch probed over the whole vocabulary (rows-only check)."""
+    import numpy as np
+
+    from .agg import CmsAggregator
+    from .data import VOCAB
+
+    agg = CmsAggregator(width_log2=18, depth=5, key_cols=[], value_col="tokens", value_kind="tokens")
+    est = agg.point_estimates(
+        sequences_path(spark, sf_dir), np.arange(VOCAB, dtype=np.int32), spark=spark
+    )
+    return (
+        est.withColumnRenamed("value", "token")
+        .orderBy(F.desc("est_freq"), F.asc("token"))
+        .limit(k)
+    )
+
+
+# ---- bloom: membership / semi-join prefilter ------------------------------------
+
+
+def bloom_users_no_false_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership of the 100 lowest user_ids — Bloom law: every present key
+
+    reports present (no false negatives), so `present` is provably TRUE."""
+    from .agg import BloomAggregator
+
+    events_path = f"{sf_dir}/events.parquet"
+    events = load_table(spark, sf_dir, "events")
+    probes = [
+        r["user_id"]
+        for r in events.select("user_id").distinct().orderBy("user_id").limit(100).collect()
+    ]
+    agg = BloomAggregator(m_log2=20, k=7, key_cols=[], value_col="user_id", value_kind="int64")
+    member = agg.membership(events_path, probes, spark=spark)
+    return member.withColumnRenamed("value", "user_id").orderBy("user_id")
+
+
+def bloom_semijoin_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pushdown: build a filter over a small key set
+
+    (parts with p_size < 10), prefilter the big side with a broadcast-blob
+    pandas UDF, and prove the prefilter is a superset of the exact semi-join
+    (no false negatives) while reporting the exact match count."""
+    from .agg import BloomAggregator
+
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") < 10)
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = BloomAggregator(m_log2=18, k=7, key_cols=[], value_col="p_partkey", value_kind="int64")
+    blob = bytes(agg.merged(part).collect()[0]["sketch"])
+    maybe_member = agg.filter_column_udf()(blob)
+    pre_cnt = li.where(maybe_member(F.col("l_partkey"))).count()
+    exact_cnt = li.join(
+        part.select("p_partkey").distinct(),
+        li["l_partkey"] == F.col("p_partkey"),
+        "left_semi",
+    ).count()
+    keys_missed = part.select("p_partkey").where(~maybe_member(F.col("p_partkey"))).count()
+    return spark.createDataFrame(
+        [(exact_cnt, keys_missed == 0 and pre_cnt >= exact_cnt)],
+        "exact_semi_count long, no_false_negatives boolean",
+    )
+
+
+# ---- quantiles: KLL + t-digest ------------------------------------------------------
+
+
+def kll_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deciles of sequence length (n_tok) from one merged KLL sketch."""
+    from .agg import KllAggregator
+
+    agg = KllAggregator(k=200, key_cols=[], value_col="n_tok", value_kind="int32")
+    qs = [i / 10 for i in range(1, 10)]
+    return agg.quantiles(sequences_path(spark, sf_dir), qs, spark=spark).orderBy("q")
+
+
+_KLL_QS = [0.1, 0.25, 0.5, 0.75, 0.9]
+_TD_QS = [0.01, 0.25, 0.5, 0.75, 0.99]
+
+
+def _rank_accuracy(spark, sf_dir, est_df, value_col: str, tol: float) -> DataFrame:
+    """Exact rank of each estimated quantile, asserted within tolerance."""
+    events = load_table(spark, sf_dir, "events")
+    n = events.count()
+    pairs = [(r["q"], r["value"]) for r in est_df.collect()]
+    aggs = [
+        (F.sum((F.col(value_col) <= F.lit(v)).cast("long")) / F.lit(n)).alias(f"r{i}")
+        for i, (_, v) in enumerate(pairs)
+    ]
+    ranks = events.agg(*aggs).collect()[0]
+    rows = [(float(q), bool(abs(ranks[f"r{i}"] - q) <= tol)) for i, (q, _) in enumerate(pairs)]
+    return spark.createDataFrame(rows, "q double, within_bound boolean").orderBy("q")
+
+
+def kll_value_rank_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantiles of events.value: estimated value's exact rank must sit
+
+    within the published rank-error bound (~1.65% at k=200; tol 3%)."""
+    from .agg import KllAggregator
+
+    agg = KllAggregator(k=200, key_cols=[], value_col="value", value_kind="double")
+    est = agg.quantiles(f"{sf_dir}/events.parquet", _KLL_QS, spark=spark)
+    return _rank_accuracy(spark, sf_dir, est, "value", tol=0.03)
+
+
+def tdigest_value_rank_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest quantiles of events.value with tail checks (tol 2%, tails
+
+    are tighter by construction)."""
+    from .agg import TDigestAggregator
+
+    agg = TDigestAggregator(delta=200, key_cols=[], value_col="value", value_kind="double")
+    est = agg.quantiles(f"{sf_dir}/events.parquet", _TD_QS, spark=spark)
+    return _rank_accuracy(spark, sf_dir, est, "value", tol=0.02)

@@ -1,0 +1,70 @@
+"""Count-min: never undercounts; overcount within eps*N w.h.p.; exact merge."""
+
+import numpy as np
+import pytest
+
+from sketchlib.cms import CountMinSketch
+
+
+def test_never_undercounts_and_bound():
+    rng = np.random.default_rng(0)
+    # zipf-ish token stream with known exact counts
+    tokens = rng.zipf(1.3, size=200_000).astype(np.int32)
+    tokens = tokens[tokens < 1_000_000]
+    s = CountMinSketch.empty(width_log2=16, depth=5)
+    s.update_batch(tokens)
+    uniq, exact = np.unique(tokens, return_counts=True)
+    est = s.query_batch(uniq)
+    assert (est >= exact.astype(np.uint64)).all(), "count-min undercounted"
+    n = len(tokens)
+    eps_bound = s.epsilon * n
+    overcount = est.astype(np.int64) - exact
+    # e/w bound holds per-query with prob 1-e^-d; assert 99.9%+ comfortably
+    assert (overcount <= eps_bound).mean() > 0.999
+    assert s.total == n
+
+
+def test_merge_is_elementwise_add_and_order_free():
+    rng = np.random.default_rng(1)
+    a_t = rng.integers(0, 10_000, 50_000).astype(np.int32)
+    b_t = rng.integers(0, 10_000, 50_000).astype(np.int32)
+    whole = CountMinSketch.empty(12, 4)
+    whole.update_batch(np.concatenate([a_t, b_t]))
+    a = CountMinSketch.empty(12, 4)
+    a.update_batch(a_t)
+    b = CountMinSketch.empty(12, 4)
+    b.update_batch(b_t)
+    a.merge(b)
+    assert np.array_equal(a.counters, whole.counters)
+
+
+def test_weighted_updates():
+    s = CountMinSketch.empty(10, 3)
+    s.update_batch(np.array([7, 8], dtype=np.int32), weights=np.array([5.0, 2.0]))
+    est = s.query_batch(np.array([7, 8, 9], dtype=np.int32))
+    assert int(est[0]) >= 5 and int(est[1]) >= 2
+
+
+def test_roundtrip():
+    rng = np.random.default_rng(2)
+    s = CountMinSketch.empty(12, 5, seed=99)
+    s.update_batch(rng.integers(0, 1000, 10_000).astype(np.int32))
+    r = CountMinSketch.from_bytes(s.to_bytes())
+    assert r.width_log2 == 12 and r.depth == 5 and r.seed == 99
+    assert np.array_equal(r.counters, s.counters)
+
+
+def test_config_mismatch_raises():
+    with pytest.raises(ValueError):
+        CountMinSketch.empty(10, 4).merge(CountMinSketch.empty(11, 4))
+    with pytest.raises(ValueError):
+        CountMinSketch.empty(10, 4).merge(CountMinSketch.empty(10, 5))
+
+
+def test_int64_and_string_kinds():
+    s = CountMinSketch.empty(12, 4)
+    s.update_batch(np.array([10**12, 10**12, 5], dtype=np.int64), kind="int64")
+    assert int(s.query_batch(np.array([10**12], dtype=np.int64), kind="int64")[0]) >= 2
+    s2 = CountMinSketch.empty(12, 4)
+    s2.update_batch(["a", "a", "a", "b"], kind="string")
+    assert int(s2.query_batch(["a"], kind="string")[0]) >= 3

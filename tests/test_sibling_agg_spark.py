@@ -1,0 +1,101 @@
+"""Distributed CMS/Bloom/KLL/t-digest pipelines vs single-process oracles."""
+
+import numpy as np
+import pytest
+
+from sketchlib.agg import BloomAggregator, CmsAggregator, KllAggregator, TDigestAggregator
+from sketchlib.bloom import BloomFilter
+from sketchlib.cms import CountMinSketch
+from sketchlib.data import SEQUENCES_SCHEMA, gen_sequences_pandas
+
+
+@pytest.fixture(scope="module")
+def tiny_pdf():
+    return gen_sequences_pandas(2_000)
+
+
+@pytest.fixture(scope="module")
+def tiny_df(spark, tiny_pdf):
+    return spark.createDataFrame(tiny_pdf, schema=SEQUENCES_SCHEMA).repartition(7)
+
+
+def all_tokens(pdf):
+    return np.concatenate(pdf["tokens"].to_list()).astype(np.int32)
+
+
+def test_cms_spark_matches_numpy_oracle(spark, tiny_df, tiny_pdf):
+    """CMS merge is exact addition -> distributed counters == single-pass."""
+    agg = CmsAggregator(width_log2=12, depth=4, key_cols=[], value_col="tokens")
+    row = agg.merged(tiny_df).collect()[0]
+    got = CountMinSketch.from_bytes(bytes(row["sketch"]))
+    oracle = CountMinSketch.empty(12, 4)
+    oracle.update_batch(all_tokens(tiny_pdf))
+    assert np.array_equal(got.counters, oracle.counters)
+
+
+def test_cms_point_estimates_df(spark, tiny_df, tiny_pdf):
+    agg = CmsAggregator(width_log2=14, depth=5, key_cols=[], value_col="tokens")
+    probes = np.array([0, 1, 42, 49999], dtype=np.int32)
+    est = {r["value"]: r["est_freq"] for r in agg.point_estimates(tiny_df, probes).collect()}
+    toks = all_tokens(tiny_pdf)
+    for p in probes.tolist():
+        exact = int((toks == p).sum())
+        assert est[p] >= exact
+        assert est[p] <= exact + 0.001 * len(toks)
+
+
+def test_bloom_spark_matches_numpy_oracle(spark, tiny_df, tiny_pdf):
+    agg = BloomAggregator(m_log2=16, k=5, key_cols=[], value_col="tokens")
+    row = agg.merged(tiny_df).collect()[0]
+    got = BloomFilter.from_bytes(bytes(row["sketch"]))
+    oracle = BloomFilter.empty(16, 5)
+    oracle.update_batch(all_tokens(tiny_pdf))
+    assert np.array_equal(got.bits, oracle.bits)
+
+
+def test_bloom_membership_df(spark, tiny_df, tiny_pdf):
+    agg = BloomAggregator(m_log2=18, k=7, key_cols=[], value_col="tokens")
+    present_tokens = all_tokens(tiny_pdf)[:50]
+    rows = agg.membership(tiny_df, present_tokens).collect()
+    assert all(r["present"] for r in rows)  # no false negatives, ever
+
+
+def test_kll_quantiles_within_bound(spark, tiny_df, tiny_pdf):
+    agg = KllAggregator(k=200, key_cols=[], value_col="n_tok", value_kind="int32")
+    qs = [0.1, 0.5, 0.9]
+    got = {r["q"]: r["value"] for r in agg.quantiles(tiny_df, qs).collect()}
+    n_tok = tiny_pdf["n_tok"].to_numpy()
+    for q in qs:
+        rank = (n_tok <= got[q]).mean()
+        assert abs(rank - q) < 0.04, (q, got[q], rank)
+
+
+def test_kll_per_key_quantiles(spark, tiny_df, tiny_pdf):
+    agg = KllAggregator(k=200, key_cols=["source"], value_col="n_tok", value_kind="int32")
+    rows = agg.quantiles(tiny_df, [0.5]).collect()
+    by_src = {r["source"]: r["value"] for r in rows}
+    grp = tiny_pdf.groupby("source")["n_tok"]
+    for src, med in by_src.items():
+        vals = grp.get_group(src).to_numpy()
+        rank = (vals <= med).mean()
+        assert abs(rank - 0.5) < 0.12, (src, med, rank, len(vals))
+
+
+def test_tdigest_quantiles_within_bound(spark, tiny_df, tiny_pdf):
+    agg = TDigestAggregator(delta=200, key_cols=[], value_col="n_tok", value_kind="int32")
+    qs = [0.05, 0.5, 0.95]
+    got = {r["q"]: r["value"] for r in agg.quantiles(tiny_df, qs).collect()}
+    n_tok = tiny_pdf["n_tok"].to_numpy()
+    for q in qs:
+        rank = (n_tok <= got[q]).mean()
+        assert abs(rank - q) < 0.04, (q, got[q], rank)
+
+
+def test_cms_partitioning_invariance(spark, tiny_pdf):
+    """Exact-merge sketches must be byte-identical at any partitioning."""
+    agg = CmsAggregator(width_log2=10, depth=3, key_cols=[], value_col="tokens")
+    a_df = spark.createDataFrame(tiny_pdf, schema=SEQUENCES_SCHEMA).repartition(2)
+    b_df = spark.createDataFrame(tiny_pdf, schema=SEQUENCES_SCHEMA).repartition(13)
+    a = bytes(agg.merged(a_df).collect()[0]["sketch"])
+    b = bytes(agg.merged(b_df).collect()[0]["sketch"])
+    assert a == b
