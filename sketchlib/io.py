@@ -1,0 +1,180 @@
+"""Checkpointed sketch builds with per-shard lineage — resumable runs.
+
+The distributed analogue of the reference's pickle persistence
+(src/hll.c:847-985) plus its `_get_meta()` debug metadata (src/hll.c:569-591),
+made durable: every parquet row-group shard that has been sketched is recorded
+as a partial-sketch row with lineage (shard id, row/item counts, wall time,
+task partition). Resuming a run:
+
+    pending = all input shards  ANTI-JOIN  checkpointed shard ids
+    build only pending -> append to the checkpoint table
+    final answer = tree-merge of ALL checkpointed partials
+
+Merge associativity means a resumed run produces byte-identical sketches to
+an uninterrupted one (tested). Storage is parquet by default; the layout is
+Iceberg-ready (append-only partials keyed by shard) — swap the writer for
+``df.writeTo(tbl).append()`` when an Iceberg catalog is configured.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as papq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .agg import SketchAggregator
+
+_LINEAGE_FIELDS = [
+    T.StructField("shard_id", T.StringType(), False),
+    T.StructField("wall_secs", T.DoubleType(), False),
+]
+
+
+def enumerate_shards(path: str) -> list[tuple[str, int]]:
+    """(file, row_group) work units for a parquet table — the lineage grain."""
+    dset = pads.dataset(path, format="parquet")
+    shards = []
+    for frag in dset.get_fragments():
+        for rg in range(frag.metadata.num_row_groups):
+            shards.append((frag.path, rg))
+    return shards
+
+
+def shard_id(file: str, rg: int) -> str:
+    return f"{os.path.basename(file)}#rg{rg}"
+
+
+class CheckpointedBuild:
+    """Resumable partial-sketch build over a parquet table.
+
+    Each call to :meth:`run` sketches only shards not yet checkpointed and
+    appends them (one partial row per (shard, key), with lineage). ``merged``
+    then answers from the checkpoint alone. ``max_shards`` bounds one
+    invocation's work — the unit tests use it to simulate interruption.
+    """
+
+    def __init__(self, agg: SketchAggregator, ckpt_root: str, run_id: str | None = None):
+        self.agg = agg
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+        self.ckpt_dir = os.path.join(ckpt_root, self.run_id, "partials")
+
+    # -- state ------------------------------------------------------------------
+
+    def completed_shards(self, spark: SparkSession) -> set[str]:
+        try:
+            rows = spark.read.parquet(self.ckpt_dir).select("shard_id").distinct().collect()
+        except Exception:
+            return set()
+        return {r["shard_id"] for r in rows}
+
+    def pending_shards(self, spark: SparkSession, input_path: str) -> list[tuple[str, int]]:
+        done = self.completed_shards(spark)
+        return [s for s in enumerate_shards(input_path) if shard_id(*s) not in done]
+
+    # -- build ------------------------------------------------------------------
+
+    def _partial_schema(self, spark: SparkSession, input_path: str) -> T.StructType:
+        cols = self.agg.key_cols + [self.agg.value_col]
+        probe = spark.read.parquet(input_path).select(*cols)
+        base = self.agg._partial_schema(probe)
+        return T.StructType(list(base.fields) + _LINEAGE_FIELDS)
+
+    def run(
+        self,
+        spark: SparkSession,
+        input_path: str,
+        max_shards: int | None = None,
+        parallelism: int | None = None,
+        batch_rows: int = 32768,
+    ) -> int:
+        """Sketch pending shards into the checkpoint; returns #shards done now."""
+        pending = self.pending_shards(spark, input_path)
+        if max_shards is not None:
+            pending = pending[:max_shards]
+        if not pending:
+            return 0
+        agg = self.agg
+        cols = agg.key_cols + [agg.value_col]
+        build = agg._make_build_fn()
+        out_schema = self._partial_schema(spark, input_path)
+
+        parallelism = parallelism or spark.sparkContext.defaultParallelism
+        n_tasks = min(parallelism, len(pending))
+        groups: list[list] = [[] for _ in range(n_tasks)]
+        for i, s in enumerate(pending):
+            groups[i % n_tasks].append(s)
+        import pandas as pd
+
+        shard_pdf = pd.DataFrame(
+            {
+                "files": [[s[0] for s in g] for g in groups],
+                "rgs": [[s[1] for s in g] for g in groups],
+            }
+        )
+        sdf = spark.createDataFrame(shard_pdf).repartition(n_tasks)
+
+        def scan_build_tagged(batches):
+            for b in batches:
+                for files, rgs in zip(b.column("files").to_pylist(), b.column("rgs").to_pylist()):
+                    for f, rg in zip(files, rgs):
+                        t0 = time.perf_counter()
+                        pf = papq.ParquetFile(f)
+                        rb_iter = pf.iter_batches(
+                            batch_size=batch_rows, row_groups=[rg], columns=cols
+                        )
+                        for out in build(rb_iter):
+                            wall = time.perf_counter() - t0
+                            n = out.num_rows
+                            sid = pa.array([shard_id(f, rg)] * n, type=pa.string())
+                            ws = pa.array([wall] * n, type=pa.float64())
+                            yield pa.RecordBatch.from_arrays(
+                                list(out.columns) + [sid, ws],
+                                names=out.schema.names + ["shard_id", "wall_secs"],
+                            )
+
+        partials = sdf.mapInArrow(scan_build_tagged, out_schema)
+        partials.write.mode("append").parquet(self.ckpt_dir)
+        return len(pending)
+
+    def run_to_completion(self, spark: SparkSession, input_path: str, **kw) -> int:
+        total = 0
+        while True:
+            done = self.run(spark, input_path, **kw)
+            if done == 0:
+                return total
+            total += done
+
+    # -- answers ------------------------------------------------------------------
+
+    def partials(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.ckpt_dir)
+
+    def merged(self, spark: SparkSession, salt: int | None = None) -> DataFrame:
+        parts = self.partials(spark).drop("shard_id", "wall_secs")
+        return self.agg.merged(parts, salt=salt, is_partials=True)
+
+    def metrics(self, spark: SparkSession) -> DataFrame:
+        """Per-run lineage rollup: shards, rows, items, build seconds.
+
+        wall_secs repeats on every key row of a shard, so roll up to shard
+        grain first (max = the shard's total build time) before summing.
+        """
+        per_shard = self.partials(spark).groupBy("shard_id").agg(
+            F.sum("n_rows").alias("rows"),
+            F.sum("n_items").alias("items"),
+            F.max("wall_secs").alias("wall_secs"),
+        )
+        return per_shard.agg(
+            F.count("*").alias("shards"),
+            F.sum("rows").alias("rows"),
+            F.sum("items").alias("items"),
+            F.sum("wall_secs").alias("sketch_build_secs"),
+            F.max("wall_secs").alias("max_shard_secs"),
+        )

@@ -1,0 +1,63 @@
+"""Checkpoint/resume: interrupted builds resume to byte-identical answers."""
+
+import numpy as np
+import pytest
+
+from sketchlib.agg import HllAggregator
+from sketchlib.data import sequences_parquet
+from sketchlib.hll import HllSketch
+from sketchlib.io import CheckpointedBuild, enumerate_shards
+
+
+@pytest.fixture(scope="module")
+def seq_path(spark, tmp_path_factory):
+    return sequences_parquet(
+        spark, 20_000, cache_root=str(tmp_path_factory.mktemp("seqcache"))
+    )
+
+
+def test_resume_produces_identical_sketches(spark, seq_path, tmp_path):
+    agg = HllAggregator(p=12, key_cols=["source"])
+    direct = {r["source"]: bytes(r["sketch"]) for r in agg.merged(seq_path, spark=spark).collect()}
+
+    ckpt = CheckpointedBuild(agg, str(tmp_path), run_id="t1")
+    n_shards = len(enumerate_shards(seq_path))
+    assert n_shards > 1
+    # simulate interruption: one shard at a time across separate invocations
+    done1 = ckpt.run(spark, seq_path, max_shards=1)
+    assert done1 == 1
+    assert len(ckpt.pending_shards(spark, seq_path)) == n_shards - 1
+    total = ckpt.run_to_completion(spark, seq_path)
+    assert total == n_shards - 1
+    # idempotent: nothing pending on re-run
+    assert ckpt.run(spark, seq_path) == 0
+
+    resumed = {r["source"]: bytes(r["sketch"]) for r in ckpt.merged(spark).collect()}
+    assert resumed == direct
+
+
+def test_lineage_metrics(spark, seq_path, tmp_path):
+    agg = HllAggregator(p=10, key_cols=["source"])
+    ckpt = CheckpointedBuild(agg, str(tmp_path), run_id="t2")
+    ckpt.run_to_completion(spark, seq_path)
+    m = ckpt.metrics(spark).collect()[0]
+    assert m["shards"] == len(enumerate_shards(seq_path))
+    assert m["rows"] == 20_000
+    assert m["items"] > 0 and m["sketch_build_secs"] > 0
+    # lineage present per partial row
+    cols = set(ckpt.partials(spark).columns)
+    assert {"shard_id", "wall_secs", "sketch", "n_rows", "n_items", "source"} <= cols
+
+
+def test_checkpointed_estimates_match_oracle(spark, seq_path, tmp_path):
+    import pandas as pd
+
+    agg = HllAggregator(p=12, key_cols=[])
+    ckpt = CheckpointedBuild(agg, str(tmp_path), run_id="t3")
+    ckpt.run_to_completion(spark, seq_path)
+    est = ckpt.merged(spark, salt=4).collect()[0]
+    pdf = pd.read_parquet(seq_path)
+    oracle = HllSketch.empty(12)
+    oracle.update_batch(np.concatenate(pdf["tokens"].to_list()).astype(np.int32))
+    got = HllSketch.from_bytes(bytes(est["sketch"]))
+    assert np.array_equal(got.registers, oracle.registers)
