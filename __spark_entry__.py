@@ -40,6 +40,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semijoin_prefilter": Q.bloom_semijoin_prefilter,
         "kll_value_rank_accuracy": Q.kll_value_rank_accuracy,
         "tdigest_value_rank_accuracy": Q.tdigest_value_rank_accuracy,
+        "exact_distinct_words_per_lang": Q.exact_distinct_words_per_lang,
+        "hll_words_accuracy_per_lang": Q.hll_words_accuracy_per_lang,
+        "tokenized_documents_roundtrip": Q.tokenized_documents_roundtrip,
     }
 
 
@@ -89,5 +92,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT q, TRUE AS within_bound
             FROM (SELECT UNNEST([0.01, 0.25, 0.5, 0.75, 0.99]::DOUBLE[]) AS q)
             ORDER BY q
+        """,
+        "exact_distinct_words_per_lang": """
+            SELECT lang, COUNT(DISTINCT tok) AS distinct_words
+            FROM (SELECT lang, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                  FROM documents)
+            WHERE tok != ''
+            GROUP BY lang ORDER BY lang
+        """,
+        "hll_words_accuracy_per_lang": """
+            SELECT lang, COUNT(DISTINCT tok) AS distinct_words, TRUE AS within_3sigma
+            FROM (SELECT lang, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                  FROM documents)
+            WHERE tok != ''
+            GROUP BY lang ORDER BY lang
+        """,
+        "tokenized_documents_roundtrip": """
+            SELECT source, COUNT(*) AS docs,
+                   SUM(n_tok) AS total_tokens,
+                   COUNT(*) AS invariant_ok
+            FROM (SELECT source,
+                         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                         t -> t != '')) AS n_tok
+                  FROM documents)
+            GROUP BY source ORDER BY source
         """,
     }

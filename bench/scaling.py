@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Orchestrate the two-parallelism scaling evidence (BASELINE.md protocol).
+
+Runs bench/scaling_job.py via spark-submit at local[N] and local[4N] on the
+SAME deterministic dataset, then reports throughput at both, scaling
+efficiency T_4N/(4*T_N), and asserts the final sketches are byte-identical
+across parallelism levels. Writes BENCH_SCALING.md at the repo root.
+
+Usage: python bench/scaling.py [--n 8] [--rows 4000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_zip() -> str:
+    zpath = os.path.join(tempfile.mkdtemp(), "sketchlib.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(REPO, "sketchlib")
+        for root, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def run_leg(cores: int, rows: int, zpath: str) -> dict:
+    cmd = [
+        "spark-submit",
+        "--master",
+        f"local[{cores}]",
+        # spark.driver.memory set via SparkSession.builder is ignored under
+        # spark-submit (the JVM is already up) — must be a launch flag
+        "--driver-memory",
+        os.environ.get("SKETCHLIB_DRIVER_MEM", "24g"),
+        "--py-files",
+        zpath,
+        os.path.join(REPO, "bench", "scaling_job.py"),
+        "--cores",
+        str(cores),
+        "--rows",
+        str(rows),
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    for line in proc.stdout.splitlines():
+        if line.startswith("SCALING_RESULT "):
+            return json.loads(line[len("SCALING_RESULT ") :])
+    sys.stderr.write(proc.stdout[-2000:] + "\n" + proc.stderr[-4000:] + "\n")
+    raise RuntimeError(f"no SCALING_RESULT from local[{cores}] leg")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8, help="small parallelism; big = 4n")
+    ap.add_argument("--rows", type=int, default=4_000_000)
+    args = ap.parse_args()
+
+    zpath = make_zip()
+    small = run_leg(args.n, args.rows, zpath)
+    big = run_leg(args.n * 4, args.rows, zpath)
+
+    eff = big["tokens_per_sec"] / (4.0 * small["tokens_per_sec"])
+    identical = small["sketch_sha256"] == big["sketch_sha256"]
+    result = {
+        "metric": "scaling_efficiency_Nx4",
+        "value": round(eff, 3),
+        "pass": eff >= 0.8 and identical,
+        "sketches_identical": identical,
+        "small": small,
+        "big": big,
+    }
+    print(json.dumps(result))
+
+    md = f"""# BENCH_SCALING — N vs 4N parallelism evidence
+
+Protocol (BASELINE.md): same spark-submit job, same deterministic input
+({args.rows:,} rows, {small['tokens']:,} tokens), identical configs except
+`--master`. Sandbox proxy for N vs 4N executors per the task directive.
+
+| leg | master | wall (s) | tokens/s |
+|---|---|---|---|
+| N | local[{args.n}] | {small['wall_sec']} | {small['tokens_per_sec']:,} |
+| 4N | local[{args.n * 4}] | {big['wall_sec']} | {big['tokens_per_sec']:,} |
+
+- **Scaling efficiency** T_4N / (4 x T_N) = **{eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+- **Parallelism invariance**: per-source + global sketch bytes sha256
+  {"IDENTICAL" if identical else "MISMATCH"} across both legs
+  (`{small['sketch_sha256'][:16]}...`)
+- Global distinct-token estimate: {small['global_estimate']:,}
+
+Job: parquet scan -> HLL partial build (p=14, seed=314) -> per-source tree
+merge -> global rollup. Reproduce: `python bench/scaling.py --n {args.n} --rows {args.rows}`.
+"""
+    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

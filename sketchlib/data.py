@@ -112,7 +112,12 @@ def sequences_parquet(
         return path
     os.makedirs(root, exist_ok=True)
     tmp = f"{path}.tmp{os.getpid()}"
-    sequences_df(spark, n_rows).write.mode("overwrite").parquet(tmp)
+    # fix the file count independent of the generating session's cores so the
+    # shard layout (scan parallelism grain) is deterministic and fine enough
+    # for any local[N]: ~1 block (10k rows, ~5 MB) per file up to 128 files
+    n_blocks = (n_rows + BLOCK_ROWS - 1) // BLOCK_ROWS
+    parts = min(n_blocks, 128)
+    sequences_df(spark, n_rows, partitions=parts).write.mode("overwrite").parquet(tmp)
     shutil.rmtree(path, ignore_errors=True)
     try:
         os.rename(tmp, path)

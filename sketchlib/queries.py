@@ -296,3 +296,64 @@ def tdigest_value_rank_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = TDigestAggregator(delta=200, key_cols=[], value_col="value", value_kind="double")
     est = agg.quantiles(f"{sf_dir}/events.parquet", _TD_QS, spark=spark)
     return _rank_accuracy(spark, sf_dir, est, "value", tol=0.02)
+
+
+# ---- documents table: tokenizer + sketches over real text ------------------------
+
+
+def exact_distinct_words_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct whitespace-token count per language on `documents` —
+
+    the tokenizer-parity anchor (same split semantics as the DuckDB oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("lang")
+        .agg(F.countDistinct("word").alias("distinct_words"))
+        .orderBy("lang")
+    )
+
+
+def hll_words_accuracy_per_lang(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> DataFrame:
+    """HLL over tokenized documents (string keys) vs exact, bound-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select("lang", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    agg = HllAggregator(p=p, key_cols=["lang"], value_col="word", value_kind="string")
+    est = agg.estimates(words).select("lang", "est_distinct")
+    exact = exact_distinct_words_per_lang(spark, sf_dir)
+    bound = 3.0 * HllSketch.std_error(p)
+    return (
+        exact.join(est, "lang")
+        .select(
+            "lang",
+            "distinct_words",
+            (F.abs(F.col("est_distinct") / F.col("distinct_words") - 1.0) <= F.lit(bound)).alias(
+                "within_3sigma"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def tokenized_documents_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tokenize_documents() into the canonical sequences shape; verify the
+
+    per-row invariant n_tok == size(tokens) and token-count conservation.
+    Returns per-source totals, exactly reproducible in SQL."""
+    from .data import tokenize_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    seqs = tokenize_documents(docs)
+    return (
+        seqs.groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum((F.size("tokens") == F.col("n_tok")).cast("long")).alias("invariant_ok"),
+        )
+        .orderBy("source")
+    )
