@@ -36,7 +36,7 @@ from pyspark.sql import types as T
 from .bloom import BloomFilter
 from .cms import CountMinSketch
 from .hll import HllSketch
-from .kernels import DEFAULT_SEED, murmur64a_str_array
+from .kernels import DEFAULT_SEED, murmur64a_int32, murmur64a_str_array
 from .kll import KllSketch
 from .tdigest import TDigest
 
@@ -108,6 +108,24 @@ class SketchAggregator:
     def _merge_blobs(self, blobs):
         raise NotImplementedError
 
+    def _update_grouped(self, sketches, values, value_codes, n_groups: int) -> None:
+        """Update one sketch per group from a flattened value batch.
+
+        Generic fallback: boolean-mask per group (O(groups x values) passes).
+        Subclasses with composite-address scatter kernels override this with
+        a single-pass version (see HllAggregator).
+        """
+        if n_groups == 1:
+            self._update(sketches[0], values)
+            return
+        for gi, s in enumerate(sketches):
+            mask = value_codes == gi
+            if isinstance(values, list):
+                gvals = [v for v, mk in zip(values, mask) if mk]
+            else:
+                gvals = values[mask]
+            self._update(s, gvals)
+
     # -- schemas --------------------------------------------------------------
 
     def _partial_schema(self, df: DataFrame, extra: Sequence[T.StructField] = ()) -> T.StructType:
@@ -125,7 +143,7 @@ class SketchAggregator:
         """
         key_cols, value_col, kind = self.key_cols, self.value_col, self.value_kind
         empty = self._empty
-        update = self._update
+        update_grouped = self._update_grouped
         to_blob = lambda s: s.to_bytes()  # noqa: E731
 
         def build(batches):
@@ -158,16 +176,16 @@ class SketchAggregator:
                     value_codes = codes[counts.astype(bool)]
                 row_counts = np.bincount(codes, minlength=len(uniq_tuples))
                 item_counts = np.bincount(codes, weights=counts, minlength=len(uniq_tuples))
-                for gi, keyt in enumerate(uniq_tuples):
+                slots = []
+                for keyt in uniq_tuples:
                     slot = acc.get(keyt)
                     if slot is None:
                         slot = acc[keyt] = [empty(), 0, 0]
-                    mask = value_codes == gi
-                    if kind == "string":
-                        gvals = [v for v, m in zip(values, mask) if m]
-                    else:
-                        gvals = values[mask]
-                    update(slot[0], gvals)
+                    slots.append(slot)
+                update_grouped(
+                    [s[0] for s in slots], values, value_codes, len(uniq_tuples)
+                )
+                for gi, slot in enumerate(slots):
                     slot[1] += int(row_counts[gi])
                     slot[2] += int(item_counts[gi])
             if not acc:
@@ -382,6 +400,37 @@ class HllAggregator(SketchAggregator):
 
     def _merge_blobs(self, blobs) -> HllSketch:
         return HllSketch.merge_blobs(blobs, self.p, self.seed)
+
+    def _update_grouped(self, sketches, values, value_codes, n_groups: int) -> None:
+        """Single-pass grouped build: hash the whole batch once, then one
+
+        composite-address scatter-max into a flat (groups x 2^p) matrix —
+        measured ~5x over the per-group mask loop at 12 groups."""
+        from .kernels import hll_index_rank, hll_update_grouped, update_registers
+
+        kind = self.value_kind
+        if len(values) == 0:
+            return
+        if kind in ("tokens", "int32"):
+            hashes = murmur64a_int32(values, self.seed)
+        elif kind == "int64":
+            from .kernels import murmur64a_int64
+
+            hashes = murmur64a_int64(values, self.seed)
+        elif kind == "string":
+            hashes = murmur64a_str_array(values, self.seed)
+        else:
+            raise ValueError(f"HLL does not support value_kind={kind!r}")
+        idx, rank = hll_index_rank(hashes, self.p)
+        if n_groups == 1:
+            update_registers(sketches[0].registers, idx, rank)
+            return
+        m = 1 << self.p
+        flat = np.zeros(n_groups * m, dtype=np.uint8)
+        hll_update_grouped(flat, value_codes, idx, rank, m)
+        mat = flat.reshape(n_groups, m)
+        for g, s in enumerate(sketches):
+            np.maximum(s.registers, mat[g], out=s.registers)
 
     # -- finalize ---------------------------------------------------------------
 
