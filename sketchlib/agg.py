@@ -240,11 +240,11 @@ class SketchAggregator:
         if not shards:
             raise ValueError(f"no parquet row groups under {path}")
         parallelism = parallelism or spark.sparkContext.defaultParallelism
-        # group shards round-robin into exactly n_tasks rows, one task each;
-        # plain repartition(n) round-robins n rows -> 1 per partition. The
-        # shard list rides as a pandas/Arrow DataFrame: no Python-RDD pickle
-        # stage, nothing sizable shuffled.
-        n_tasks = min(parallelism, len(shards))
+        # group shards round-robin into n_tasks rows; 4x the core count so the
+        # scheduler load-balances dynamically (a straggler task costs 1/4 of a
+        # wave, not a whole wave). The shard list rides as a pandas/Arrow
+        # DataFrame: no Python-RDD pickle stage, nothing sizable shuffled.
+        n_tasks = min(len(shards), parallelism * 4)
         groups: list[list] = [[] for _ in range(n_tasks)]
         for i, s in enumerate(shards):
             groups[i % n_tasks].append(s)
@@ -406,31 +406,69 @@ class HllAggregator(SketchAggregator):
 
         composite-address scatter-max into a flat (groups x 2^p) matrix —
         measured ~5x over the per-group mask loop at 12 groups."""
-        from .kernels import hll_index_rank, hll_update_grouped, update_registers
+        from .kernels import (
+            grouped_addresses,
+            hll_hash_index_rank_fast,
+            hll_index_rank,
+            update_registers,
+        )
 
         kind = self.value_kind
         if len(values) == 0:
             return
-        if kind in ("tokens", "int32"):
-            hashes = murmur64a_int32(values, self.seed)
-        elif kind == "int64":
-            from .kernels import murmur64a_int64
-
-            hashes = murmur64a_int64(values, self.seed)
-        elif kind == "string":
-            hashes = murmur64a_str_array(values, self.seed)
+        if kind in ("tokens", "int32", "int64") and self.p >= 12:
+            # scratch-buffer hot path: no fresh allocations per batch
+            idx, rank = hll_hash_index_rank_fast(values, self.seed, self.p, kind)
         else:
-            raise ValueError(f"HLL does not support value_kind={kind!r}")
-        idx, rank = hll_index_rank(hashes, self.p)
+            if kind in ("tokens", "int32"):
+                hashes = murmur64a_int32(values, self.seed)
+            elif kind == "int64":
+                from .kernels import murmur64a_int64
+
+                hashes = murmur64a_int64(values, self.seed)
+            elif kind == "string":
+                hashes = murmur64a_str_array(values, self.seed)
+            else:
+                raise ValueError(f"HLL does not support value_kind={kind!r}")
+            idx, rank = hll_index_rank(hashes, self.p)
         if n_groups == 1:
             update_registers(sketches[0].registers, idx, rank)
             return
         m = 1 << self.p
-        flat = np.zeros(n_groups * m, dtype=np.uint8)
-        hll_update_grouped(flat, value_codes, idx, rank, m)
-        mat = flat.reshape(n_groups, m)
+        if n_groups * m <= (64 << 20):
+            # dense path: one scatter-max into a flat (groups x m) matrix
+            flat = np.zeros(n_groups * m, dtype=np.uint8)
+            np.maximum.at(flat, grouped_addresses(value_codes, idx, m), rank)
+            mat = flat.reshape(n_groups, m)
+            for g, s in enumerate(sketches):
+                np.maximum(s.registers, mat[g], out=s.registers)
+            return
+        # high-cardinality path (e.g. per-doc grouping): O(n) memory —
+        # pack (code, idx, rank) into uint64, sort, keep each (code, idx)
+        # run's max, then write per-group slices. code must fit 64-6-p bits.
+        if n_groups >= (1 << (58 - self.p)):
+            raise ValueError(f"too many groups ({n_groups}) for p={self.p} packed update")
+        shift_code, shift_idx = np.uint64(self.p + 6), np.uint64(6)
+        packed = (
+            (value_codes.astype(np.uint64) << shift_code)
+            | (idx.astype(np.uint64) << shift_idx)
+            | rank.astype(np.uint64)
+        )
+        packed.sort()
+        key = packed >> np.uint64(6)
+        last = np.empty(len(packed), dtype=bool)
+        last[-1] = True
+        np.not_equal(key[1:], key[:-1], out=last[:-1])
+        tops = packed[last]
+        tcode = (tops >> shift_code).astype(np.int64)
+        tidx = ((tops >> shift_idx) & np.uint64(m - 1)).astype(np.int64)
+        trank = (tops & np.uint64(63)).astype(np.uint8)
+        starts = np.searchsorted(tcode, np.arange(n_groups + 1))
         for g, s in enumerate(sketches):
-            np.maximum(s.registers, mat[g], out=s.registers)
+            lo, hi = starts[g], starts[g + 1]
+            if lo < hi:
+                regs = s.registers
+                regs[tidx[lo:hi]] = np.maximum(regs[tidx[lo:hi]], trank[lo:hi])
 
     # -- finalize ---------------------------------------------------------------
 

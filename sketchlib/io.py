@@ -106,7 +106,7 @@ class CheckpointedBuild:
         out_schema = self._partial_schema(spark, input_path)
 
         parallelism = parallelism or spark.sparkContext.defaultParallelism
-        n_tasks = min(parallelism, len(pending))
+        n_tasks = min(len(pending), parallelism * 4)
         groups: list[list] = [[] for _ in range(n_tasks)]
         for i, s in enumerate(pending):
             groups[i % n_tasks].append(s)

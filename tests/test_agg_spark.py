@@ -139,3 +139,25 @@ def test_distributed_generator_matches_pandas(spark, tiny_pdf):
     a = np.concatenate([np.asarray(t) for t in got["tokens"]])
     b = np.concatenate([np.asarray(t) for t in exp["tokens"]])
     assert np.array_equal(a, b)
+
+
+def test_high_cardinality_grouping(spark, tiny_pdf):
+    """Per-doc grouping (2000 keys) exercises the O(n)-memory packed path
+
+    and must agree with the numpy oracle per key."""
+    from sketchlib.agg import HllAggregator
+    from sketchlib.data import SEQUENCES_SCHEMA
+    from sketchlib.hll import HllSketch
+
+    df = spark.createDataFrame(tiny_pdf, schema=SEQUENCES_SCHEMA).repartition(3)
+    # p=16: 2000 groups x 64KB registers = 131MB > the 64MB dense-matrix
+    # budget, forcing the packed high-cardinality path
+    agg = HllAggregator(p=16, key_cols=["doc_id"])
+    rows = agg.merged(df).collect()
+    assert len(rows) == len(tiny_pdf)
+    got = {r["doc_id"]: bytes(r["sketch"]) for r in rows}
+    rng_rows = tiny_pdf.sample(n=25, random_state=7)
+    for _, row in rng_rows.iterrows():
+        oracle = HllSketch.empty(16)
+        oracle.update_batch(np.asarray(row["tokens"], dtype=np.int32))
+        assert got[row["doc_id"]] == oracle.to_bytes(), row["doc_id"]

@@ -106,3 +106,22 @@ def test_update_registers_equals_naive(n):
     naive = np.zeros(1 << p, dtype=np.uint8)
     np.maximum.at(naive, idx, rank)
     assert np.array_equal(fast, naive)
+
+
+def test_fast_hash_index_rank_parity():
+    """Scratch-buffer hot path must be bit-identical to the plain kernels."""
+    from sketchlib.kernels import hll_hash_index_rank_fast
+
+    rng = np.random.default_rng(11)
+    toks = rng.integers(-(2**31), 2**31, 100_000).astype(np.int32)
+    for p in (12, 14, 18):
+        i1, r1 = hll_index_rank(murmur64a_int32(toks, 314), p)
+        i2, r2 = hll_hash_index_rank_fast(toks, 314, p, "int32")
+        assert np.array_equal(i1.astype(np.uint64), i2) and np.array_equal(r1, r2), p
+    vals = rng.integers(-(2**62), 2**62, 50_000).astype(np.int64)
+    i1, r1 = hll_index_rank(murmur64a_int64(vals, 314), 14)
+    i2, r2 = hll_hash_index_rank_fast(vals, 314, 14, "int64")
+    assert np.array_equal(i1.astype(np.uint64), i2) and np.array_equal(r1, r2)
+    # second call reuses scratch; results must still be right
+    i3, r3 = hll_hash_index_rank_fast(vals[:10], 314, 14, "int64")
+    assert np.array_equal(i1[:10].astype(np.uint64), i3) and np.array_equal(r1[:10], r3)
