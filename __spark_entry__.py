@@ -13,13 +13,29 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import os
+
 from sketchlib import queries as Q
+
+# where the deterministic sequences table materializes for the driver's
+# sf=0.01 correctness run (20k rows; see sketchlib.data.ROWS_BY_SF)
+_SEQ_PARQUET_SF001 = os.path.join(
+    os.environ.get("SKETCHLIB_CACHE", "/tmp/sketchlib_cache"),
+    "sequences_20000",
+    "*.parquet",
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: HLL distinct tokens per source on the canonical sequences
 
-    table at tiny scale (deterministic synth per FIXTURES.md §1)."""
+    table at tiny scale (deterministic synth per FIXTURES.md §1). Also
+    pre-materializes the sf0.01-scale sequences parquet so the DuckDB oracles
+    that read it by path (see oracle_sql) find it during the correctness run.
+    """
+    from sketchlib.data import sequences_parquet
+
+    sequences_parquet(spark, 20_000)
     return Q.hll_tokens_per_source(spark, "/root/testdata/sf0.001")
 
 
@@ -43,6 +59,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_distinct_words_per_lang": Q.exact_distinct_words_per_lang,
         "hll_words_accuracy_per_lang": Q.hll_words_accuracy_per_lang,
         "tokenized_documents_roundtrip": Q.tokenized_documents_roundtrip,
+        "exact_distinct_tokens_per_source": Q.exact_distinct_tokens_per_source,
+        "hll_tokens_accuracy": Q.hll_tokens_accuracy,
+        "hll_source_overlap": Q.hll_source_overlap,
     }
 
 
@@ -116,5 +135,30 @@ def oracle_sql() -> dict[str, str]:
                                          t -> t != '')) AS n_tok
                   FROM documents)
             GROUP BY source ORDER BY source
+        """,
+        # The canonical sequences table is deterministic and materialized to
+        # parquet by entry() before the correctness run; DuckDB reads it by
+        # path (the driver's sf0.01 run maps to the 20k-row materialization).
+        "exact_distinct_tokens_per_source": f"""
+            SELECT source, COUNT(DISTINCT t.tok) AS distinct_tokens
+            FROM read_parquet('{_SEQ_PARQUET_SF001}'), UNNEST(tokens) AS t(tok)
+            GROUP BY source ORDER BY source
+        """,
+        "hll_tokens_accuracy": f"""
+            SELECT source, COUNT(DISTINCT t.tok) AS distinct_tokens,
+                   TRUE AS within_3sigma
+            FROM read_parquet('{_SEQ_PARQUET_SF001}'), UNNEST(tokens) AS t(tok)
+            GROUP BY source ORDER BY source
+        """,
+        "hll_source_overlap": f"""
+            SELECT 's00' AS source_a, 's01' AS source_b,
+                   COUNT(*) AS exact_union,
+                   SUM(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END) AS exact_intersection,
+                   TRUE AS union_within_3sigma,
+                   TRUE AS intersection_within_bound
+            FROM (SELECT t.tok, COUNT(DISTINCT source) AS nsrc
+                  FROM read_parquet('{_SEQ_PARQUET_SF001}'), UNNEST(tokens) AS t(tok)
+                  WHERE source IN ('s00', 's01')
+                  GROUP BY t.tok)
         """,
     }

@@ -237,6 +237,31 @@ class HllSketch:
         return out
 
     @staticmethod
+    def union_estimate(a: "HllSketch", b: "HllSketch") -> int:
+        """|A ∪ B| — exact register-max union (reference merge semantics,
+
+        README.md:138-148): lossless, same error bound as a single sketch."""
+        return (a | b).cardinality()
+
+    @staticmethod
+    def intersection_estimate(a: "HllSketch", b: "HllSketch") -> int:
+        """|A ∩ B| by inclusion–exclusion: |A|+|B|-|A∪B|.
+
+        Documented caveat (SURVEY.md §2B set ops): the absolute error scales
+        with |A ∪ B| (three ±1.04/√m estimates combine), so relative error
+        blows up for small intersections. Clamped at 0.
+        """
+        return max(0, a.cardinality() + b.cardinality() - HllSketch.union_estimate(a, b))
+
+    @staticmethod
+    def jaccard_estimate(a: "HllSketch", b: "HllSketch") -> float:
+        """|A ∩ B| / |A ∪ B| with the same inclusion–exclusion caveat."""
+        union = HllSketch.union_estimate(a, b)
+        if union == 0:
+            return 0.0
+        return HllSketch.intersection_estimate(a, b) / union
+
+    @staticmethod
     def std_error(p: int) -> float:
         """Published 1-sigma relative error bound 1.04/sqrt(2^p)
 

@@ -357,3 +357,48 @@ def tokenized_documents_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+# ---- set operations between sources (union / intersection / jaccard) -------------
+
+
+def hll_source_overlap(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> DataFrame:
+    """Token-set overlap between the two hottest sources via sketch algebra.
+
+    Union is lossless register-max (reference merge semantics); intersection
+    is inclusion-exclusion with its documented error caveat — asserted within
+    3-sigma of the combined estimates against exact SQL counts.
+    """
+    a_src, b_src = "s00", "s01"
+    agg = HllAggregator(p=p, key_cols=["source"], value_col="tokens", value_kind="tokens")
+    sketches = {
+        r["source"]: HllSketch.from_bytes(bytes(r["sketch"]))
+        for r in agg.merged(sequences_path(spark, sf_dir), spark=spark)
+        .where(F.col("source").isin(a_src, b_src))
+        .collect()
+    }
+    a, b = sketches[a_src], sketches[b_src]
+    est_union = HllSketch.union_estimate(a, b)
+    est_inter = HllSketch.intersection_estimate(a, b)
+
+    seqs = sequences_for(spark, sf_dir)
+    per_tok = (
+        seqs.where(F.col("source").isin(a_src, b_src))
+        .select("source", F.explode("tokens").alias("tok"))
+        .groupBy("tok")
+        .agg(F.countDistinct("source").alias("nsrc"))
+    )
+    row = per_tok.agg(
+        F.count("*").alias("exact_union"),
+        F.sum((F.col("nsrc") == 2).cast("long")).alias("exact_intersection"),
+    ).collect()[0]
+    exact_union, exact_inter = row["exact_union"], row["exact_intersection"]
+    sigma = HllSketch.std_error(p)
+    union_ok = abs(est_union / exact_union - 1.0) <= 3 * sigma
+    # inclusion-exclusion: absolute error ~ 3 estimates' errors, each O(sigma * union)
+    inter_ok = abs(est_inter - exact_inter) <= 3 * sigma * 3 * exact_union
+    return spark.createDataFrame(
+        [(a_src, b_src, int(exact_union), int(exact_inter), bool(union_ok), bool(inter_ok))],
+        "source_a string, source_b string, exact_union long, exact_intersection long, "
+        "union_within_3sigma boolean, intersection_within_bound boolean",
+    )
