@@ -101,7 +101,9 @@ Protocol (BASELINE.md): same spark-submit job, same deterministic input
 Job: parquet scan -> HLL partial build (p=14, seed=314) -> per-source tree
 merge -> global rollup. Reproduce: `python bench/scaling.py --n {args.n} --rows {args.rows}`.
 """
-    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
+    # single-run snapshot; the curated multi-level analysis lives in
+    # BENCH_SCALING.md at the repo root
+    with open(os.path.join(REPO, "bench", "scaling_last_run.md"), "w") as f:
         f.write(md)
 
 

@@ -1,0 +1,190 @@
+"""Deduplication operators for training-data pipelines.
+
+Spark-first shapes:
+- exact dedup: hash-groupBy on content (built-in, shuffle on a 64-bit
+  fingerprint, never the full text);
+- MinHash + LSH near-dup: per-doc signatures built in mapInArrow (batched
+  numpy, no per-row Python), banded into (band_key, doc) rows, bucket
+  self-join for candidates, signature-verify, threshold;
+- SimHash: one 64-bit locality-sensitive fingerprint per doc.
+
+At 10^12 docs the LSH shuffle moves only (band_key, doc_id) pairs —
+bands x docs rows of ~24 bytes — and candidate verification joins signatures
+(k x 8 bytes) for bucket-colliding docs only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .kernels import DEFAULT_SEED
+from .minhash import (
+    MinHashSketch,
+    band_keys,
+    minhash_signatures_batch,
+    simhash64,
+    token_shingles,
+)
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], keep_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min keep_col) per distinct content — shuffle on a
+
+    64-bit xxhash of the content, not the content itself."""
+    fp = F.xxhash64(*content_cols)
+    w = df.withColumn("__fp", fp)
+    keep = w.groupBy("__fp").agg(F.min(keep_col).alias(keep_col))
+    return w.join(keep, ["__fp", keep_col], "left_semi").drop("__fp")
+
+
+def _shingle_batch(batch: pa.RecordBatch, tokens_col: str, shingle_n: int):
+    """Flattened shingle fingerprints + doc codes for one Arrow batch."""
+    col = batch.column(tokens_col)
+    elems, codes = [], []
+    toks = col.to_pylist()
+    for i, t in enumerate(toks):
+        sh = token_shingles(np.asarray(t if t is not None else [], dtype=np.int64), shingle_n)
+        elems.append(sh)
+        codes.append(np.full(len(sh), i, dtype=np.int64))
+    if elems:
+        return np.concatenate(elems), np.concatenate(codes), len(toks)
+    return np.empty(0, np.uint64), np.empty(0, np.int64), 0
+
+
+def minhash_signatures(
+    df: DataFrame,
+    doc_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    k: int = 128,
+    shingle_n: int = 3,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """(doc_col, sig binary) — one MinHash signature per document."""
+    doc_field = df.schema[doc_col]
+    out_schema = T.StructType([doc_field, T.StructField("sig", T.BinaryType(), False)])
+
+    def build(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            elems, codes, n_docs = _shingle_batch(batch, tokens_col, shingle_n)
+            sigs = minhash_signatures_batch(elems, codes, n_docs, k, seed)
+            blobs = [
+                MinHashSketch(k=k, seed=seed, sig=sigs[i]).to_bytes() for i in range(n_docs)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(doc_col), pa.array(blobs, type=pa.binary())],
+                names=[doc_col, "sig"],
+            )
+
+    return df.select(doc_col, tokens_col).mapInArrow(build, out_schema)
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, doc_col: str = "doc_id", bands: int = 16, seed: int = DEFAULT_SEED
+) -> DataFrame:
+    """(a, b) candidate pairs from banded LSH buckets (a < b)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def bands_udf(blobs: pd.Series) -> pd.Series:
+        out = []
+        for b in blobs:
+            s = MinHashSketch.from_bytes(bytes(b))
+            out.append(band_keys(s.sig, bands).view(np.int64).tolist())
+        return pd.Series(out)
+
+    banded = sig_df.select(
+        F.col(doc_col), F.explode(bands_udf(F.col("sig"))).alias("band_key")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, "band_key")
+        .where(F.col(f"l.{doc_col}") < F.col(f"r.{doc_col}"))
+        .select(F.col(f"l.{doc_col}").alias("a"), F.col(f"r.{doc_col}").alias("b"))
+        .distinct()
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    doc_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    threshold: float = 0.7,
+    k: int = 128,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """(a, b, est_jaccard >= threshold) via MinHash + LSH + signature verify."""
+    sigs = minhash_signatures(df, doc_col, tokens_col, k, shingle_n, seed).cache()
+    cands = lsh_candidate_pairs(sigs, doc_col, bands, seed)
+
+    @F.pandas_udf(T.DoubleType())
+    def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.empty(len(a))
+        for i in range(len(a)):
+            sa = MinHashSketch.from_bytes(bytes(a.iloc[i]))
+            sb = MinHashSketch.from_bytes(bytes(b.iloc[i]))
+            out[i] = MinHashSketch.jaccard(sa, sb)
+        return pd.Series(out)
+
+    a_sig = sigs.withColumnRenamed(doc_col, "a").withColumnRenamed("sig", "sig_a")
+    b_sig = sigs.withColumnRenamed(doc_col, "b").withColumnRenamed("sig", "sig_b")
+    verified = (
+        cands.join(a_sig, "a")
+        .join(b_sig, "b")
+        .withColumn("est_jaccard", jaccard_udf(F.col("sig_a"), F.col("sig_b")))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("a", "b", "est_jaccard")
+    )
+    return verified
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    doc_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    shingle_n: int = 2,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """(doc_col, simhash long) — 64-bit locality-sensitive fingerprints."""
+    doc_field = df.schema[doc_col]
+    out_schema = T.StructType([doc_field, T.StructField("simhash", T.LongType(), False)])
+
+    def build(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            toks = batch.column(tokens_col).to_pylist()
+            hashes = [
+                np.int64(
+                    np.uint64(
+                        simhash64(
+                            token_shingles(np.asarray(t or [], dtype=np.int64), shingle_n),
+                            seed=seed,
+                        )
+                    )
+                )
+                for t in toks
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(doc_col), pa.array(hashes, type=pa.int64())],
+                names=[doc_col, "simhash"],
+            )
+
+    return df.select(doc_col, tokens_col).mapInArrow(build, out_schema)
+
+
+def exact_jaccard(tokens_a: np.ndarray, tokens_b: np.ndarray, shingle_n: int = 3) -> float:
+    """Exact shingle-set Jaccard (test/oracle helper)."""
+    a = set(token_shingles(np.asarray(tokens_a, dtype=np.int64), shingle_n).tolist())
+    b = set(token_shingles(np.asarray(tokens_b, dtype=np.int64), shingle_n).tolist())
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)

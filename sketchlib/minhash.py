@@ -1,0 +1,196 @@
+"""MinHash signatures + banded LSH for near-duplicate detection.
+
+Same MergeableSketch discipline as the rest of the library: a MinHash
+signature is a mergeable sketch of a SET (element-wise min == set union —
+the same associative/commutative algebra as HLL's register max), built on
+the same MurmurHash64A family with Kirsch–Mitzenmacher double hashing
+(h_j = h1 + j*h2), per Broder (1997) and the standard LSH banding scheme
+(Leskovec–Rajaraman–Ullman, Mining of Massive Datasets ch.3).
+
+E[fraction of matching signature slots] = Jaccard(A, B).
+A (bands b, rows r) banding with b*r = k gives match probability
+1 - (1 - s^r)^b for Jaccard s.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .codec import pack_header, unpack_header
+from .kernels import DEFAULT_SEED, murmur64a_int32, murmur64a_int64
+
+KIND_MINHASH = 6
+
+_H2_XOR = 0x9E3779B97F4A7C15
+_EMPTY_SLOT = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def token_shingles(tokens: np.ndarray, n: int = 3) -> np.ndarray:
+    """Rolling Karp-Rabin style n-gram fingerprints of an int32 token array.
+
+    Each window of n tokens -> one uint64 via a polynomial rolling hash
+    (vectorized: shifted multiply-accumulate, no Python loop over windows).
+    """
+    t = np.asarray(tokens, dtype=np.int64).view(np.uint64) & np.uint64(0xFFFFFFFF)
+    if len(t) < n:
+        # short docs: hash what's there as a single shingle
+        acc = np.zeros(1, dtype=np.uint64)
+        for i in range(len(t)):
+            acc = acc * np.uint64(0x100000001B3) + t[i : i + 1]
+        return acc
+    acc = np.zeros(len(t) - n + 1, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)  # FNV-ish multiplier
+    for i in range(n):
+        acc *= prime
+        acc += t[i : len(t) - n + 1 + i]
+    return acc
+
+
+@dataclass
+class MinHashSketch:
+    """k-slot MinHash signature of a set of uint64 element fingerprints."""
+
+    k: int = 128
+    seed: int = DEFAULT_SEED
+    sig: np.ndarray = field(default=None, repr=False)  # type: ignore[assignment]
+
+    def __post_init__(self) -> None:
+        if not (8 <= int(self.k) <= 4096):
+            raise ValueError(f"k={self.k} out of range [8, 4096]")
+        self.k = int(self.k)
+        self.seed = int(self.seed)
+        if self.sig is None:
+            self.sig = np.full(self.k, _EMPTY_SLOT, dtype=np.uint64)
+        else:
+            self.sig = np.asarray(self.sig, dtype=np.uint64)
+            if self.sig.shape != (self.k,):
+                raise ValueError("signature shape mismatch")
+
+    @classmethod
+    def empty(cls, k: int = 128, seed: int = DEFAULT_SEED) -> "MinHashSketch":
+        return cls(k=k, seed=seed)
+
+    def update_elements(self, elements: np.ndarray) -> None:
+        """Min-update the signature with uint64 element fingerprints."""
+        if len(elements) == 0:
+            return
+        sigs = minhash_matrix(np.asarray(elements, dtype=np.uint64)[None, :], self.k, self.seed)
+        np.minimum(self.sig, sigs[0], out=self.sig)
+
+    def merge(self, other: "MinHashSketch") -> "MinHashSketch":
+        """Set-union merge: element-wise min (associative/commutative)."""
+        if (self.k, self.seed) != (other.k, other.seed):
+            raise ValueError("cannot merge MinHash sketches with different configs")
+        np.minimum(self.sig, other.sig, out=self.sig)
+        return self
+
+    @staticmethod
+    def jaccard(a: "MinHashSketch", b: "MinHashSketch") -> float:
+        if (a.k, a.seed) != (b.k, b.seed):
+            raise ValueError("config mismatch")
+        return float(np.mean(a.sig == b.sig))
+
+    def to_bytes(self) -> bytes:
+        head = pack_header(KIND_MINHASH, 0, self.seed)
+        return head + struct.pack("<I", self.k) + self.sig.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "MinHashSketch":
+        _, seed, payload = unpack_header(blob, KIND_MINHASH)
+        (k,) = struct.unpack_from("<I", payload, 0)
+        sig = np.frombuffer(payload, dtype=np.uint64, count=k, offset=4).copy()
+        return cls(k=k, seed=seed, sig=sig)
+
+
+def minhash_matrix(element_rows: np.ndarray, k: int, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Signatures for a batch: element_rows is a (docs, elems) uint64 array
+
+    (or 1 row); returns (docs, k) uint64. Vectorized: hash every element
+    once with two seeds, then derive the k permutations as h1 + j*h2."""
+    rows, _ = element_rows.shape
+    h1 = murmur64a_int64(element_rows.reshape(-1).view(np.int64), seed).reshape(rows, -1)
+    h2 = murmur64a_int64(element_rows.reshape(-1).view(np.int64), seed ^ _H2_XOR).reshape(
+        rows, -1
+    ) | np.uint64(1)
+    out = np.empty((rows, k), dtype=np.uint64)
+    for j in range(k):
+        np.min(h1 + np.uint64(j) * h2, axis=1, out=out[:, j])
+    return out
+
+
+def minhash_signature(elements: np.ndarray, k: int, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Signature of one element set, vectorized over (elems x k) without the
+
+    per-j loop when the set is small enough to broadcast."""
+    e = np.asarray(elements, dtype=np.uint64)
+    if len(e) == 0:
+        return np.full(k, _EMPTY_SLOT, dtype=np.uint64)
+    h1 = murmur64a_int64(e.view(np.int64), seed)
+    h2 = murmur64a_int64(e.view(np.int64), seed ^ _H2_XOR) | np.uint64(1)
+    js = np.arange(k, dtype=np.uint64)
+    # (elems, k) broadcast: h1[:,None] + j*h2[:,None]
+    return (h1[:, None] + js[None, :] * h2[:, None]).min(axis=0)
+
+
+def minhash_signatures_batch(
+    flat_elems: np.ndarray, doc_codes: np.ndarray, n_docs: int, k: int, seed: int = DEFAULT_SEED
+) -> np.ndarray:
+    """(n_docs, k) signatures for a whole batch of ragged documents.
+
+    flat_elems: concatenated uint64 element fingerprints of every doc;
+    doc_codes: the owning doc index per element. Hash every element once
+    (two seeds), then per permutation j one composite minimum.at scatter —
+    O(k * total_elements) with no per-doc Python loop.
+    """
+    out = np.full((n_docs, k), _EMPTY_SLOT, dtype=np.uint64)
+    if len(flat_elems) == 0:
+        return out
+    e = np.asarray(flat_elems, dtype=np.uint64)
+    h1 = murmur64a_int64(e.view(np.int64), seed)
+    h2 = murmur64a_int64(e.view(np.int64), seed ^ _H2_XOR) | np.uint64(1)
+    hj = np.empty_like(h1)
+    for j in range(k):
+        np.multiply(h2, np.uint64(j), out=hj)
+        hj += h1
+        np.minimum.at(out[:, j], doc_codes, hj)
+    return out
+
+
+def simhash64(elements: np.ndarray, weights: np.ndarray | None = None, seed: int = DEFAULT_SEED) -> int:
+    """64-bit SimHash (Charikar 2002) of uint64 element fingerprints."""
+    if len(elements) == 0:
+        return 0
+    h = murmur64a_int64(np.asarray(elements, dtype=np.uint64).view(np.int64), seed)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.float64
+    )
+    w = np.ones(len(h)) if weights is None else np.asarray(weights, dtype=np.float64)
+    score = (bits * 2.0 - 1.0).T @ w
+    return int(((score > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def hamming64(a: int, b: int) -> int:
+    """Hamming distance of two 64-bit fingerprints; accepts signed int64
+
+    values as stored in Spark LongType columns (masks to 64 bits first)."""
+    return ((int(a) ^ int(b)) & 0xFFFFFFFFFFFFFFFF).bit_count()
+
+
+def band_keys(sig: np.ndarray, bands: int, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """One uint64 bucket key per band (hash of the band's signature slots)."""
+    k = len(sig)
+    if k % bands:
+        raise ValueError(f"k={k} not divisible by bands={bands}")
+    r = k // bands
+    view = sig.reshape(bands, r)
+    # mix the band index into the key so buckets from different bands never collide
+    acc = np.full(bands, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for c in range(r):
+        acc ^= view[:, c]
+        acc *= prime
+    acc ^= np.arange(bands, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return acc

@@ -1,0 +1,155 @@
+"""MinHash/SimHash/exact-dedup: estimator accuracy and pipeline recall on a
+
+corpus with planted near-duplicates."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sketchlib.dedup import (
+    exact_dedup,
+    exact_jaccard,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    near_dup_pairs,
+    simhash_fingerprints,
+)
+from sketchlib.minhash import (
+    MinHashSketch,
+    hamming64,
+    minhash_signature,
+    minhash_signatures_batch,
+    simhash64,
+    token_shingles,
+)
+
+
+def make_corpus(n_docs=60, seed=5):
+    """Random docs + planted near-dups (90% overlap) + exact dups."""
+    rng = np.random.default_rng(seed)
+    docs = []
+    for i in range(n_docs):
+        docs.append((f"d{i:04d}", rng.integers(0, 5000, 200).astype(np.int32)))
+    planted = []
+    for i in range(0, 10):
+        base = docs[i][1].copy()
+        mutated = base.copy()
+        pos = rng.choice(len(base), size=20, replace=False)
+        mutated[pos] = rng.integers(0, 5000, 20).astype(np.int32)
+        planted.append((f"nd{i:04d}", mutated))  # ~90% token overlap
+    exact = [(f"xd{i:04d}", docs[i][1].copy()) for i in range(3)]  # exact dups
+    return docs + planted + exact
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return make_corpus()
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark, corpus):
+    pdf = pd.DataFrame(
+        {"doc_id": [d for d, _ in corpus], "tokens": [t for _, t in corpus]}
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType(), False), False),
+        ]
+    )
+    return spark.createDataFrame(pdf, schema=schema).repartition(4)
+
+
+def test_minhash_estimator_accuracy(corpus):
+    """|est - exact| jaccard within the k=128 binomial bound on real pairs."""
+    by_id = dict(corpus)
+    pairs = [("d0000", "nd0000"), ("d0001", "nd0001"), ("d0000", "d0001"), ("d0005", "xd0000")]
+    for a, b in pairs:
+        sa = minhash_signature(token_shingles(by_id[a].astype(np.int64)), 128)
+        sb = minhash_signature(token_shingles(by_id[b].astype(np.int64)), 128)
+        est = float(np.mean(sa == sb))
+        exact = exact_jaccard(by_id[a], by_id[b])
+        assert abs(est - exact) < 0.15, (a, b, est, exact)
+
+
+def test_batched_signatures_match_single(corpus):
+    flat, codes = [], []
+    for i, (_, toks) in enumerate(corpus[:8]):
+        sh = token_shingles(toks.astype(np.int64))
+        flat.append(sh)
+        codes.append(np.full(len(sh), i, dtype=np.int64))
+    sigs = minhash_signatures_batch(np.concatenate(flat), np.concatenate(codes), 8, 64)
+    for i, (_, toks) in enumerate(corpus[:8]):
+        single = minhash_signature(token_shingles(toks.astype(np.int64)), 64)
+        assert np.array_equal(sigs[i], single), i
+
+
+def test_minhash_merge_is_set_union(corpus):
+    a, b = corpus[0][1], corpus[1][1]
+    sa = MinHashSketch.empty(64)
+    sa.update_elements(token_shingles(a.astype(np.int64)))
+    sb = MinHashSketch.empty(64)
+    sb.update_elements(token_shingles(b.astype(np.int64)))
+    whole = MinHashSketch.empty(64)
+    whole.update_elements(
+        np.concatenate([token_shingles(a.astype(np.int64)), token_shingles(b.astype(np.int64))])
+    )
+    sa.merge(sb)
+    assert np.array_equal(sa.sig, whole.sig)
+
+
+def test_minhash_roundtrip(corpus):
+    s = MinHashSketch.empty(128, seed=9)
+    s.update_elements(token_shingles(corpus[0][1].astype(np.int64)))
+    r = MinHashSketch.from_bytes(s.to_bytes())
+    assert r.k == 128 and r.seed == 9 and np.array_equal(r.sig, s.sig)
+
+
+def test_near_dup_pipeline_recall_and_precision(spark, corpus_df, corpus):
+    """Planted 90%-overlap pairs must surface; random pairs must not."""
+    found = {
+        (r["a"], r["b"]): r["est_jaccard"]
+        for r in near_dup_pairs(corpus_df, threshold=0.5, k=128, bands=32).collect()
+    }
+    expected_pairs = {tuple(sorted((f"d{i:04d}", f"nd{i:04d}"))) for i in range(10)} | {
+        tuple(sorted((f"d{i:04d}", f"xd{i:04d}"))) for i in range(3)
+    }
+    got_pairs = set(found)
+    assert expected_pairs <= got_pairs, expected_pairs - got_pairs
+    by_id = dict(corpus)
+    for a, b in got_pairs:
+        assert exact_jaccard(by_id[a], by_id[b]) > 0.3, (a, b, found[(a, b)])
+
+
+def test_exact_dup_has_jaccard_one(spark, corpus_df):
+    rows = near_dup_pairs(corpus_df, threshold=0.99, k=128, bands=32).collect()
+    exact_pairs = {(r["a"], r["b"]) for r in rows}
+    for i in range(3):
+        assert tuple(sorted((f"d{i:04d}", f"xd{i:04d}"))) in exact_pairs
+
+
+def test_exact_dedup(spark, corpus_df):
+    deduped = exact_dedup(corpus_df, ["tokens"], keep_col="doc_id")
+    n = deduped.count()
+    assert n == corpus_df.count() - 3  # 3 exact dups planted
+    # survivor is the min doc_id of each content group
+    ids = {r["doc_id"] for r in deduped.select("doc_id").collect()}
+    assert {"d0000", "d0001", "d0002"} <= ids
+    assert not {"xd0000", "xd0001", "xd0002"} & ids
+
+
+def test_simhash_properties(spark, corpus_df, corpus):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(corpus_df).collect()}
+    by_id = dict(corpus)
+    # identical docs -> identical fingerprints
+    for i in range(3):
+        assert fps[f"d{i:04d}"] == fps[f"xd{i:04d}"]
+    # near-dups are close in hamming; random pairs far
+    near = [hamming64(fps[f"d{i:04d}"], fps[f"nd{i:04d}"]) for i in range(10)]
+    far = [hamming64(fps["d0020"], fps[f"d{30 + i:04d}"]) for i in range(10)]
+    assert max(near) < min(far), (near, far)
+    # deterministic + matches the numpy oracle
+    sh = token_shingles(by_id["d0000"].astype(np.int64), 2)
+    assert fps["d0000"] == np.int64(np.uint64(simhash64(sh)))
