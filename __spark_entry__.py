@@ -62,6 +62,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_distinct_tokens_per_source": Q.exact_distinct_tokens_per_source,
         "hll_tokens_accuracy": Q.hll_tokens_accuracy,
         "hll_source_overlap": Q.hll_source_overlap,
+        "exact_dedup_documents": Q.exact_dedup_documents,
+        "minhash_jaccard_consistency": Q.minhash_jaccard_consistency,
+        "near_dup_topk_pairs": Q.near_dup_topk_pairs,
+        "simhash_fingerprints_docs": Q.simhash_fingerprints_docs,
     }
 
 
@@ -149,6 +153,16 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS within_3sigma
             FROM read_parquet('{_SEQ_PARQUET_SF001}'), UNNEST(tokens) AS t(tok)
             GROUP BY source ORDER BY source
+        """,
+        "exact_dedup_documents": """
+            SELECT COUNT(*) AS n_docs,
+                   COUNT(DISTINCT text) AS n_after_dedup,
+                   TRUE AS matches_distinct_text
+            FROM documents
+        """,
+        "minhash_jaccard_consistency": """
+            SELECT 780::BIGINT AS n_pairs,
+                   TRUE AS max_err_within, TRUE AS mean_err_within
         """,
         "hll_source_overlap": f"""
             SELECT 's00' AS source_a, 's01' AS source_b,

@@ -402,3 +402,74 @@ def hll_source_overlap(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> 
         "source_a string, source_b string, exact_union long, exact_intersection long, "
         "union_within_3sigma boolean, intersection_within_bound boolean",
     )
+
+
+# ---- deduplication over documents -------------------------------------------------
+
+
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on text (hash-groupBy on a 64-bit fingerprint): totals
+
+    must match COUNT(DISTINCT text)."""
+    from .dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    kept = exact_dedup(docs, ["text"], keep_col="doc_id").count()
+    total = docs.count()
+    distinct_texts = docs.select("text").distinct().count()
+    return spark.createDataFrame(
+        [(int(total), int(kept), bool(kept == distinct_texts))],
+        "n_docs long, n_after_dedup long, matches_distinct_text boolean",
+    )
+
+
+def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .data import tokenize_documents
+
+    return tokenize_documents(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_jaccard_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimate vs exact shingle Jaccard over every pair of a
+
+    deterministic 40-doc subset: binomial(k=128) error bounds must hold."""
+    import numpy as np
+
+    from .dedup import exact_jaccard
+    from .minhash import minhash_signature, token_shingles
+
+    seqs = _tokenized_docs(spark, sf_dir)
+    subset = seqs.orderBy("doc_id").limit(40).select("doc_id", "tokens").collect()
+    toks = [np.asarray(r["tokens"], dtype=np.int64) for r in subset]
+    sigs = [minhash_signature(token_shingles(t), 128) for t in toks]
+    errs = []
+    for i in range(len(toks)):
+        for j in range(i + 1, len(toks)):
+            est = float(np.mean(sigs[i] == sigs[j]))
+            errs.append(abs(est - exact_jaccard(toks[i], toks[j])))
+    errs = np.array(errs)
+    # k=128 -> sigma <= 0.5/sqrt(128) = 0.0442; max over 780 pairs < 5 sigma
+    return spark.createDataFrame(
+        [(len(errs), bool(errs.max() <= 0.25), bool(errs.mean() <= 0.03))],
+        "n_pairs long, max_err_within boolean, mean_err_within boolean",
+    )
+
+
+def near_dup_topk_pairs(spark: SparkSession, sf_dir: str, topk: int = 10) -> DataFrame:
+    """Most-similar document pairs by MinHash+LSH (threshold 0, ranked)."""
+    from .dedup import near_dup_pairs
+
+    seqs = _tokenized_docs(spark, sf_dir)
+    pairs = near_dup_pairs(seqs, threshold=0.0, k=128, bands=32)
+    return pairs.orderBy(F.desc("est_jaccard"), F.asc("a"), F.asc("b")).limit(topk).select(
+        "a", "b", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
+def simhash_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 64-bit SimHash per document (rows-only check)."""
+    from .dedup import simhash_fingerprints
+
+    return simhash_fingerprints(_tokenized_docs(spark, sf_dir)).orderBy("doc_id")
