@@ -62,6 +62,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_distinct_tokens_per_source": Q.exact_distinct_tokens_per_source,
         "hll_tokens_accuracy": Q.hll_tokens_accuracy,
         "hll_source_overlap": Q.hll_source_overlap,
+        "text_quality_per_source": Q.text_quality_per_source,
+        "bpe_token_count_per_lang": Q.bpe_token_count_per_lang,
+        "fingerprint_distinct_docs": Q.fingerprint_distinct_docs,
+        "lang_id_distribution": Q.lang_id_distribution,
         "exact_dedup_documents": Q.exact_dedup_documents,
         "minhash_jaccard_consistency": Q.minhash_jaccard_consistency,
         "near_dup_topk_pairs": Q.near_dup_topk_pairs,
@@ -153,6 +157,37 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS within_3sigma
             FROM read_parquet('{_SEQ_PARQUET_SF001}'), UNNEST(tokens) AS t(tok)
             GROUP BY source ORDER BY source
+        """,
+        "text_quality_per_source": """
+            WITH w AS (
+              SELECT source, text,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 t -> t != '') AS words
+              FROM documents)
+            SELECT source,
+                   COUNT(*) AS docs,
+                   SUM(length(text)) AS chars,
+                   SUM(len(words)) AS words,
+                   SUM(len(list_filter(words, t -> regexp_full_match(t, '[A-Za-z]+'))))
+                       AS alpha_words,
+                   SUM(len(list_distinct(words))) AS distinct_words,
+                   MAX(list_max(list_transform(words, t -> length(t)))) AS max_word_len,
+                   SUM(length(text) -
+                       length(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g')))
+                       AS punct
+            FROM w GROUP BY source ORDER BY source
+        """,
+        "bpe_token_count_per_lang": """
+            SELECT lang, COUNT(*) AS docs,
+                   SUM(list_sum(list_transform(
+                       list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t != ''),
+                       t -> (length(t) + 3) // 4))) AS bpe_tokens
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "fingerprint_distinct_docs": """
+            SELECT COUNT(DISTINCT text) AS distinct_texts,
+                   TRUE AS fingerprints_injective
+            FROM documents
         """,
         "exact_dedup_documents": """
             SELECT COUNT(*) AS n_docs,

@@ -473,3 +473,69 @@ def simhash_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import simhash_fingerprints
 
     return simhash_fingerprints(_tokenized_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# ---- text analysis over documents ---------------------------------------------------
+
+
+def text_quality_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact quality-feature rollup per source — one codegen'd scan,
+
+    no Python. Every count reproduces exactly in the DuckDB oracle."""
+    from .textstats import quality_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_stats(docs)
+    return (
+        q.groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("q_chars").alias("chars"),
+            F.sum("q_words").alias("words"),
+            F.sum("q_alpha_words").alias("alpha_words"),
+            F.sum("q_distinct_words").alias("distinct_words"),
+            F.max("q_max_word_len").alias("max_word_len"),
+            F.sum("q_punct").alias("punct"),
+        )
+        .orderBy("source")
+    )
+
+
+def bpe_token_count_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible BPE-ish token counting (ceil(len/4) per word) per lang."""
+    from .textstats import token_count_bpe_ish
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", token_count_bpe_ish(F.col("text")).alias("tok"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("docs"), F.sum("tok").alias("bpe_tokens"))
+        .orderBy("lang")
+    )
+
+
+def fingerprint_distinct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit rolling fingerprint injectivity on this corpus: distinct
+
+    fingerprints == distinct texts (collision odds ~ n^2 / 2^64)."""
+    from .textstats import fingerprint64
+
+    docs = load_table(spark, sf_dir, "documents")
+    row = docs.agg(
+        F.countDistinct(fingerprint64(F.col("text"))).alias("fp"),
+        F.countDistinct("text").alias("tx"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(int(row["tx"]), bool(row["fp"] == row["tx"]))],
+        "distinct_texts long, fingerprints_injective boolean",
+    )
+
+
+def lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID distribution (rows-only: the corpus
+
+    text is synthetic, so predictions aren't comparable to the lang label)."""
+    from .textstats import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lang_id(docs).groupBy("lang_pred").agg(F.count("*").alias("docs")).orderBy("lang_pred")
