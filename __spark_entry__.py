@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_distinct_tokens_per_source": Q.exact_distinct_tokens_per_source,
         "hll_tokens_accuracy": Q.hll_tokens_accuracy,
         "hll_source_overlap": Q.hll_source_overlap,
+        "ann_bruteforce_top5": Q.ann_bruteforce_top5,
+        "ann_lsh_recall": Q.ann_lsh_recall,
         "text_quality_per_source": Q.text_quality_per_source,
         "bpe_token_count_per_lang": Q.bpe_token_count_per_lang,
         "fingerprint_distinct_docs": Q.fingerprint_distinct_docs,
@@ -157,6 +159,23 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS within_3sigma
             FROM read_parquet('{_SEQ_PARQUET_SF001}'), UNNEST(tokens) AS t(tok)
             GROUP BY source ORDER BY source
+        """,
+        "ann_bruteforce_top5": """
+            WITH probes AS (
+              SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 5),
+            sims AS (
+              SELECT p.probe_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(p.pe, e.embedding) AS sim
+              FROM probes p, embeddings e WHERE e.vec_id != p.probe_id)
+            SELECT probe_id, rank, neighbor_id FROM (
+              SELECT probe_id, neighbor_id,
+                     row_number() OVER (PARTITION BY probe_id
+                                        ORDER BY sim DESC, neighbor_id) AS rank
+              FROM sims)
+            WHERE rank <= 5 ORDER BY probe_id, rank
+        """,
+        "ann_lsh_recall": """
+            SELECT 5::BIGINT AS n_probes, TRUE AS mean_recall_ge_half
         """,
         "text_quality_per_source": """
             WITH w AS (

@@ -539,3 +539,39 @@ def lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return lang_id(docs).groupBy("lang_pred").agg(F.count("*").alias("docs")).orderBy("lang_pred")
+
+
+# ---- similarity search over embeddings ----------------------------------------------
+
+
+def ann_bruteforce_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for probes vec_id 0..4 (two-stage
+
+    distributed top-k; oracle = DuckDB list_cosine_similarity ranking)."""
+    from .similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, [0, 1, 2, 3, 4], k=5)
+
+
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of banded random-hyperplane LSH vs brute force (fixed seed,
+
+    deterministic): mean recall must clear the floor."""
+    from .similarity import brute_force_topk, lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = [0, 1, 2, 3, 4]
+    exact = brute_force_topk(emb, probes, k=10).collect()
+    approx = lsh_topk(emb, probes, k=10, bits=64, bands=16, seed=7).collect()
+    ex, ap = {}, {}
+    for r in exact:
+        ex.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        ap.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    recalls = [len(ap.get(p, set()) & ex[p]) / len(ex[p]) for p in probes]
+    mean_recall = sum(recalls) / len(recalls)
+    return spark.createDataFrame(
+        [(len(probes), bool(mean_recall >= 0.5))],
+        "n_probes long, mean_recall_ge_half boolean",
+    )

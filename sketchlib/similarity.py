@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns.
+
+- Brute-force cosine top-k: the exactness baseline. Probes broadcast into a
+  mapInArrow task as a numpy matrix; each task emits its local top-k per
+  probe (batch_rows x probes matmul, no per-row Python), then one tiny
+  global top-k — the classic two-stage pattern, so the shuffle carries
+  ~tasks x probes x k rows regardless of corpus size.
+- LSH (random hyperplane / signed random projection, Charikar 2002): b-bit
+  signatures bucketed into bands; candidates rerank with exact cosine. The
+  scale path: bucket join replaces the full cross product.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _collect_probes(df: DataFrame, id_col: str, vec_col: str, probe_ids) -> tuple[np.ndarray, np.ndarray]:
+    rows = df.where(F.col(id_col).isin(list(probe_ids))).select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], _normalize(mat[order])
+
+
+def brute_force_topk(
+    df: DataFrame,
+    probe_ids,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(probe_id, rank, neighbor_id) exact cosine top-k per probe."""
+    pids, pmat = _collect_probes(df, id_col, vec_col, probe_ids)
+    out_schema = T.StructType(
+        [
+            T.StructField("probe_id", T.LongType(), False),
+            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField("sim", T.DoubleType(), False),
+        ]
+    )
+
+    def local_topk(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = batch.column(vec_col).flatten().to_numpy(zero_copy_only=False)
+            mat = _normalize(flat.reshape(n, -1).astype(np.float64))
+            sims = mat @ pmat.T  # (n, probes)
+            take = min(k + 1, n)  # +1 in case the probe itself is in this batch
+            for j, pid in enumerate(pids.tolist()):
+                col = sims[:, j]
+                top = np.argpartition(-col, take - 1)[:take]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([pid] * len(top), type=pa.int64()),
+                        pa.array(ids[top], type=pa.int64()),
+                        pa.array(col[top], type=pa.float64()),
+                    ],
+                    names=["probe_id", "neighbor_id", "sim"],
+                )
+
+    local = df.select(id_col, vec_col).mapInArrow(local_topk, out_schema)
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        local.where(F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "rank", "neighbor_id")
+        .orderBy("probe_id", "rank")
+    )
+
+
+def lsh_signatures(
+    df: DataFrame,
+    bits: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, sig long) signed-random-projection signatures."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = np.random.default_rng(seed).standard_normal((bits, dim))
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField("sig", T.LongType(), False)]
+    )
+
+    def build(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            flat = batch.column(vec_col).flatten().to_numpy(zero_copy_only=False)
+            mat = flat.reshape(n, -1).astype(np.float64)
+            bits_mat = (mat @ planes.T) > 0  # (n, bits)
+            weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64))[None, :]
+            sigs = (bits_mat.astype(np.uint64) * weights).sum(axis=1).astype(np.uint64)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(id_col), pa.array(sigs.view(np.int64), type=pa.int64())],
+                names=[id_col, "sig"],
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(build, out_schema)
+
+
+def lsh_topk(
+    df: DataFrame,
+    probe_ids,
+    k: int = 10,
+    bits: int = 64,
+    bands: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: band-bucket candidate join, exact cosine rerank.
+
+    At corpus scale the candidate set per probe is the union of its band
+    buckets — the full matmul never happens.
+    """
+    sigs = lsh_signatures(df, bits, seed, id_col, vec_col)
+    r = bits // bands
+    band_mask = (1 << r) - 1
+    # key = band_index * 2^r + band_value: unique across bands by construction
+    band_cols = [
+        (F.shiftright("sig", b * r).bitwiseAND(F.lit(band_mask)) + F.lit(b << r)).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(id_col, F.explode(F.array(*[c for c in band_cols])).alias("band_key"))
+    probe_bands = banded.where(F.col(id_col).isin(list(probe_ids))).withColumnRenamed(
+        id_col, "probe_id"
+    )
+    cands = (
+        banded.join(F.broadcast(probe_bands), "band_key")
+        .where(F.col(id_col) != F.col("probe_id"))
+        .select("probe_id", F.col(id_col).alias("neighbor_id"))
+        .distinct()
+    )
+    # exact rerank of candidates only
+    pids, pmat = _collect_probes(df, id_col, vec_col, probe_ids)
+    pidx = {int(p): i for i, p in enumerate(pids.tolist())}
+
+    vecs = df.select(F.col(id_col).alias("neighbor_id"), vec_col)
+    joined = cands.join(vecs, "neighbor_id")
+
+    @F.pandas_udf(T.DoubleType())
+    def cosine_to_probe(probe: pd.Series, emb: pd.Series) -> pd.Series:
+        mat = _normalize(np.array(emb.tolist(), dtype=np.float64))
+        rows = np.array([pidx[int(p)] for p in probe])
+        return pd.Series(np.einsum("ij,ij->i", mat, pmat[rows]))
+
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        joined.withColumn("sim", cosine_to_probe(F.col("probe_id"), F.col(vec_col)))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "rank", "neighbor_id")
+        .orderBy("probe_id", "rank")
+    )

@@ -1,0 +1,64 @@
+"""ANN: brute-force exactness vs numpy oracle; LSH recall against brute force."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sketchlib.similarity import brute_force_topk, lsh_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb_df):
+    rows = emb_df.collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def numpy_topk(ids, mat, probe_ids, k):
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for pid in probe_ids:
+        pvec = norm[np.searchsorted(ids, pid)]
+        sims = norm @ pvec
+        cand = [(float(-sims[i]), int(ids[i])) for i in range(len(ids)) if ids[i] != pid]
+        cand.sort()
+        out[pid] = [nid for _, nid in cand[:k]]
+    return out
+
+
+def test_brute_force_matches_numpy(spark, emb_df, emb_np):
+    ids, mat = emb_np
+    probes = [0, 1, 2]
+    got = brute_force_topk(emb_df.repartition(5), probes, k=10).collect()
+    exp = numpy_topk(ids, mat, probes, 10)
+    by_probe = {}
+    for r in got:
+        by_probe.setdefault(r["probe_id"], []).append((r["rank"], r["neighbor_id"]))
+    for pid in probes:
+        ordered = [n for _, n in sorted(by_probe[pid])]
+        assert ordered == exp[pid], pid
+
+
+def test_lsh_recall_vs_brute_force(spark, emb_df, emb_np):
+    ids, mat = emb_np
+    probes = [0, 1, 2, 3, 4]
+    exact = numpy_topk(ids, mat, probes, 10)
+    approx = lsh_topk(emb_df, probes, k=10, bits=64, bands=16, seed=7).collect()
+    by_probe = {}
+    for r in approx:
+        by_probe.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    recalls = [len(by_probe.get(p, set()) & set(exact[p])) / 10 for p in probes]
+    assert np.mean(recalls) >= 0.5, recalls  # 16 bands x 4 bits is permissive
+    # rerank exactness: every returned neighbor's rank ordering is by true cosine
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for r in approx:
+        assert r["neighbor_id"] != r["probe_id"]
