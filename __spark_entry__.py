@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_distinct_tokens_per_source": Q.exact_distinct_tokens_per_source,
         "hll_tokens_accuracy": Q.hll_tokens_accuracy,
         "hll_source_overlap": Q.hll_source_overlap,
+        "multimodal_decode_stats": Q.multimodal_decode_stats,
         "ann_bruteforce_top5": Q.ann_bruteforce_top5,
         "ann_lsh_recall": Q.ann_lsh_recall,
         "text_quality_per_source": Q.text_quality_per_source,
@@ -159,6 +160,11 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS within_3sigma
             FROM read_parquet('{_SEQ_PARQUET_SF001}'), UNNEST(tokens) AS t(tok)
             GROUP BY source ORDER BY source
+        """,
+        "multimodal_decode_stats": """
+            SELECT 'embedding-f32' AS kind, COUNT(*) AS n_assets,
+                   16 AS feat_dim_min, 16 AS feat_dim_max
+            FROM embeddings
         """,
         "ann_bruteforce_top5": """
             WITH probes AS (

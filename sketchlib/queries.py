@@ -575,3 +575,25 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(len(probes), bool(mean_recall >= 0.5))],
         "n_probes long, mean_recall_ge_half boolean",
     )
+
+
+# ---- multimodal plumbing over binary asset columns -----------------------------------
+
+
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary asset pipeline end-to-end: embeddings packed to binary payloads,
+
+    batch-decoded to fixed-dim features; per-kind counts + dims are exact."""
+    from .multimodal import FEATURE_DIM, decode_features, embeddings_as_assets
+
+    assets = embeddings_as_assets(load_table(spark, sf_dir, "embeddings"))
+    feats = decode_features(assets)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.min(F.size("features")).alias("feat_dim_min"),
+            F.max(F.size("features")).alias("feat_dim_max"),
+        )
+        .orderBy("kind")
+    )
