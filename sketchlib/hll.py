@@ -17,6 +17,7 @@ blobs are raw registers behind a small versioned header.
 from __future__ import annotations
 
 import math
+import struct
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -213,17 +214,42 @@ class HllSketch:
     # -- codec ---------------------------------------------------------------
 
     def to_bytes(self) -> bytes:
-        """Versioned at-rest blob: header + raw uint8 registers.
+        """Versioned at-rest blob: header + registers, dense or sparse.
 
         The distributed analogue of the reference pickle (src/hll.c:847-909),
-        minus derivable state (histogram, cache) — SURVEY.md §3.4.
+        minus derivable state (histogram, cache) — SURVEY.md §3.4. Mirrors
+        the reference's dense/sparse duality *at rest only* (in flight is
+        always dense, SURVEY.md §4.1): when fewer than ~1/6 of registers are
+        set (e.g. per-doc sketches at p>=14), store sorted (idx:u32, rank:u8)
+        pairs behind a sparse marker instead of 2^p raw bytes.
         """
-        return pack_header(KIND_HLL, self.p, self.seed) + self.registers.tobytes()
+        nz = np.flatnonzero(self.registers)
+        dense_size = 1 << self.p
+        head = pack_header(KIND_HLL, self.p, self.seed)
+        if len(nz) * 5 + 5 < dense_size:
+            body = (
+                b"\x01"
+                + struct.pack("<I", len(nz))
+                + nz.astype(np.uint32).tobytes()
+                + self.registers[nz].tobytes()
+            )
+            return head + body
+        return head + b"\x00" + self.registers.tobytes()
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "HllSketch":
         p, seed, payload = unpack_header(blob, KIND_HLL)
-        regs = np.frombuffer(payload, dtype=np.uint8, count=1 << p).copy()
+        mode, payload = payload[0], payload[1:]
+        if mode == 0:
+            regs = np.frombuffer(payload, dtype=np.uint8, count=1 << p).copy()
+        elif mode == 1:
+            (n,) = struct.unpack_from("<I", payload, 0)
+            idx = np.frombuffer(payload, dtype=np.uint32, count=n, offset=4)
+            ranks = np.frombuffer(payload, dtype=np.uint8, count=n, offset=4 + 4 * n)
+            regs = np.zeros(1 << p, dtype=np.uint8)
+            regs[idx.astype(np.int64)] = ranks
+        else:
+            raise ValueError(f"unknown HLL register encoding {mode}")
         return cls(p=p, seed=seed, registers=regs)
 
     @staticmethod

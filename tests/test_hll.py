@@ -150,7 +150,7 @@ def test_split_merge_equals_single_pass():
 def test_bytes_roundtrip():
     s = _sketch_of_range(14, 50_000, seed=271)
     blob = s.to_bytes()
-    assert len(blob) == 16 + (1 << 14)
+    assert len(blob) == 16 + 1 + (1 << 14)  # header + mode byte + dense registers
     r = HllSketch.from_bytes(blob)
     assert r.p == 14 and r.seed == 271
     assert np.array_equal(r.registers, s.registers)
@@ -199,3 +199,21 @@ def test_estimator_histogram_only():
     # estimator consumes only the histogram — spot-check pure function
     s = _sketch_of_range(12, 10_000)
     assert estimate_from_histogram(s.histogram(), 12) == 10_274
+
+
+def test_sparse_at_rest_codec():
+    """Near-empty sketches store (idx, rank) pairs; round-trip identical."""
+    s = HllSketch.empty(16)
+    s.update_batch(np.arange(100, dtype=np.int32))
+    blob = s.to_bytes()
+    assert len(blob) < 1000  # vs 65536 dense
+    r = HllSketch.from_bytes(blob)
+    assert np.array_equal(r.registers, s.registers)
+    assert r.cardinality() == s.cardinality()
+    # dense sketches stay dense and round-trip too
+    d = _sketch_of_range(10, 50_000)
+    rd = HllSketch.from_bytes(d.to_bytes())
+    assert np.array_equal(rd.registers, d.registers)
+    # boundary: empty sketch
+    e = HllSketch.from_bytes(HllSketch.empty(12).to_bytes())
+    assert not e.registers.any()

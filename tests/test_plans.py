@@ -1,0 +1,47 @@
+"""Physical-plan quality: pruning reaches the scan, merges stay sketch-sized.
+
+These lock in the properties that matter at 100 TB — a regression that
+widens the scan or shuffles raw tokens should fail here, not in production.
+"""
+
+from sketchlib.agg import HllAggregator
+from sketchlib.data import sequences_parquet
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_partials_scan_prunes_columns(spark, tmp_path):
+    path = sequences_parquet(spark, 2_000, cache_root=str(tmp_path))
+    df = spark.read.parquet(path)
+    agg = HllAggregator(p=10, key_cols=["source"])
+    plan = _plan(agg.partials(df))
+    scan = plan[plan.index("Scan parquet") :]
+    read_schema = scan[scan.index("ReadSchema") : scan.index("\n", scan.index("ReadSchema"))]
+    # only the key and value columns may be read — doc_id and n_tok pruned
+    assert "source" in read_schema and "tokens" in read_schema
+    assert "doc_id" not in read_schema and "n_tok" not in read_schema
+
+
+def test_merge_shuffle_carries_sketches_not_tokens(spark, tmp_path):
+    path = sequences_parquet(spark, 2_000, cache_root=str(tmp_path))
+    df = spark.read.parquet(path)
+    agg = HllAggregator(p=10, key_cols=["source"])
+    plan = _plan(agg.merged(df))
+    # partial build (MapInArrow) sits BELOW the exchange in the tree: the
+    # shuffle is hash-partitioned on the key and its input rows are
+    # (key, sketch, counts) — tokens never cross the wire
+    assert plan.index("Exchange") < plan.index("MapInArrow")  # tree prints top-down
+    assert "hashpartitioning(source" in plan
+    exch_detail = plan.index(") Exchange")
+    input_line = plan[plan.index("Input", exch_detail) : plan.index("\n", plan.index("Input", exch_detail))]
+    assert "sketch#" in input_line and "tokens" not in input_line
+
+
+def test_broadcast_join_for_small_probe_side(spark):
+    from sketchlib.similarity import lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(lsh_topk(emb, [0, 1], k=3))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
