@@ -526,6 +526,69 @@ class CmsAggregator(SketchAggregator):
     def _merge_blobs(self, blobs) -> CountMinSketch:
         return CountMinSketch.merge_blobs(blobs, self.width_log2, self.depth, self.seed)
 
+    def heavy_hitters(
+        self, source, topk: int = 20, candidates_per_task: int = 200, *, spark=None
+    ) -> DataFrame:
+        """Scalable approximate top-k: (value, est_freq) rows.
+
+        Candidate generation is the classic per-partition exact top-C (a
+        value that is a global heavy hitter is a local heavy hitter in at
+        least one partition slice at C >> k), unioned and deduplicated, then
+        scored against the merged count-min sketch. No full-domain probe:
+        the shuffle carries tasks x C candidate rows + one sketch per task.
+        """
+        if self.key_cols:
+            raise ValueError("heavy_hitters supports keyless aggregation only (for now)")
+        if isinstance(source, str):
+            from pyspark.sql import SparkSession
+
+            spark = spark or SparkSession.getActiveSession()
+            df = spark.read.parquet(source)
+        else:
+            df = source
+        value_col, kind = self.value_col, self.value_kind
+
+        cand_field = {
+            "tokens": T.IntegerType(),
+            "int32": T.IntegerType(),
+            "int64": T.LongType(),
+            "string": T.StringType(),
+        }[kind]
+        cand_schema = T.StructType([T.StructField("value", cand_field, False)])
+
+        def local_candidates(batches):
+            from collections import Counter
+
+            counts: Counter = Counter()
+            for batch in batches:
+                values, _ = _extract_values(batch, value_col, kind)
+                if kind == "string":
+                    counts.update(values)
+                else:
+                    uniq, cnt = np.unique(values, return_counts=True)
+                    for v, c in zip(uniq.tolist(), cnt.tolist()):
+                        counts[v] += c
+            top = [v for v, _ in counts.most_common(candidates_per_task)]
+            if top:
+                arrow_type = {
+                    "tokens": pa.int32(),
+                    "int32": pa.int32(),
+                    "int64": pa.int64(),
+                    "string": pa.string(),
+                }[kind]
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(top, type=arrow_type)], names=["value"]
+                )
+
+        cands = (
+            df.select(value_col)
+            .mapInArrow(local_candidates, cand_schema)
+            .distinct()
+        )
+        probes = [r["value"] for r in cands.collect()]
+        est = self.point_estimates(source, probes, spark=spark)
+        return est.orderBy(F.desc("est_freq"), F.asc("value")).limit(topk)
+
     def point_estimates(
         self, source, probes, *, salt: int | None = None, spark=None
     ) -> DataFrame:

@@ -99,3 +99,29 @@ def test_cms_partitioning_invariance(spark, tiny_pdf):
     a = bytes(agg.merged(a_df).collect()[0]["sketch"])
     b = bytes(agg.merged(b_df).collect()[0]["sketch"])
     assert a == b
+
+
+def test_cms_heavy_hitters_on_zipf(spark):
+    """Candidate-tracked top-k matches exact top-k on a skewed stream."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rng = np.random.default_rng(3)
+    tokens = np.minimum(rng.zipf(1.4, 200_000), 10_000).astype(np.int32)
+    rows = np.array_split(tokens, 500)
+    pdf = pd.DataFrame({"doc_id": [f"d{i}" for i in range(500)], "tokens": rows})
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType(), False), False),
+        ]
+    )
+    df = spark.createDataFrame(pdf, schema=schema).repartition(6)
+    agg = CmsAggregator(width_log2=16, depth=5, key_cols=[], value_col="tokens")
+    got = [r["value"] for r in agg.heavy_hitters(df, topk=10).collect()]
+    uniq, cnt = np.unique(tokens, return_counts=True)
+    order = np.lexsort((uniq, -cnt))
+    exact_top10 = uniq[order][:10].tolist()
+    # zipf head is heavily skewed: top-10 sets must agree; CMS est ordering
+    # may swap near-ties, so compare as sets
+    assert set(got) == set(exact_top10), (got, exact_top10)
