@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_distinct_tokens_per_source": Q.exact_distinct_tokens_per_source,
         "hll_tokens_accuracy": Q.hll_tokens_accuracy,
         "hll_source_overlap": Q.hll_source_overlap,
+        "checkpointed_resume_identity": Q.checkpointed_resume_identity,
+        "sql_over_checkpoint": Q.sql_over_checkpoint,
         "multimodal_decode_stats": Q.multimodal_decode_stats,
         "ann_bruteforce_top5": Q.ann_bruteforce_top5,
         "ann_lsh_recall": Q.ann_lsh_recall,
@@ -139,7 +141,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tokenized_documents_roundtrip": """
             SELECT source, COUNT(*) AS docs,
-                   SUM(n_tok) AS total_tokens,
+                   SUM(n_tok)::BIGINT AS total_tokens,
                    COUNT(*) AS invariant_ok
             FROM (SELECT source,
                          len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
@@ -161,6 +163,13 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_SEQ_PARQUET_SF001}'), UNNEST(tokens) AS t(tok)
             GROUP BY source ORDER BY source
         """,
+        "checkpointed_resume_identity": f"""
+            SELECT (SELECT COUNT(*) FROM read_parquet('{_SEQ_PARQUET_SF001}')) // 10000
+                       AS n_shards,
+                   TRUE AS resume_protocol_ok,
+                   TRUE AS byte_identical,
+                   TRUE AS lineage_ok
+        """,
         "multimodal_decode_stats": """
             SELECT 'embedding-f32' AS kind, COUNT(*) AS n_assets,
                    16 AS feat_dim_min, 16 AS feat_dim_max
@@ -173,7 +182,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT p.probe_id, e.vec_id AS neighbor_id,
                      list_cosine_similarity(p.pe, e.embedding) AS sim
               FROM probes p, embeddings e WHERE e.vec_id != p.probe_id)
-            SELECT probe_id, rank, neighbor_id FROM (
+            SELECT probe_id, rank::INT AS rank, neighbor_id FROM (
               SELECT probe_id, neighbor_id,
                      row_number() OVER (PARTITION BY probe_id
                                         ORDER BY sim DESC, neighbor_id) AS rank
@@ -191,22 +200,22 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT source,
                    COUNT(*) AS docs,
-                   SUM(length(text)) AS chars,
-                   SUM(len(words)) AS words,
+                   SUM(length(text))::BIGINT AS chars,
+                   SUM(len(words))::BIGINT AS words,
                    SUM(len(list_filter(words, t -> regexp_full_match(t, '[A-Za-z]+'))))
-                       AS alpha_words,
-                   SUM(len(list_distinct(words))) AS distinct_words,
-                   MAX(list_max(list_transform(words, t -> length(t)))) AS max_word_len,
+                       ::BIGINT AS alpha_words,
+                   SUM(len(list_distinct(words)))::BIGINT AS distinct_words,
+                   MAX(list_max(list_transform(words, t -> length(t))))::INT AS max_word_len,
                    SUM(length(text) -
                        length(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g')))
-                       AS punct
+                       ::BIGINT AS punct
             FROM w GROUP BY source ORDER BY source
         """,
         "bpe_token_count_per_lang": """
             SELECT lang, COUNT(*) AS docs,
                    SUM(list_sum(list_transform(
                        list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t != ''),
-                       t -> (length(t) + 3) // 4))) AS bpe_tokens
+                       t -> (length(t) + 3) // 4)))::BIGINT AS bpe_tokens
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "fingerprint_distinct_docs": """
@@ -227,7 +236,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_source_overlap": f"""
             SELECT 's00' AS source_a, 's01' AS source_b,
                    COUNT(*) AS exact_union,
-                   SUM(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END) AS exact_intersection,
+                   SUM(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END)::BIGINT AS exact_intersection,
                    TRUE AS union_within_3sigma,
                    TRUE AS intersection_within_bound
             FROM (SELECT t.tok, COUNT(DISTINCT source) AS nsrc

@@ -597,3 +597,67 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+# ---- checkpoint/resume demonstrated through the driver surface ------------------------
+
+
+def checkpointed_resume_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupt a checkpointed sketch build after one shard, resume it, and
+
+    prove the answer is byte-identical to an uninterrupted build — the
+    axis-A resumability contract, surfaced as an oracle-checkable query."""
+    import tempfile
+
+    from .agg import HllAggregator
+    from .io import CheckpointedBuild, enumerate_shards
+
+    path = sequences_path(spark, sf_dir)
+    agg = HllAggregator(p=12, key_cols=["source"])
+    direct = {
+        r["source"]: bytes(r["sketch"]) for r in agg.merged(path, spark=spark).collect()
+    }
+    ckpt = CheckpointedBuild(agg, tempfile.mkdtemp(prefix="sketchlib_ckpt_"))
+    first = ckpt.run(spark, path, max_shards=1)
+    resumed_shards = ckpt.run_to_completion(spark, path)
+    noop = ckpt.run(spark, path)
+    resumed = {r["source"]: bytes(r["sketch"]) for r in ckpt.merged(spark).collect()}
+    m = ckpt.metrics(spark).collect()[0]
+    n_shards = len(enumerate_shards(path))
+    return spark.createDataFrame(
+        [
+            (
+                int(n_shards),
+                bool(first == 1 and resumed_shards == n_shards - 1 and noop == 0),
+                bool(resumed == direct),
+                bool(m["shards"] == n_shards and m["items"] > 0),
+            )
+        ],
+        "n_shards long, resume_protocol_ok boolean, byte_identical boolean, lineage_ok boolean",
+    )
+
+
+def sql_over_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL analytics over a checkpointed partial-sketch table via the
+
+    registered sketch UDFs (hll_estimate over per-source merged sketches)."""
+    import tempfile
+
+    from .agg import HllAggregator
+    from .functions import register
+    from .io import CheckpointedBuild
+
+    register(spark)
+    path = sequences_path(spark, sf_dir)
+    agg = HllAggregator(p=14, key_cols=["source"])
+    ckpt = CheckpointedBuild(agg, tempfile.mkdtemp(prefix="sketchlib_sql_"))
+    ckpt.run_to_completion(spark, path)
+    agg.merged(ckpt.partials(spark).drop("shard_id", "wall_secs"), is_partials=True).createOrReplaceTempView(
+        "merged_sketches"
+    )
+    return spark.sql(
+        """
+        SELECT source, hll_estimate(sketch) AS est_distinct, n_rows, n_items
+        FROM merged_sketches ORDER BY source
+        """
+    )
