@@ -40,6 +40,7 @@ _SEQ_ORACLE_QUERIES = {
     "exact_distinct_tokens_per_source",
     "hll_tokens_accuracy",
     "hll_source_overlap",
+    "checkpointed_resume_identity",
 }
 
 
