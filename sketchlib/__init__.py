@@ -1,5 +1,5 @@
 """sketchlib — a PySpark-native distributed sketch / approximate-aggregation
-library (HyperLogLog, count-min, Bloom, KLL, t-digest).
+library (HyperLogLog, count-min, Bloom, KLL, t-digest, MinHash/SimHash).
 
 Built from scratch on the semantics of ascv/HyperLogLog (reference at
 /root/reference, surveyed in SURVEY.md): MurmurHash64A keys, dense register
@@ -8,6 +8,8 @@ idiomatic Spark — Arrow-batched partial sketches built with ``mapInArrow``,
 tree-merged with ``groupBy(...).applyInPandas`` — never per-row Python.
 """
 
+from .bloom import BloomFilter, optimal_params
+from .cms import CountMinSketch
 from .hll import HllSketch, estimate_from_histogram
 from .kernels import (
     DEFAULT_SEED,
@@ -16,10 +18,19 @@ from .kernels import (
     murmur64a_int64,
     vclz64,
 )
+from .kll import KllSketch
+from .minhash import MinHashSketch
+from .tdigest import TDigest
 
 __all__ = [
     "HllSketch",
+    "CountMinSketch",
+    "BloomFilter",
+    "KllSketch",
+    "TDigest",
+    "MinHashSketch",
     "estimate_from_histogram",
+    "optimal_params",
     "murmur64a_bytes",
     "murmur64a_int32",
     "murmur64a_int64",
@@ -28,3 +39,18 @@ __all__ = [
 ]
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Spark-dependent surfaces load lazily so the numpy core stays importable
+    # without a JVM (e.g. inside plain-python tooling).
+    if name in ("HllAggregator", "CmsAggregator", "BloomAggregator", "KllAggregator",
+                "TDigestAggregator", "SketchAggregator"):
+        from . import agg
+
+        return getattr(agg, name)
+    if name == "CheckpointedBuild":
+        from .io import CheckpointedBuild
+
+        return CheckpointedBuild
+    raise AttributeError(f"module 'sketchlib' has no attribute {name!r}")

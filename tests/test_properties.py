@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis): the algebraic laws hold for arbitrary
+
+inputs, not just the fixtures."""
+
+import struct
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sketchlib.bloom import BloomFilter
+from sketchlib.cms import CountMinSketch
+from sketchlib.hll import HllSketch
+from sketchlib.kernels import murmur64a_bytes, murmur64a_int32, murmur64a_int64
+
+token_lists = st.lists(st.integers(-(2**31), 2**31 - 1), min_size=0, max_size=300)
+
+
+@given(st.integers(-(2**31), 2**31 - 1), st.integers(0, 2**32 - 1))
+@settings(max_examples=200, deadline=None)
+def test_vector_hash_equals_bytes_hash(token, seed):
+    vec = int(murmur64a_int32(np.array([token], dtype=np.int32), seed)[0])
+    assert vec == murmur64a_bytes(struct.pack("<i", token), seed)
+
+
+@given(st.integers(-(2**63), 2**63 - 1))
+@settings(max_examples=100, deadline=None)
+def test_int64_hash_equals_bytes_hash(v):
+    vec = int(murmur64a_int64(np.array([v], dtype=np.int64), 314)[0])
+    assert vec == murmur64a_bytes(struct.pack("<q", v), 314)
+
+
+@given(token_lists, token_lists, token_lists)
+@settings(max_examples=30, deadline=None)
+def test_hll_merge_laws(a, b, c):
+    def sk(toks):
+        s = HllSketch.empty(8)
+        s.update_batch(np.array(toks, dtype=np.int32))
+        return s
+
+    sa, sb, sc = sk(a), sk(b), sk(c)
+    assert np.array_equal(((sa | sb) | sc).registers, (sa | (sb | sc)).registers)
+    assert np.array_equal((sa | sb).registers, (sb | sa).registers)
+    assert np.array_equal((sa | sa).registers, sa.registers)
+    whole = sk(a + b)
+    assert np.array_equal((sa | sb).registers, whole.registers)
+
+
+@given(token_lists)
+@settings(max_examples=30, deadline=None)
+def test_hll_codec_roundtrip_any_fill(toks):
+    s = HllSketch.empty(10, seed=7)
+    s.update_batch(np.array(toks, dtype=np.int32))
+    r = HllSketch.from_bytes(s.to_bytes())
+    assert np.array_equal(r.registers, s.registers)
+    assert (r.p, r.seed) == (10, 7)
+
+
+@given(token_lists)
+@settings(max_examples=30, deadline=None)
+def test_cms_never_undercounts(toks):
+    s = CountMinSketch.empty(8, 3)
+    arr = np.array(toks, dtype=np.int32)
+    s.update_batch(arr)
+    if len(arr):
+        uniq, cnt = np.unique(arr, return_counts=True)
+        est = s.query_batch(uniq)
+        assert (est >= cnt.astype(np.uint64)).all()
+    assert s.total == len(arr)
+
+
+@given(token_lists, token_lists)
+@settings(max_examples=30, deadline=None)
+def test_bloom_union_and_no_false_negatives(a, b):
+    fa, fb = BloomFilter.empty(10, 3), BloomFilter.empty(10, 3)
+    fa.update_batch(np.array(a, dtype=np.int32))
+    fb.update_batch(np.array(b, dtype=np.int32))
+    whole = BloomFilter.empty(10, 3)
+    whole.update_batch(np.array(a + b, dtype=np.int32))
+    fa.merge(fb)
+    assert np.array_equal(fa.bits, whole.bits)
+    if a:
+        assert whole.contains_batch(np.array(a, dtype=np.int32)).all()
