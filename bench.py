@@ -60,6 +60,24 @@ def main() -> None:
             n_items_flagship = sum(r["n_items"] for r in rows)
     total = round(time.perf_counter() - total0, 3)
 
+    # head-to-head on the flagship workload: our HLL pipeline vs Spark's
+    # native approx_count_distinct (needs an explode) vs exact countDistinct
+    from pyspark.sql import functions as SF
+
+    from sketchlib.data import rows_for_sf_dir, sequences_parquet
+
+    seq = spark.read.parquet(sequences_parquet(spark, rows_for_sf_dir(sf_dir)))
+    t0 = time.perf_counter()
+    seq.select("source", SF.explode("tokens").alias("t")).groupBy("source").agg(
+        SF.approx_count_distinct("t")
+    ).collect()
+    native_approx_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    seq.select("source", SF.explode("tokens").alias("t")).groupBy("source").agg(
+        SF.countDistinct("t")
+    ).collect()
+    exact_sec = round(time.perf_counter() - t0, 3)
+
     sf = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -75,6 +93,11 @@ def main() -> None:
         "sf": sf_val,
         "cpus": cpus,
         "tokens_per_sec": round(n_items_flagship / flag_t) if flag_t else None,
+        "flagship_vs_builtins_sec": {
+            "sketchlib_hll": flag_t,
+            "spark_approx_count_distinct": native_approx_sec,
+            "spark_exact_count_distinct": exact_sec,
+        },
     }
     spark.stop()
     print(json.dumps(out))

@@ -106,3 +106,88 @@ def hll_streaming_estimates(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def hll_windowed_streaming_estimates(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    p: int = 14,
+    seed: int = DEFAULT_SEED,
+    key_col: str = "event_type",
+    value_col: str = "user_id",
+    value_kind: str = "int64",
+) -> DataFrame:
+    """Event-time windowed per-key HLL with watermark-driven late-data
+    handling.
+
+    State key = (window_start, key); late rows beyond the watermark are
+    dropped by Spark before they reach the state function, and window state
+    is evicted once the watermark passes the window end (event-time timeout)
+    — the standard Structured Streaming windowed-aggregate discipline, but
+    the aggregate value is a mergeable sketch.
+    """
+    from pyspark.sql import functions as F
+
+    key_field = stream.schema[key_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("window_start", T.TimestampType(), False),
+            key_field,
+            T.StructField("est_distinct", T.LongType(), False),
+            T.StructField("n_rows", T.LongType(), False),
+        ]
+    )
+
+    def update_fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # watermark passed the window: final state already emitted in
+            # update mode; evict
+            state.remove()
+            return
+        if state.exists:
+            blob, n_rows, _ = state.get
+            sketch = HllSketch.from_bytes(bytes(blob))
+        else:
+            sketch, n_rows = HllSketch.empty(p, seed), 0
+        for pdf in pdfs:
+            values, _ = _values_from_pandas(pdf[value_col], value_kind, seed)
+            if value_kind in ("tokens", "int32"):
+                sketch.update_batch(values)
+            elif value_kind == "int64":
+                sketch.update_batch_int64(values)
+            else:
+                sketch.update_hashes(murmur64a_str_array(values, seed))
+            n_rows += len(pdf)
+        state.update((sketch.to_bytes(), n_rows, 0))
+        window_start = key[0]
+        # evict this window's state once the event-time watermark passes its
+        # end (start + duration)
+        end_ms = int(pd.Timestamp(window_start).value // 10**6) + int(
+            pd.Timedelta(window_duration).total_seconds() * 1000
+        )
+        state.setTimeoutTimestamp(end_ms)
+        yield pd.DataFrame(
+            {
+                "window_start": [window_start],
+                key_col: [key[1]],
+                "est_distinct": [sketch.cardinality()],
+                "n_rows": [n_rows],
+            }
+        )
+
+    windowed = (
+        stream.withWatermark(ts_col, watermark)
+        .withColumn("window_start", F.window(ts_col, window_duration)["start"])
+        # the event-time column must survive the projection or the watermark
+        # tag is lost and EventTimeTimeout is rejected
+        .select("window_start", key_col, value_col, ts_col)
+    )
+    return windowed.groupBy("window_start", key_col).applyInPandasWithState(
+        update_fn,
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -71,3 +71,72 @@ def test_streaming_matches_batch_oracle(spark, tmp_path):
             assert latest[src]["n_items"] == int(grp["n_tok"].sum())
     finally:
         q.stop()
+
+
+def test_windowed_streaming_with_watermark(spark, tmp_path):
+    """Event-time windowed sketches: per-(window, key) estimates match the
+
+    batch oracle; late data beyond the watermark is dropped."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from sketchlib.streaming import hll_windowed_streaming_estimates
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("user_id", T.LongType(), False),
+        ]
+    )
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    rng = np.random.default_rng(0)
+
+    def batch(hours, n):
+        return pd.DataFrame(
+            {
+                "ts": [base + pd.Timedelta(hours=h) for h in rng.choice(hours, n)],
+                "event_type": rng.choice(["click", "view"], n),
+                "user_id": rng.integers(0, 500, n),
+            }
+        )
+
+    in_dir = str(tmp_path / "win_in")
+    os.makedirs(in_dir)
+    b1 = batch([0.1, 0.5, 1.2], 2_000)
+    spark.createDataFrame(b1, schema=schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    est = hll_windowed_streaming_estimates(
+        stream, ts_col="ts", window_duration="1 hour", watermark="30 minutes", p=12
+    )
+    q = (
+        est.writeStream.format("memory")
+        .queryName("win_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "win_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from win_stream").collect()
+        latest = {}
+        for r in rows:
+            k = (r["window_start"], r["event_type"])
+            if k not in latest or r["n_rows"] > latest[k]["n_rows"]:
+                latest[k] = r
+        # batch oracle per (window, key)
+        from sketchlib.hll import HllSketch
+
+        b1w = b1.assign(win=b1["ts"].dt.floor("1h"))
+        for (win, et), grp in b1w.groupby(["win", "event_type"]):
+            oracle = HllSketch.empty(12)
+            oracle.update_batch_int64(grp["user_id"].to_numpy())
+            key = (win.to_pydatetime(), et)
+            got = {(k[0], k[1]): v for k, v in latest.items()}[key]
+            assert got["est_distinct"] == oracle.cardinality(), (win, et)
+            assert got["n_rows"] == len(grp)
+    finally:
+        q.stop()
