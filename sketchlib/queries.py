@@ -190,14 +190,9 @@ def cms_token_freq_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFr
     from .data import VOCAB
 
     agg = CmsAggregator(width_log2=18, depth=5, key_cols=[], value_col="tokens", value_kind="tokens")
-    est = agg.point_estimates(
-        sequences_path(spark, sf_dir), np.arange(VOCAB, dtype=np.int32), spark=spark
-    )
-    return (
-        est.withColumnRenamed("value", "token")
-        .orderBy(F.desc("est_freq"), F.asc("token"))
-        .limit(k)
-    )
+    # scalable path: per-partition candidate tracking, no full-vocab probe
+    hh = agg.heavy_hitters(sequences_path(spark, sf_dir), topk=k, spark=spark)
+    return hh.withColumnRenamed("value", "token")
 
 
 # ---- bloom: membership / semi-join prefilter ------------------------------------
