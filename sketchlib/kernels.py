@@ -240,15 +240,3 @@ def update_registers(registers: np.ndarray, idx: np.ndarray, rank: np.ndarray) -
     dedupe scheme and with far less memory traffic (one pass, no temporaries).
     """
     np.maximum.at(registers, idx, rank)
-
-
-def hll_update_grouped(
-    regs_flat: np.ndarray, value_codes: np.ndarray, idx: np.ndarray, rank: np.ndarray, m: int
-) -> None:
-    """Grouped scatter-max into a flat (n_groups * m) register matrix.
-
-    One ``maximum.at`` over composite addresses ``code*m + idx`` replaces a
-    per-group boolean-mask loop (O(groups x tokens) passes) with a single
-    O(tokens) pass — the grouped-build hot path.
-    """
-    np.maximum.at(regs_flat, value_codes * m + idx, rank)
