@@ -218,7 +218,7 @@ class SketchAggregator:
         spark,
         path: str,
         parallelism: int | None = None,
-        batch_rows: int = 65536,
+        batch_rows: int = 16384,
     ) -> DataFrame:
         """Partial build with task-local vectorized parquet IO.
 

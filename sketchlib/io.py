@@ -92,7 +92,7 @@ class CheckpointedBuild:
         input_path: str,
         max_shards: int | None = None,
         parallelism: int | None = None,
-        batch_rows: int = 65536,
+        batch_rows: int = 16384,
     ) -> int:
         """Sketch pending shards into the checkpoint; returns #shards done now."""
         pending = self.pending_shards(spark, input_path)
