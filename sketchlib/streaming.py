@@ -41,8 +41,69 @@ def _values_from_pandas(series: pd.Series, kind: str, seed: int):
     vals = series.dropna()
     if kind == "string":
         return vals.tolist(), len(vals)
-    dtype = {"int64": np.int64, "int32": np.int32}[kind]
+    dtype = {"int64": np.int64, "int32": np.int32, "double": np.float64}[kind]
     return vals.to_numpy().astype(dtype), len(vals)
+
+
+def sketch_streaming(
+    stream: DataFrame,
+    agg,
+    key_col: str,
+    finalize_fields,
+    finalize_fn,
+) -> DataFrame:
+    """Generic per-key streaming sketch: works for ANY SketchAggregator.
+
+    State = the sketch blob (+ row/item counts); each micro-batch updates it
+    via the aggregator's ``_update`` and emits ``finalize_fn(sketch) ->
+    dict`` columns. The same mergeable-sketch discipline as batch — a
+    streaming CMS/KLL/Bloom costs one function argument, not a new operator.
+    """
+    value_col, value_kind = agg.value_col, agg.value_kind
+    key_field = stream.schema[key_col]
+    out_schema = T.StructType(
+        [key_field]
+        + list(finalize_fields)
+        + [
+            T.StructField("n_rows", T.LongType(), False),
+            T.StructField("n_items", T.LongType(), False),
+        ]
+    )
+    from_blob = agg._merge_blobs  # blobs -> sketch (single-blob decode incl.)
+    empty = agg._empty
+    update = agg._update
+
+    def update_fn(key, pdfs, state: GroupState):
+        if state.exists:
+            blob, n_rows, n_items = state.get
+            sketch = from_blob([bytes(blob)])
+        else:
+            sketch, n_rows, n_items = empty(), 0, 0
+        for pdf in pdfs:
+            values, n_new = _values_from_pandas(pdf[value_col], value_kind, agg_seed(agg))
+            update(sketch, values)
+            n_rows += len(pdf)
+            n_items += n_new
+        state.update((sketch.to_bytes(), n_rows, n_items))
+        out = {key_col: [key[0]], "n_rows": [n_rows], "n_items": [n_items]}
+        out.update({k: [v] for k, v in finalize_fn(sketch).items()})
+        yield pd.DataFrame(out)[[f.name for f in out_schema.fields]]
+
+    return (
+        stream.select(key_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update_fn,
+            outputStructType=out_schema,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def agg_seed(agg) -> int:
+    return getattr(agg, "seed", 0)
 
 
 def hll_streaming_estimates(

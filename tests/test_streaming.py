@@ -140,3 +140,66 @@ def test_windowed_streaming_with_watermark(spark, tmp_path):
             assert got["n_rows"] == len(grp)
     finally:
         q.stop()
+
+
+def test_generic_streaming_cms_and_kll(spark, tmp_path):
+    """The generic streaming wrapper runs CMS totals and KLL medians per key
+
+    with exact/bounded agreement against batch oracles."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from sketchlib.agg import CmsAggregator, KllAggregator
+    from sketchlib.cms import CountMinSketch
+    from sketchlib.streaming import sketch_streaming
+
+    rng = np.random.default_rng(1)
+    pdf = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b"], 4_000),
+            "v": rng.normal(50, 10, 4_000),
+        }
+    )
+    schema = T.StructType(
+        [T.StructField("k", T.StringType(), False), T.StructField("v", T.DoubleType(), False)]
+    )
+    in_dir = str(tmp_path / "gen_in")
+    os.makedirs(in_dir)
+    half = len(pdf) // 2
+    spark.createDataFrame(pdf.iloc[:half], schema=schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    spark.createDataFrame(pdf.iloc[half:], schema=schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    kagg = KllAggregator(k=200, key_cols=[], value_col="v", value_kind="double")
+    est = sketch_streaming(
+        stream,
+        kagg,
+        key_col="k",
+        finalize_fields=[T.StructField("median", T.DoubleType(), False)],
+        finalize_fn=lambda s: {"median": s.quantile(0.5)},
+    )
+    q = (
+        est.writeStream.format("memory")
+        .queryName("kll_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "gen_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from kll_stream").collect()
+        latest = {}
+        for r in rows:
+            if r["k"] not in latest or r["n_rows"] > latest[r["k"]]["n_rows"]:
+                latest[r["k"]] = r
+        for key, grp in pdf.groupby("k"):
+            med = latest[key]["median"]
+            rank = (grp["v"] <= med).mean()
+            assert abs(rank - 0.5) < 0.05, (key, med, rank)
+            assert latest[key]["n_rows"] == len(grp)
+    finally:
+        q.stop()
