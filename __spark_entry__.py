@@ -26,6 +26,29 @@ _SEQ_PARQUET_SF001 = os.path.join(
 )
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make sketchlib importable on executors regardless of the launcher's
+
+    cwd (spark-submit from elsewhere won't have /root/repo on worker paths):
+    zip the package next to this file and addPyFile it. Idempotent."""
+    import zipfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join("/tmp", "sketchlib_pyfiles.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            pkg = os.path.join(here, "sketchlib")
+            for root, _, files in os.walk(pkg):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(full, os.path.relpath(full, here))
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # already added in this context
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: HLL distinct tokens per source on the canonical sequences
 
@@ -35,6 +58,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """
     from sketchlib.data import sequences_parquet
 
+    _ship_package(spark)
     sequences_parquet(spark, 20_000)
     return Q.hll_tokens_per_source(spark, "/root/testdata/sf0.001")
 

@@ -531,14 +531,13 @@ class CmsAggregator(SketchAggregator):
     ) -> DataFrame:
         """Scalable approximate top-k: (value, est_freq) rows.
 
-        Candidate generation is the classic per-partition exact top-C (a
-        value that is a global heavy hitter is a local heavy hitter in at
-        least one partition slice at C >> k), unioned and deduplicated, then
-        scored against the merged count-min sketch. No full-domain probe:
-        the shuffle carries tasks x C candidate rows + one sketch per task.
+        Candidate generation is the classic per-partition exact top-C per key
+        (a global heavy hitter is a local one in some partition slice at
+        C >> k), deduplicated, then scored against the merged count-min
+        sketch — per key when key_cols are set, globally otherwise. Fully
+        distributed: candidates never leave the cluster; the shuffle carries
+        tasks x keys x C candidate rows + one sketch row per key.
         """
-        if self.key_cols:
-            raise ValueError("heavy_hitters supports keyless aggregation only (for now)")
         if isinstance(source, str):
             from pyspark.sql import SparkSession
 
@@ -546,48 +545,123 @@ class CmsAggregator(SketchAggregator):
             df = spark.read.parquet(source)
         else:
             df = source
-        value_col, kind = self.value_col, self.value_kind
+        key_cols, value_col, kind = self.key_cols, self.value_col, self.value_kind
 
-        cand_field = {
+        arrow_type = {
+            "tokens": pa.int32(),
+            "int32": pa.int32(),
+            "int64": pa.int64(),
+            "string": pa.string(),
+        }[kind]
+        value_field = {
             "tokens": T.IntegerType(),
             "int32": T.IntegerType(),
             "int64": T.LongType(),
             "string": T.StringType(),
         }[kind]
-        cand_schema = T.StructType([T.StructField("value", cand_field, False)])
+        by_name = {f.name: f for f in df.schema.fields}
+        cand_schema = T.StructType(
+            [by_name[k] for k in key_cols] + [T.StructField("value", value_field, False)]
+        )
 
         def local_candidates(batches):
             from collections import Counter
 
-            counts: Counter = Counter()
+            counts: dict[tuple, Counter] = {}
+            key_types = None
             for batch in batches:
-                values, _ = _extract_values(batch, value_col, kind)
-                if kind == "string":
-                    counts.update(values)
+                if batch.num_rows == 0:
+                    continue
+                if key_types is None:
+                    key_types = [batch.schema.field(k).type for k in key_cols]
+                values, item_counts = _extract_values(batch, value_col, kind)
+                if key_cols:
+                    if len(key_cols) == 1:
+                        codes, uniques = pd.factorize(
+                            batch.column(key_cols[0]).to_pandas(), sort=False
+                        )
+                        uniq_tuples = [(u,) for u in uniques]
+                    else:
+                        kdf = pa.table({k: batch.column(k) for k in key_cols}).to_pandas()
+                        tuples = pd.Series(list(zip(*[kdf[k] for k in key_cols])))
+                        codes, uniques = pd.factorize(tuples, sort=False)
+                        uniq_tuples = list(uniques)
+                    value_codes = (
+                        np.repeat(codes, item_counts)
+                        if kind == "tokens"
+                        else codes[item_counts.astype(bool)]
+                    )
                 else:
-                    uniq, cnt = np.unique(values, return_counts=True)
-                    for v, c in zip(uniq.tolist(), cnt.tolist()):
-                        counts[v] += c
-            top = [v for v, _ in counts.most_common(candidates_per_task)]
-            if top:
-                arrow_type = {
-                    "tokens": pa.int32(),
-                    "int32": pa.int32(),
-                    "int64": pa.int64(),
-                    "string": pa.string(),
-                }[kind]
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(top, type=arrow_type)], names=["value"]
-                )
+                    uniq_tuples = [()]
+                    value_codes = np.zeros(
+                        int(item_counts.sum()) if kind == "tokens" else len(values),
+                        dtype=np.int64,
+                    )
+                for gi, keyt in enumerate(uniq_tuples):
+                    c = counts.setdefault(keyt, Counter())
+                    if kind == "string":
+                        c.update(v for v, m in zip(values, value_codes == gi) if m)
+                    else:
+                        gvals = values[value_codes == gi]
+                        uniq, cnt = np.unique(gvals, return_counts=True)
+                        for v, n in zip(uniq.tolist(), cnt.tolist()):
+                            c[v] += n
+            keys_out, vals_out = [], []
+            for keyt, c in counts.items():
+                for v, _ in c.most_common(candidates_per_task):
+                    keys_out.append(keyt)
+                    vals_out.append(v)
+            if not vals_out:
+                return
+            arrays = [
+                pa.array([kt[j] for kt in keys_out], type=key_types[j])
+                for j in range(len(key_cols))
+            ]
+            arrays.append(pa.array(vals_out, type=arrow_type))
+            yield pa.RecordBatch.from_arrays(arrays, names=key_cols + ["value"])
 
         cands = (
-            df.select(value_col)
+            df.select(*(key_cols + [value_col]))
             .mapInArrow(local_candidates, cand_schema)
             .distinct()
         )
-        probes = [r["value"] for r in cands.collect()]
-        est = self.point_estimates(source, probes, spark=spark)
-        return est.orderBy(F.desc("est_freq"), F.asc("value")).limit(topk)
+
+        if not key_cols:
+            probes = [r["value"] for r in cands.collect()]
+            est = self.point_estimates(source, probes, spark=spark)
+            return est.orderBy(F.desc("est_freq"), F.asc("value")).limit(topk)
+
+        # per-key: join candidate lists onto merged sketches and score in an
+        # applyInPandas task per key — nothing funnels through the driver
+        merged = self.merged(source, spark=spark)
+        cand_lists = cands.groupBy(*key_cols).agg(F.collect_list("value").alias("__probes"))
+        joined = merged.join(cand_lists, key_cols)
+        out_schema = T.StructType(
+            [by_name[k] for k in key_cols]
+            + [
+                T.StructField("value", value_field, False),
+                T.StructField("est_freq", T.LongType(), False),
+            ]
+        )
+        width_log2, depth, seed, vkind = self.width_log2, self.depth, self.seed, kind
+
+        def score(pdf: pd.DataFrame) -> pd.DataFrame:
+            sketch = CountMinSketch.from_bytes(bytes(pdf["sketch"].iloc[0]))
+            probes = list(pdf["__probes"].iloc[0])
+            if vkind == "string":
+                est = sketch.query_batch(probes, kind=vkind)
+            else:
+                np_t = {"tokens": np.int32, "int32": np.int32, "int64": np.int64}[vkind]
+                est = sketch.query_batch(np.asarray(probes, dtype=np_t), kind=vkind)
+            out = pd.DataFrame({"value": probes, "est_freq": est.astype("int64")})
+            out = out.sort_values(
+                ["est_freq", "value"], ascending=[False, True]
+            ).head(topk)
+            for k in key_cols:
+                out[k] = pdf[k].iloc[0]
+            return out[key_cols + ["value", "est_freq"]]
+
+        return joined.groupBy(*key_cols).applyInPandas(score, out_schema)
 
     def point_estimates(
         self, source, probes, *, salt: int | None = None, spark=None

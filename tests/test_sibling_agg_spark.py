@@ -125,3 +125,35 @@ def test_cms_heavy_hitters_on_zipf(spark):
     # zipf head is heavily skewed: top-10 sets must agree; CMS est ordering
     # may swap near-ties, so compare as sets
     assert set(got) == set(exact_top10), (got, exact_top10)
+
+
+def test_cms_heavy_hitters_per_key(spark):
+    """Per-key heavy hitters: distributed candidate+score path per group."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for key, shift in [("g1", 0), ("g2", 5000)]:
+        toks = (np.minimum(rng.zipf(1.5, 50_000), 2_000) + shift).astype(np.int32)
+        for chunk in np.array_split(toks, 100):
+            rows.append((key, chunk))
+    pdf = pd.DataFrame({"grp": [r[0] for r in rows], "tokens": [r[1] for r in rows]})
+    schema = T.StructType(
+        [
+            T.StructField("grp", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType(), False), False),
+        ]
+    )
+    df = spark.createDataFrame(pdf, schema=schema).repartition(5)
+    agg = CmsAggregator(width_log2=16, depth=5, key_cols=["grp"], value_col="tokens")
+    got = {}
+    for r in agg.heavy_hitters(df, topk=5).collect():
+        got.setdefault(r["grp"], []).append(r["value"])
+    for key, shift in [("g1", 0), ("g2", 5000)]:
+        toks = np.concatenate(pdf[pdf.grp == key]["tokens"].to_list())
+        uniq, cnt = np.unique(toks, return_counts=True)
+        exact_top5 = set(uniq[np.lexsort((uniq, -cnt))][:5].tolist())
+        assert set(got[key]) == exact_top5, (key, got[key], exact_top5)
+        # heavy hitters stay within their own group's token space
+        assert all((v >= shift) and (v < shift + 2001) for v in got[key])
