@@ -127,11 +127,15 @@ def lsh_topk(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: band-bucket candidate join, exact cosine rerank.
 
     At corpus scale the candidate set per probe is the union of its band
-    buckets — the full matmul never happens.
+    buckets — the full matmul never happens. ``multiprobe=1`` additionally
+    probes every bucket at Hamming distance 1 within each band (the classic
+    multi-probe LSH recall boost: bands x (1 + r) bucket lookups per query
+    instead of bands, with the corpus index unchanged).
     """
     sigs = lsh_signatures(df, bits, seed, id_col, vec_col)
     r = bits // bands
@@ -142,8 +146,27 @@ def lsh_topk(
         for b in range(bands)
     ]
     banded = sigs.select(id_col, F.explode(F.array(*[c for c in band_cols])).alias("band_key"))
-    probe_bands = banded.where(F.col(id_col).isin(list(probe_ids))).withColumnRenamed(
-        id_col, "probe_id"
+
+    # probe-side band keys computed directly from the probe vectors with the
+    # same hyperplanes (signs are normalization-invariant) — works for
+    # out-of-corpus probes too, and is where multi-probe expansion happens
+    pids, pmat = _collect_probes(df, id_col, vec_col, probe_ids)
+    dim = pmat.shape[1]
+    planes = np.random.default_rng(seed).standard_normal((bits, dim))
+    bits_mat = (pmat @ planes.T) > 0
+    weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64))[None, :]
+    probe_sigs = (bits_mat.astype(np.uint64) * weights).sum(axis=1).astype(np.uint64)
+    rows = []
+    for pid, sig in zip(pids.tolist(), probe_sigs.tolist()):
+        for b in range(bands):
+            v = (sig >> (b * r)) & band_mask
+            variants = [v]
+            if multiprobe >= 1:
+                variants += [v ^ (1 << i) for i in range(r)]
+            rows.extend((int(var + (b << r)), int(pid)) for var in variants)
+    spark = df.sparkSession
+    probe_bands = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["band_key", "probe_id"])
     )
     cands = (
         banded.join(F.broadcast(probe_bands), "band_key")
@@ -152,7 +175,6 @@ def lsh_topk(
         .distinct()
     )
     # exact rerank of candidates only
-    pids, pmat = _collect_probes(df, id_col, vec_col, probe_ids)
     pidx = {int(p): i for i, p in enumerate(pids.tolist())}
 
     vecs = df.select(F.col(id_col).alias("neighbor_id"), vec_col)
