@@ -323,6 +323,21 @@ class SketchAggregator:
             partials = source
         else:
             partials = self.partials(source)
+        if salt == "auto":
+            # stats-driven (SURVEY.md §4.2): bound reduce-task fan-in by the
+            # observed max partials-per-key. Persist so the stats pass and the
+            # merge share one build.
+            partials = partials.persist()
+            if self.key_cols:
+                hottest = (
+                    partials.groupBy(*self.key_cols)
+                    .count()
+                    .agg(F.max("count").alias("m"))
+                    .collect()[0]["m"]
+                )
+            else:
+                hottest = partials.count()
+            salt = max(2, -(-int(hottest) // 64)) if hottest and hottest > 64 else None
         if salt and salt > 1:
             salted = partials.withColumn(
                 "__salt", F.pmod(F.spark_partition_id(), F.lit(salt)).cast("int")

@@ -161,3 +161,16 @@ def test_high_cardinality_grouping(spark, tiny_pdf):
         oracle = HllSketch.empty(16)
         oracle.update_batch(np.asarray(row["tokens"], dtype=np.int32))
         assert got[row["doc_id"]] == oracle.to_bytes(), row["doc_id"]
+
+
+def test_auto_salt_equals_unsalted(spark, tiny_pdf):
+    df = spark.createDataFrame(tiny_pdf, schema=SEQUENCES_SCHEMA).repartition(70)
+    agg = HllAggregator(p=P, key_cols=["source"])
+    plain = {r["source"]: bytes(r["sketch"]) for r in agg.merged(df).collect()}
+    auto = {r["source"]: bytes(r["sketch"]) for r in agg.merged(df, salt="auto").collect()}
+    assert plain == auto
+    # keyless too, with >64 partials to actually trigger the salted stage
+    g = HllAggregator(p=P, key_cols=[])
+    a = bytes(g.merged(df, salt="auto").collect()[0]["sketch"])
+    b = bytes(g.merged(df).collect()[0]["sketch"])
+    assert a == b
