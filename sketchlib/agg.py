@@ -72,7 +72,9 @@ def _extract_values(batch: pa.RecordBatch, value_col: str, kind: str):
         counts = valid.astype(np.int64)
         arr = arr.drop_null()
     if kind == "string":
-        return arr.to_pylist(), counts
+        # keep the arrow array: the murmur kernel hashes its (offsets, data)
+        # buffers directly with no per-key Python
+        return arr, counts
     np_dtype = {"int64": np.int64, "int32": np.int32, "double": np.float64}[kind]
     return arr.to_numpy(zero_copy_only=False).astype(np_dtype), counts
 
@@ -120,7 +122,9 @@ class SketchAggregator:
             return
         for gi, s in enumerate(sketches):
             mask = value_codes == gi
-            if isinstance(values, list):
+            if isinstance(values, pa.Array):
+                gvals = values.filter(pa.array(mask))
+            elif isinstance(values, list):
                 gvals = [v for v, mk in zip(values, mask) if mk]
             else:
                 gvals = values[mask]
@@ -615,7 +619,12 @@ class CmsAggregator(SketchAggregator):
                 for gi, keyt in enumerate(uniq_tuples):
                     c = counts.setdefault(keyt, Counter())
                     if kind == "string":
-                        c.update(v for v, m in zip(values, value_codes == gi) if m)
+                        gvals = (
+                            values.filter(pa.array(value_codes == gi)).to_pylist()
+                            if isinstance(values, pa.Array)
+                            else [v for v, m in zip(values, value_codes == gi) if m]
+                        )
+                        c.update(gvals)
                     else:
                         gvals = values[value_codes == gi]
                         uniq, cnt = np.unique(gvals, return_counts=True)

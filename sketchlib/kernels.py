@@ -90,13 +90,81 @@ def murmur64a_bytes(data: bytes | str, seed: int = DEFAULT_SEED) -> int:
     return h
 
 
-def murmur64a_str_array(values, seed: int = DEFAULT_SEED) -> np.ndarray:
-    """Vectorized MurmurHash64A over an array-like of str/bytes keys.
+def murmur64a_varlen(offsets: np.ndarray, data: np.ndarray, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Vectorized MurmurHash64A over variable-length byte strings laid out
 
-    Batched (one Python loop per batch, constant work per key) — used for
-    string-key sketches where keys are not int32 tokens. For the int token
-    hot path use :func:`murmur64a_int32`.
+    Arrow-style: ``data`` is the concatenated utf8/byte buffer, ``offsets``
+    (n+1 entries) delimits each key. Block loops are vectorized by iterating
+    block INDEX (few per key for word-sized keys) and gathering each round's
+    8-byte blocks for all still-active keys at once. Bit-identical to
+    :func:`murmur64a_bytes` (property-tested).
     """
+    offs = np.asarray(offsets, dtype=np.int64)
+    data = np.asarray(data, dtype=np.uint8)
+    n = len(offs) - 1
+    lens = (offs[1:] - offs[:-1]).astype(np.uint64)
+    h = (np.uint64(seed) ^ (lens * _M64)).astype(np.uint64)
+    nblocks = (lens >> np.uint64(3)).astype(np.int64)
+    starts = offs[:-1]
+    max_blocks = int(nblocks.max()) if n else 0
+    for blk in range(max_blocks):
+        mask = nblocks > blk
+        idx = (starts[mask] + blk * 8)[:, None] + np.arange(8)
+        k = np.ascontiguousarray(data[idx]).view(np.uint64)[:, 0].copy()
+        k *= _M64
+        k ^= k >> _R47
+        k *= _M64
+        hm = h[mask]
+        hm ^= k
+        hm *= _M64
+        h[mask] = hm
+    tlens = (lens & np.uint64(7)).astype(np.int64)
+    tmask = tlens > 0
+    if tmask.any():
+        tstarts = starts[tmask] + nblocks[tmask] * 8
+        cols = np.arange(7)
+        idx = np.minimum(tstarts[:, None] + cols, len(data) - 1)
+        raw = data[idx].astype(np.uint64)
+        valid = cols[None, :] < tlens[tmask][:, None]
+        shifts = (np.uint64(8) * np.arange(7, dtype=np.uint64))[None, :]
+        t = np.where(valid, raw << shifts, np.uint64(0)).sum(axis=1, dtype=np.uint64)
+        hm = h[tmask]
+        hm ^= t
+        hm *= _M64
+        h[tmask] = hm
+    h ^= h >> _R47
+    h *= _M64
+    h ^= h >> _R47
+    return h
+
+
+def murmur64a_str_array(values, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Vectorized MurmurHash64A over string keys.
+
+    Accepts a pyarrow String/Binary Array (zero-copy buffer path — the hot
+    path for string-key sketches) or any iterable of str/bytes (scalar
+    fallback). Identical output to :func:`murmur64a_bytes` per key.
+    """
+    try:
+        import pyarrow as pa
+
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        if isinstance(values, pa.Array):
+            t = values.type
+            small = pa.types.is_string(t) or pa.types.is_binary(t)
+            large = pa.types.is_large_string(t) or pa.types.is_large_binary(t)
+            if small or large:
+                if values.null_count:
+                    values = values.drop_null()
+                obuf = np.frombuffer(
+                    values.buffers()[1], dtype=np.int64 if large else np.int32
+                )
+                offsets = obuf[values.offset : values.offset + len(values) + 1]
+                data = np.frombuffer(values.buffers()[2], dtype=np.uint8)
+                return murmur64a_varlen(offsets, data, seed)
+    except ImportError:
+        pass
     out = np.empty(len(values), dtype=np.uint64)
     for i, v in enumerate(values):
         out[i] = murmur64a_bytes(v, seed)

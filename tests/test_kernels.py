@@ -125,3 +125,29 @@ def test_fast_hash_index_rank_parity():
     # second call reuses scratch; results must still be right
     i3, r3 = hll_hash_index_rank_fast(vals[:10], 314, 14, "int64")
     assert np.array_equal(i1[:10].astype(np.uint64), i3) and np.array_equal(r1[:10], r3)
+
+
+def test_varlen_string_hash_parity():
+    """Arrow buffer-path string hashing == scalar murmur64a_bytes per key."""
+    import pyarrow as pa
+
+    from sketchlib.kernels import murmur64a_str_array
+
+    rng = np.random.default_rng(3)
+    keys = []
+    for n in [0, 1, 3, 7, 8, 9, 15, 16, 17, 40, 100]:
+        keys.append("x" * n)
+    keys += ["héllo wörld", "日本語テキスト", "a b c", "\x00\x01bin"]
+    keys += ["".join(chr(rng.integers(32, 1000)) for _ in range(rng.integers(0, 50))) for _ in range(200)]
+    arr = pa.array(keys, type=pa.string())
+    got = murmur64a_str_array(arr)
+    for i, k in enumerate(keys):
+        assert int(got[i]) == murmur64a_bytes(k, 314), (i, repr(k))
+    # sliced arrays (non-zero arrow offset) and nulls
+    arr2 = pa.array(keys[:10] + [None] + keys[10:], type=pa.string()).slice(3, 40)
+    got2 = murmur64a_str_array(arr2)
+    expect = [murmur64a_bytes(k, 314) for k in arr2.drop_null().to_pylist()]
+    assert got2.tolist() == expect
+    # list fallback still works
+    got3 = murmur64a_str_array(keys[:5])
+    assert got3.tolist() == [murmur64a_bytes(k, 314) for k in keys[:5]]
