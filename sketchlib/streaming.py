@@ -40,7 +40,10 @@ def _values_from_pandas(series: pd.Series, kind: str, seed: int):
         return flat, len(flat)
     vals = series.dropna()
     if kind == "string":
-        return vals.tolist(), len(vals)
+        import pyarrow as pa
+
+        arr = pa.array(vals, type=pa.string())
+        return arr, len(arr)
     dtype = {"int64": np.int64, "int32": np.int32, "double": np.float64}[kind]
     return vals.to_numpy().astype(dtype), len(vals)
 
