@@ -194,3 +194,69 @@ def lsh_topk(
         .select("probe_id", "rank", "neighbor_id")
         .orderBy("probe_id", "rank")
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    probe_ids,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe_clusters: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: spherical k-means coarse quantizer (Spark ML),
+
+    probe the n_probe nearest cells, exact cosine rerank inside them.
+
+    The scale path complement to LSH: the index is a cluster id per vector
+    (one int column); a query touches n_probe/n_clusters of the corpus. At
+    10^9+ vectors the KMeans fit runs on a sample and the assignment is one
+    broadcast matmul pass.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = df.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("__v")
+    )
+    norm = Normalizer(inputCol="__v", outputCol="__nv", p=2.0)
+    normalized = norm.transform(vecs)
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="__nv", predictionCol="__cell")
+    model = km.fit(normalized)
+    assigned = model.transform(normalized).select(id_col, vec_col, "__cell")
+
+    centers = _normalize(np.array([np.asarray(c) for c in model.clusterCenters()]))
+    pids, pmat = _collect_probes(df, id_col, vec_col, probe_ids)
+    # nearest cells per probe by cosine to (re-normalized) centroids
+    cell_sims = pmat @ centers.T  # (probes, clusters)
+    probe_cells = []
+    for i, pid in enumerate(pids.tolist()):
+        order = np.argsort(-cell_sims[i])[:n_probe_clusters]
+        probe_cells.extend((int(pid), int(c)) for c in order)
+    spark = df.sparkSession
+    pc_df = spark.createDataFrame(pd.DataFrame(probe_cells, columns=["probe_id", "__cell"]))
+
+    cands = (
+        assigned.join(F.broadcast(pc_df), "__cell")
+        .where(F.col(id_col) != F.col("probe_id"))
+        .select("probe_id", F.col(id_col).alias("neighbor_id"), vec_col)
+    )
+    pidx = {int(p): i for i, p in enumerate(pids.tolist())}
+
+    @F.pandas_udf(T.DoubleType())
+    def cosine_to_probe(probe: pd.Series, emb: pd.Series) -> pd.Series:
+        mat = _normalize(np.array(emb.tolist(), dtype=np.float64))
+        rows = np.array([pidx[int(p)] for p in probe])
+        return pd.Series(np.einsum("ij,ij->i", mat, pmat[rows]))
+
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("sim", cosine_to_probe(F.col("probe_id"), F.col(vec_col)))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "rank", "neighbor_id")
+        .orderBy("probe_id", "rank")
+    )

@@ -81,3 +81,19 @@ def test_multiprobe_improves_recall(spark, emb_df, emb_np):
     )
     assert multi >= base  # more buckets can only add candidates
     assert multi >= base + 0.2, (base, multi)  # observed: 0.12 -> 0.60
+
+
+def test_ivf_recall_vs_brute_force(spark, emb_df, emb_np):
+    from sketchlib.similarity import ivf_topk
+
+    ids, mat = emb_np
+    probes = [0, 1, 2, 3, 4]
+    exact = numpy_topk(ids, mat, probes, 10)
+    approx = ivf_topk(emb_df, probes, k=10, n_clusters=16, n_probe_clusters=6, seed=7).collect()
+    by = {}
+    for r in approx:
+        by.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    recalls = [len(by.get(p, set()) & set(exact[p])) / 10 for p in probes]
+    assert np.mean(recalls) >= 0.6, recalls
+    for r in approx:
+        assert r["neighbor_id"] != r["probe_id"]
