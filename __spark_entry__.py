@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_stats": Q.multimodal_decode_stats,
         "ann_bruteforce_top5": Q.ann_bruteforce_top5,
         "ann_lsh_recall": Q.ann_lsh_recall,
+        "ann_ivf_recall": Q.ann_ivf_recall,
         "text_quality_per_source": Q.text_quality_per_source,
         "bpe_token_count_per_lang": Q.bpe_token_count_per_lang,
         "fingerprint_distinct_docs": Q.fingerprint_distinct_docs,
@@ -214,6 +215,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5 ORDER BY probe_id, rank
         """,
         "ann_lsh_recall": """
+            SELECT 5::BIGINT AS n_probes, TRUE AS mean_recall_ge_half
+        """,
+        "ann_ivf_recall": """
             SELECT 5::BIGINT AS n_probes, TRUE AS mean_recall_ge_half
         """,
         "text_quality_per_source": """

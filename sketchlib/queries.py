@@ -656,3 +656,23 @@ def sql_over_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM merged_sketches ORDER BY source
         """
     )
+
+
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF (k-means cells) index vs brute force."""
+    from .similarity import brute_force_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = [0, 1, 2, 3, 4]
+    exact = brute_force_topk(emb, probes, k=10).collect()
+    approx = ivf_topk(emb, probes, k=10, n_clusters=16, n_probe_clusters=6, seed=7).collect()
+    ex, ap = {}, {}
+    for r in exact:
+        ex.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        ap.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    recalls = [len(ap.get(p, set()) & ex[p]) / len(ex[p]) for p in probes]
+    return spark.createDataFrame(
+        [(len(probes), bool(sum(recalls) / len(recalls) >= 0.5))],
+        "n_probes long, mean_recall_ge_half boolean",
+    )
