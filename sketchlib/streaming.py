@@ -255,3 +255,69 @@ def hll_windowed_streaming_estimates(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def sketch_streaming_windowed(
+    stream: DataFrame,
+    agg,
+    ts_col: str,
+    key_col: str,
+    finalize_fields,
+    finalize_fn,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Generic event-time windowed streaming sketch for any aggregator.
+
+    State key = (window_start, key); late rows beyond the watermark are
+    dropped by Spark; state evicts on event-time timeout when the watermark
+    passes the window end. Same finalize contract as sketch_streaming.
+    """
+    from pyspark.sql import functions as F
+
+    value_col, value_kind = agg.value_col, agg.value_kind
+    key_field = stream.schema[key_col]
+    out_schema = T.StructType(
+        [T.StructField("window_start", T.TimestampType(), False), key_field]
+        + list(finalize_fields)
+        + [T.StructField("n_rows", T.LongType(), False)]
+    )
+    empty = agg._empty
+    update = agg._update
+    from_blob = agg._merge_blobs
+
+    def update_fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            blob, n_rows, _ = state.get
+            sketch = from_blob([bytes(blob)])
+        else:
+            sketch, n_rows = empty(), 0
+        for pdf in pdfs:
+            values, _ = _values_from_pandas(pdf[value_col], value_kind, agg_seed(agg))
+            update(sketch, values)
+            n_rows += len(pdf)
+        state.update((sketch.to_bytes(), n_rows, 0))
+        window_start = key[0]
+        end_ms = int(pd.Timestamp(window_start).value // 10**6) + int(
+            pd.Timedelta(window_duration).total_seconds() * 1000
+        )
+        state.setTimeoutTimestamp(end_ms)
+        out = {"window_start": [window_start], key_col: [key[1]], "n_rows": [n_rows]}
+        out.update({k: [v] for k, v in finalize_fn(sketch).items()})
+        yield pd.DataFrame(out)[[f.name for f in out_schema.fields]]
+
+    windowed = (
+        stream.withWatermark(ts_col, watermark)
+        .withColumn("window_start", F.window(ts_col, window_duration)["start"])
+        .select("window_start", key_col, value_col, ts_col)
+    )
+    return windowed.groupBy("window_start", key_col).applyInPandasWithState(
+        update_fn,
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -203,3 +203,69 @@ def test_generic_streaming_cms_and_kll(spark, tmp_path):
             assert latest[key]["n_rows"] == len(grp)
     finally:
         q.stop()
+
+
+def test_generic_windowed_streaming_tdigest(spark, tmp_path):
+    """Windowed generic wrapper with a t-digest: per-(window, key) p50 within
+
+    bound of the batch oracle."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from sketchlib.agg import TDigestAggregator
+    from sketchlib.streaming import sketch_streaming_windowed
+
+    rng = np.random.default_rng(4)
+    base = pd.Timestamp("2026-02-01")
+    pdf = pd.DataFrame(
+        {
+            "ts": [base + pd.Timedelta(minutes=int(m)) for m in rng.integers(0, 120, 3000)],
+            "k": rng.choice(["x", "y"], 3000),
+            "v": rng.normal(10, 2, 3000),
+        }
+    )
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("k", T.StringType(), False),
+            T.StructField("v", T.DoubleType(), False),
+        ]
+    )
+    in_dir = str(tmp_path / "wg_in")
+    os.makedirs(in_dir)
+    spark.createDataFrame(pdf, schema=schema).coalesce(1).write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    agg = TDigestAggregator(delta=100, key_cols=[], value_col="v", value_kind="double")
+    est = sketch_streaming_windowed(
+        stream,
+        agg,
+        ts_col="ts",
+        key_col="k",
+        finalize_fields=[T.StructField("p50", T.DoubleType(), False)],
+        finalize_fn=lambda s: {"p50": s.quantile(0.5)},
+        window_duration="1 hour",
+        watermark="30 minutes",
+    )
+    q = (
+        est.writeStream.format("memory")
+        .queryName("wg_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "wg_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from wg_stream").collect()
+        latest = {}
+        for r in rows:
+            kk = (r["window_start"], r["k"])
+            if kk not in latest or r["n_rows"] > latest[kk]["n_rows"]:
+                latest[kk] = r
+        pdfw = pdf.assign(win=pdf["ts"].dt.floor("1h"))
+        for (win, kk), grp in pdfw.groupby(["win", "k"]):
+            got = latest[(win.to_pydatetime(), kk)]
+            rank = (grp["v"] <= got["p50"]).mean()
+            assert abs(rank - 0.5) < 0.06, (win, kk, rank)
+            assert got["n_rows"] == len(grp)
+    finally:
+        q.stop()
