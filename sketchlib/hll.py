@@ -168,6 +168,9 @@ class HllSketch:
         tokens); str/bytes exactly as the reference's buffer parse. Returns
         True iff a register changed (dense-mode semantics).
         """
+        if isinstance(value, (bytearray, memoryview)):
+            # reference parses any buffer via "s#" (src/hll.c:636)
+            value = bytes(value)
         if isinstance(value, (bytes, str)):
             h = murmur64a_bytes(value, self.seed)
         else:

@@ -217,3 +217,13 @@ def test_sparse_at_rest_codec():
     # boundary: empty sketch
     e = HllSketch.from_bytes(HllSketch.empty(12).to_bytes())
     assert not e.registers.any()
+
+
+def test_add_accepts_buffer_objects():
+    """Reference add() parses any buffer via 's#' (test.py:15-25 semantics)."""
+    a, b, c = HllSketch.empty(10), HllSketch.empty(10), HllSketch.empty(10)
+    a.add(b"payload")
+    b.add(bytearray(b"payload"))
+    c.add(memoryview(b"payload"))
+    assert np.array_equal(a.registers, b.registers)
+    assert np.array_equal(a.registers, c.registers)
