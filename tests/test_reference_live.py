@@ -90,3 +90,28 @@ def test_live_sparse_mode_equivalence(ref_hll):
     ref_regs = np.array([ref.get_register(i) for i in range(1 << 12)], dtype=np.uint8)
     assert np.array_equal(ours.registers, ref_regs)
     assert ours.cardinality() == ref.cardinality()
+
+
+def test_live_merge_parity(ref_hll):
+    """merge() semantics: reference in-place max-merge == our merge."""
+    rng = np.random.default_rng(5)
+    a_t = rng.integers(0, 50_000, 4_000).astype(np.int32)
+    b_t = rng.integers(25_000, 75_000, 4_000).astype(np.int32)
+
+    ref_a = ref_hll.HyperLogLog(p=12, seed=314, sparse=False)
+    ref_b = ref_hll.HyperLogLog(p=12, seed=314, sparse=False)
+    for t in a_t.tolist():
+        ref_a.add(struct.pack("<i", t))
+    for t in b_t.tolist():
+        ref_b.add(struct.pack("<i", t))
+    ref_a.merge(ref_b)
+
+    ours_a = HllSketch.empty(12, 314)
+    ours_a.update_batch(a_t)
+    ours_b = HllSketch.empty(12, 314)
+    ours_b.update_batch(b_t)
+    ours_a.merge(ours_b)
+
+    ref_regs = np.array([ref_a.get_register(i) for i in range(1 << 12)], dtype=np.uint8)
+    assert np.array_equal(ours_a.registers, ref_regs)
+    assert ours_a.cardinality() == ref_a.cardinality()
