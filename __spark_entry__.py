@@ -35,14 +35,24 @@ def _ship_package(spark: SparkSession) -> None:
 
     here = os.path.dirname(os.path.abspath(__file__))
     zpath = os.path.join("/tmp", "sketchlib_pyfiles.zip")
-    if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as z:
-            pkg = os.path.join(here, "sketchlib")
-            for root, _, files in os.walk(pkg):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        z.write(full, os.path.relpath(full, here))
+    pkg = os.path.join(here, "sketchlib")
+    sources = [
+        os.path.join(root, f)
+        for root, _, files in os.walk(pkg)
+        for f in files
+        if f.endswith(".py")
+    ]
+    # rebuild whenever any source is newer than the zip — a stale cached zip
+    # ships old code to executors after a library change
+    stale = not os.path.exists(zpath) or os.path.getmtime(zpath) < max(
+        os.path.getmtime(s) for s in sources
+    )
+    if stale:
+        tmp = f"{zpath}.{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for full in sorted(sources):
+                z.write(full, os.path.relpath(full, here))
+        os.replace(tmp, zpath)
     try:
         spark.sparkContext.addPyFile(zpath)
     except Exception:

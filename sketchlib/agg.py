@@ -49,6 +49,34 @@ _COUNT_FIELDS = [
 VALUE_KINDS = ("tokens", "int64", "int32", "double", "string")
 
 
+def _group_codes(batch: pa.RecordBatch, key_cols: list[str]):
+    """(codes int64 per row, unique key tuples) with Spark groupBy null
+    semantics: null is a valid group key.
+
+    Single key: Arrow dictionary_encode (null rows get the appended null
+    group; unique values converted to Python only at uniques granularity, so
+    int keys stay ints — no pandas float coercion). Multi key: null-safe
+    Python tuples (tuples are never NA, so pd.factorize can't emit -1).
+    """
+    if len(key_cols) == 1:
+        enc = batch.column(key_cols[0]).dictionary_encode()
+        uniq_tuples = [(u,) for u in enc.dictionary.to_pylist()]
+        idx = enc.indices
+        if idx.null_count:
+            codes = (
+                pc.fill_null(idx, len(uniq_tuples))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            uniq_tuples.append((None,))
+        else:
+            codes = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        return codes, uniq_tuples
+    tuples = pd.Series(list(zip(*[batch.column(k).to_pylist() for k in key_cols])))
+    codes, uniques = pd.factorize(tuples, sort=False)
+    return codes.astype(np.int64), list(uniques)
+
+
 def _extract_values(batch: pa.RecordBatch, value_col: str, kind: str):
     """Return (flat numpy values, per-row item counts) for one Arrow batch.
 
@@ -160,17 +188,7 @@ class SketchAggregator:
                     key_types = [batch.schema.field(k).type for k in key_cols]
                 values, counts = _extract_values(batch, value_col, kind)
                 if key_cols:
-                    if len(key_cols) == 1:
-                        keys = batch.column(key_cols[0]).to_pandas()
-                        codes, uniques = pd.factorize(keys, sort=False)
-                        uniq_tuples = [(u,) for u in uniques]
-                    else:
-                        kdf = pa.table(
-                            {k: batch.column(k) for k in key_cols}
-                        ).to_pandas()
-                        tuples = pd.Series(list(zip(*[kdf[k] for k in key_cols])))
-                        codes, uniques = pd.factorize(tuples, sort=False)
-                        uniq_tuples = list(uniques)
+                    codes, uniq_tuples = _group_codes(batch, key_cols)
                 else:
                     codes = np.zeros(batch.num_rows, dtype=np.int64)
                     uniq_tuples = [()]
@@ -327,11 +345,14 @@ class SketchAggregator:
             partials = source
         else:
             partials = self.partials(source)
+        auto_persisted = None
         if salt == "auto":
             # stats-driven (SURVEY.md §4.2): bound reduce-task fan-in by the
             # observed max partials-per-key. Persist so the stats pass and the
-            # merge share one build.
-            partials = partials.persist()
+            # merge share one build; released below once the merge result is
+            # materialized (eager localCheckpoint) so executor storage isn't
+            # pinned for the rest of the session.
+            partials = auto_persisted = partials.persist()
             if self.key_cols:
                 hottest = (
                     partials.groupBy(*self.key_cols)
@@ -350,9 +371,15 @@ class SketchAggregator:
             partials = stage1.drop("__salt")
         if not self.key_cols:
             const = partials.withColumn("__g", F.lit(0))
-            out = self._merge_stage(const, ["__g"])
-            return out.drop("__g")
-        return self._merge_stage(partials, self.key_cols)
+            out = self._merge_stage(const, ["__g"]).drop("__g")
+        else:
+            out = self._merge_stage(partials, self.key_cols)
+        if auto_persisted is not None:
+            # merged output is sketch-sized (one row per key): materialize it
+            # now, then release the cached partials
+            out = out.localCheckpoint(eager=True)
+            auto_persisted.unpersist()
+        return out
 
     def finalize_rows(
         self,
@@ -595,16 +622,7 @@ class CmsAggregator(SketchAggregator):
                     key_types = [batch.schema.field(k).type for k in key_cols]
                 values, item_counts = _extract_values(batch, value_col, kind)
                 if key_cols:
-                    if len(key_cols) == 1:
-                        codes, uniques = pd.factorize(
-                            batch.column(key_cols[0]).to_pandas(), sort=False
-                        )
-                        uniq_tuples = [(u,) for u in uniques]
-                    else:
-                        kdf = pa.table({k: batch.column(k) for k in key_cols}).to_pandas()
-                        tuples = pd.Series(list(zip(*[kdf[k] for k in key_cols])))
-                        codes, uniques = pd.factorize(tuples, sort=False)
-                        uniq_tuples = list(uniques)
+                    codes, uniq_tuples = _group_codes(batch, key_cols)
                     value_codes = (
                         np.repeat(codes, item_counts)
                         if kind == "tokens"
@@ -659,7 +677,13 @@ class CmsAggregator(SketchAggregator):
         # applyInPandas task per key — nothing funnels through the driver
         merged = self.merged(source, spark=spark)
         cand_lists = cands.groupBy(*key_cols).agg(F.collect_list("value").alias("__probes"))
-        joined = merged.join(cand_lists, key_cols)
+        # eqNullSafe: a null group key is a valid group and must survive the join
+        cond = [
+            merged[k].eqNullSafe(cand_lists[k]) for k in key_cols
+        ]
+        joined = merged.join(cand_lists, cond).select(
+            *[merged[k] for k in key_cols], merged["sketch"], cand_lists["__probes"]
+        )
         out_schema = T.StructType(
             [by_name[k] for k in key_cols]
             + [

@@ -91,6 +91,15 @@ class CountMinSketch:
     def update_batch(self, values, kind: str = "tokens", weights: np.ndarray | None = None) -> None:
         if len(values) == 0:
             return
+        if weights is not None:
+            weights = np.asarray(weights)
+            if not np.issubdtype(weights.dtype, np.integer):
+                # counters are integer: silently flooring float mass would
+                # undercount totals and drift the row-sum invariant
+                raise TypeError(
+                    f"weights must be an integer array (got {weights.dtype}); "
+                    "round explicitly before updating"
+                )
         h1, h2 = self._hash_pair(values, kind)
         for j in range(self.depth):
             pos = self._positions(h1, h2, j)

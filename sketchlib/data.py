@@ -129,36 +129,31 @@ def sequences_parquet(
 def tokenize_documents(docs: DataFrame) -> DataFrame:
     """Tokenize the driver `documents` table into the sequences shape.
 
-    Stable token ids via a sorted vocab (FIXTURES.md §2): id = dense rank of
-    the token string over the distinct-vocabulary — reproducible in ANSI SQL
-    (``dense_rank() over (order by tok)``), which keeps DuckDB oracles
-    possible. The vocab is tiny relative to the corpus, so the rank window
-    plus broadcast join is the right plan even at scale (vocab ≪ corpus).
-    """
-    from pyspark.sql.window import Window
+    Token ids via the hashing trick: id = xxhash64(word) folded into
+    [0, 2^31) — deterministic, stateless, and a pure narrow projection
+    (transform over the split array). No vocabulary pass, no window, no
+    join, no shuffle: the tokenizer is embarrassingly parallel at any
+    corpus size, which is the property that matters at 10^12 documents
+    (a dense-rank vocab would funnel 10^8+ distinct words through a sort).
 
+    Collisions (~n_vocab^2 / 2^32) only merge two word identities for
+    downstream *approximate* operators — the per-row invariant
+    ``n_tok == size(tokens) == whitespace word count`` is exact and is what
+    the oracle checks. ``words`` is kept as its own projection so Catalyst
+    does not re-expand the regexp split into both consumers.
+    """
     words = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.col("source"),
-        F.split(F.trim(F.col("text")), r"\s+").alias("words"),
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "").alias("words"),
     )
-    vocab = (
-        words.select(F.explode("words").alias("word"))
-        .where(F.col("word") != "")
-        .distinct()
-        .withColumn("token", (F.dense_rank().over(Window.orderBy("word")) - 1).cast("int"))
-    )
-    exploded = words.select("doc_id", "source", F.posexplode("words").alias("pos", "word"))
-    return (
-        exploded.join(F.broadcast(vocab), "word")
-        .groupBy("doc_id", "source")
-        .agg(F.sort_array(F.collect_list(F.struct("pos", "token"))).alias("pt"))
-        .select(
-            "doc_id",
-            F.col("pt.token").alias("tokens"),
-            F.size("pt").cast("int").alias("n_tok"),
-            "source",
-        )
+    return words.select(
+        "doc_id",
+        F.transform(
+            "words", lambda w: F.pmod(F.xxhash64(w), F.lit(2147483648)).cast("int")
+        ).alias("tokens"),
+        F.size("words").cast("int").alias("n_tok"),
+        "source",
     )
 
 

@@ -86,9 +86,24 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, doc_col: str = "doc_id", bands: int = 16, seed: int = DEFAULT_SEED
+    sig_df: DataFrame,
+    doc_col: str = "doc_id",
+    bands: int = 16,
+    seed: int = DEFAULT_SEED,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
-    """(a, b) candidate pairs from banded LSH buckets (a < b)."""
+    """(a, b) candidate pairs from banded LSH buckets (a < b).
+
+    ``max_bucket`` guards the self-join against degenerate hot buckets: a
+    band bucket of B docs emits B^2 candidate rows, so one pathological key
+    (e.g. every near-empty doc sharing a band value) turns the linear
+    bucketed shuffle quadratic. Buckets above the cap are dropped — the
+    standard MinHash-LSH mitigation; it only affects recall *inside*
+    degenerate buckets, where near-dup semantics are meaningless anyway.
+    The count window shares the band_key hash partitioning with the join,
+    so Spark reuses the exchange instead of adding a shuffle.
+    """
+    from pyspark.sql import Window
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def bands_udf(blobs: pd.Series) -> pd.Series:
@@ -101,6 +116,14 @@ def lsh_candidate_pairs(
     banded = sig_df.select(
         F.col(doc_col), F.explode(bands_udf(F.col("sig"))).alias("band_key")
     )
+    if max_bucket is not None:
+        banded = (
+            banded.withColumn(
+                "__bucket_n", F.count("*").over(Window.partitionBy("band_key"))
+            )
+            .where(F.col("__bucket_n") <= max_bucket)
+            .drop("__bucket_n")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -120,10 +143,17 @@ def near_dup_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     seed: int = DEFAULT_SEED,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
-    """(a, b, est_jaccard >= threshold) via MinHash + LSH + signature verify."""
+    """(a, b, est_jaccard >= threshold) via MinHash + LSH + signature verify.
+
+    The signature table is cached for its three consumers (candidate
+    generation + both verify joins); retention is session-scoped and
+    sketch-sized (k x 8 bytes per doc), spilled/evicted by Spark's LRU under
+    pressure.
+    """
     sigs = minhash_signatures(df, doc_col, tokens_col, k, shingle_n, seed).cache()
-    cands = lsh_candidate_pairs(sigs, doc_col, bands, seed)
+    cands = lsh_candidate_pairs(sigs, doc_col, bands, seed, max_bucket=max_bucket)
 
     @F.pandas_udf(T.DoubleType())
     def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:

@@ -36,7 +36,11 @@ def _values_from_pandas(series: pd.Series, kind: str, seed: int):
     if kind == "tokens":
         if len(series) == 0:
             return np.empty(0, dtype=np.int32), 0
-        flat = np.concatenate([np.asarray(a, dtype=np.int32) for a in series])
+        # null token lists contribute no items (batch-path parity: the Arrow
+        # extractor fills null list lengths with 0)
+        flat = np.concatenate(
+            [np.asarray(a if a is not None else [], dtype=np.int32) for a in series]
+        )
         return flat, len(flat)
     vals = series.dropna()
     if kind == "string":

@@ -153,3 +153,39 @@ def test_simhash_properties(spark, corpus_df, corpus):
     # deterministic + matches the numpy oracle
     sh = token_shingles(by_id["d0000"].astype(np.int64), 2)
     assert fps["d0000"] == np.int64(np.uint64(simhash64(sh)))
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """A degenerate bucket (many identical docs -> identical band keys) must
+    not go quadratic: with a cap the candidate count collapses; without it
+    the self-join emits B^2 pairs (VERDICT r01 #2)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    n = 120
+    tok = np.arange(50, dtype=np.int32)
+    pdf = pd.DataFrame(
+        {"doc_id": [f"h{i:04d}" for i in range(n)], "tokens": [tok.copy() for _ in range(n)]}
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType(), False), False),
+        ]
+    )
+    df = spark.createDataFrame(pdf, schema)
+    sigs = minhash_signatures(df, k=64)
+    uncapped = lsh_candidate_pairs(sigs, bands=16, max_bucket=None).count()
+    assert uncapped == n * (n - 1) // 2  # quadratic blow-up demonstrated
+    capped = lsh_candidate_pairs(sigs, bands=16, max_bucket=50).count()
+    assert capped == 0  # every bucket holds all 120 docs > cap -> dropped
+
+
+def test_lsh_cap_leaves_normal_buckets_untouched(spark, corpus_df):
+    sigs = minhash_signatures(corpus_df, k=128)
+    default = {tuple(sorted((r["a"], r["b"]))) for r in lsh_candidate_pairs(sigs, bands=32).collect()}
+    uncapped = {
+        tuple(sorted((r["a"], r["b"])))
+        for r in lsh_candidate_pairs(sigs, bands=32, max_bucket=None).collect()
+    }
+    assert default == uncapped  # no bucket in the fixture exceeds the cap

@@ -1,0 +1,122 @@
+"""Null handling: null group keys are valid groups (Spark groupBy
+semantics), null values are skipped, and null token lists behave as [].
+
+Locks the ADVICE r01 fix: pd.factorize's -1 NA sentinel used to crash the
+partial build (np.bincount on negative codes) for any nullable key column.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sketchlib.agg import HllAggregator, CmsAggregator
+
+
+@pytest.fixture(scope="module")
+def null_df(spark):
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), True),
+            T.StructField("v", T.LongType(), True),
+            T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        ]
+    )
+    rows = []
+    rng = np.random.default_rng(9)
+    for i in range(600):
+        k = None if i % 5 == 0 else f"k{i % 3}"
+        v = None if i % 7 == 0 else int(rng.integers(0, 200))
+        toks = None if i % 11 == 0 else [int(t) for t in rng.integers(0, 500, 5)]
+        rows.append((k, v, toks))
+    return spark.createDataFrame(rows, schema).repartition(4)
+
+
+def test_hll_null_string_key_matches_spark_groupby(spark, null_df):
+    agg = HllAggregator(p=14, key_cols=["k"], value_col="v", value_kind="int64")
+    est = {r["k"]: r for r in agg.estimates(null_df).collect()}
+    exact = {
+        r["k"]: r
+        for r in null_df.groupBy("k")
+        .agg(F.countDistinct("v").alias("d"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)  # includes the None group
+    assert None in est
+    for k, r in exact.items():
+        assert est[k]["n_rows"] == r["n"]
+        # p=14 on <=200 distinct: linear counting is essentially exact
+        assert abs(est[k]["est_distinct"] - r["d"]) <= 2
+
+
+def test_hll_null_tokens_lists_and_null_key(spark, null_df):
+    agg = HllAggregator(p=14, key_cols=["k"], value_col="tokens", value_kind="tokens")
+    est = {r["k"]: r for r in agg.estimates(null_df).collect()}
+    exact = {
+        r["k"]: r["d"]
+        for r in null_df.select("k", F.explode("tokens").alias("t"))
+        .groupBy("k")
+        .agg(F.countDistinct("t").alias("d"))
+        .collect()
+    }
+    for k, d in exact.items():
+        assert abs(est[k]["est_distinct"] - d) / max(d, 1) <= 0.05
+
+
+def test_multi_key_with_nulls(spark, null_df):
+    df = null_df.withColumn("k2", F.when(F.col("v") % 2 == 0, "even"))
+    agg = HllAggregator(p=12, key_cols=["k", "k2"], value_col="v", value_kind="int64")
+    est = {(r["k"], r["k2"]): r["n_rows"] for r in agg.estimates(df).collect()}
+    exact = {
+        (r["k"], r["k2"]): r["n"]
+        for r in df.groupBy("k", "k2").agg(F.count("*").alias("n")).collect()
+    }
+    assert est == exact
+
+
+def test_cms_heavy_hitters_null_key(spark, null_df):
+    agg = CmsAggregator(
+        width_log2=12, depth=4, key_cols=["k"], value_col="v", value_kind="int64"
+    )
+    hh = agg.heavy_hitters(null_df, topk=3)
+    keys = {r["k"] for r in hh.collect()}
+    assert None in keys
+
+
+def test_streaming_values_null_tokens():
+    from sketchlib.streaming import _values_from_pandas
+
+    s = pd.Series([np.array([1, 2], dtype=np.int32), None, np.array([3], dtype=np.int32)])
+    flat, n = _values_from_pandas(s, "tokens", 314)
+    assert n == 3
+    assert flat.tolist() == [1, 2, 3]
+
+
+def test_cms_float_weights_rejected():
+    from sketchlib.cms import CountMinSketch
+
+    s = CountMinSketch.empty(8, 3)
+    with pytest.raises(TypeError):
+        s.update_batch(
+            np.array([1, 2], dtype=np.int32), weights=np.array([1.5, 2.0])
+        )
+    s.update_batch(
+        np.array([1, 2], dtype=np.int32), weights=np.array([3, 4], dtype=np.int64)
+    )
+    assert s.query_batch(np.array([1], dtype=np.int32))[0] >= 3
+
+
+def test_zero_payload_rank_pinned():
+    """Documented deviation (ADVICE r01): all-zero payload rank caps at
+    64-p+1 where the reference would emit clz(0)+1 = 65 and mangle it in
+    6-bit storage. Pin our chosen behavior."""
+    from sketchlib.kernels import hll_index_rank
+
+    for p in (4, 12, 14, 40, 60):
+        # a hash whose payload (low 64-p bits) is exactly zero
+        h = np.array([0, 1 << (64 - p)], dtype=np.uint64)
+        idx, rank = hll_index_rank(h, p)
+        assert rank[0] == 64 - p + 1
+        assert rank[1] == 64 - p + 1
+        assert idx.tolist() == [0, 1]

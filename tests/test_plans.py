@@ -39,6 +39,19 @@ def test_merge_shuffle_carries_sketches_not_tokens(spark, tmp_path):
     assert "sketch#" in input_line and "tokens" not in input_line
 
 
+def test_tokenizer_is_a_pure_projection(spark):
+    """tokenize_documents must stay a narrow map: no shuffle, no window, no
+    join — the round-1 dense_rank vocab single-threaded every
+    documents-derived query through one task (VERDICT r01 #1)."""
+    from sketchlib.data import tokenize_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(tokenize_documents(docs))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
 def test_broadcast_join_for_small_probe_side(spark):
     from sketchlib.similarity import lsh_topk
 
