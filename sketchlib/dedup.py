@@ -22,12 +22,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+import pyarrow.compute as pc
+
 from .kernels import DEFAULT_SEED
 from .minhash import (
     MinHashSketch,
     band_keys,
     minhash_signatures_batch,
+    shingles_flat,
     simhash64,
+    simhash64_batch,
     token_shingles,
 )
 
@@ -43,17 +47,25 @@ def exact_dedup(df: DataFrame, content_cols: list[str], keep_col: str = "doc_id"
 
 
 def _shingle_batch(batch: pa.RecordBatch, tokens_col: str, shingle_n: int):
-    """Flattened shingle fingerprints + doc codes for one Arrow batch."""
+    """Flattened shingle fingerprints + doc codes for one Arrow batch.
+
+    Fully vectorized: token arrays flatten zero-copy from the Arrow list
+    buffer (null lists count as empty, matching the batch aggregators), the
+    rolling hash runs once over the flat array (minhash.shingles_flat) —
+    no per-doc Python loop, byte-identical to per-doc token_shingles.
+    """
     col = batch.column(tokens_col)
-    elems, codes = [], []
-    toks = col.to_pylist()
-    for i, t in enumerate(toks):
-        sh = token_shingles(np.asarray(t if t is not None else [], dtype=np.int64), shingle_n)
-        elems.append(sh)
-        codes.append(np.full(len(sh), i, dtype=np.int64))
-    if elems:
-        return np.concatenate(elems), np.concatenate(codes), len(toks)
-    return np.empty(0, np.uint64), np.empty(0, np.int64), 0
+    n_docs = len(col)
+    lengths = (
+        pc.fill_null(pc.list_value_length(col), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    if flat.dtype != np.int64:
+        flat = flat.astype(np.int64)
+    elems, codes = shingles_flat(flat, lengths, shingle_n)
+    return elems, codes, n_docs
 
 
 def minhash_signatures(
@@ -191,20 +203,10 @@ def simhash_fingerprints(
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            toks = batch.column(tokens_col).to_pylist()
-            hashes = [
-                np.int64(
-                    np.uint64(
-                        simhash64(
-                            token_shingles(np.asarray(t or [], dtype=np.int64), shingle_n),
-                            seed=seed,
-                        )
-                    )
-                )
-                for t in toks
-            ]
+            elems, codes, n_docs = _shingle_batch(batch, tokens_col, shingle_n)
+            fps = simhash64_batch(elems, codes, n_docs, seed)
             yield pa.RecordBatch.from_arrays(
-                [batch.column(doc_col), pa.array(hashes, type=pa.int64())],
+                [batch.column(doc_col), pa.array(fps.view(np.int64), type=pa.int64())],
                 names=[doc_col, "simhash"],
             )
 

@@ -49,6 +49,93 @@ def token_shingles(tokens: np.ndarray, n: int = 3) -> np.ndarray:
     return acc
 
 
+def shingles_flat(
+    flat_tokens: np.ndarray, lengths: np.ndarray, n: int = 3
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized ``token_shingles`` over a ragged batch of documents.
+
+    ``flat_tokens`` is the concatenation of every doc's tokens (Arrow list
+    flatten — zero copy from the batch), ``lengths`` the per-doc token
+    counts. Returns (flat shingle fingerprints uint64, owning doc index
+    int64), grouped by doc in doc order, byte-identical to calling
+    ``token_shingles`` per doc — but with no Python loop over documents:
+    the rolling hash is computed once over the flat array and windows that
+    cross doc boundaries are simply never selected. Short docs (< n tokens,
+    including empty) emit their single prefix-hash shingle, same as the
+    per-doc path.
+    """
+    lengths = np.asarray(lengths, dtype=np.int64)
+    n_docs = len(lengths)
+    t = np.asarray(flat_tokens, dtype=np.int64).view(np.uint64) & np.uint64(0xFFFFFFFF)
+    total = len(t)
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    prime = np.uint64(0x100000001B3)
+
+    # one shingle per short doc (L < n), L-n+1 per long doc
+    long_counts = np.maximum(lengths - n + 1, 0)
+    short = lengths < n
+    long_counts[short] = 0
+    out_counts = np.where(short, 1, long_counts)
+    out_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(out_counts, out=out_off[1:])
+    out = np.zeros(out_off[-1], dtype=np.uint64)
+    codes = np.repeat(np.arange(n_docs, dtype=np.int64), out_counts)
+
+    if total >= n:
+        # global rolling hash over every window of the flat array
+        acc = np.zeros(total - n + 1, dtype=np.uint64)
+        for i in range(n):
+            acc *= prime
+            acc += t[i : total - n + 1 + i]
+        # gather valid (non-boundary-crossing) windows per long doc:
+        # `within` = each output slot's position inside its doc's run
+        c = long_counts
+        if c.sum():
+            run_starts = np.concatenate([[0], np.cumsum(c)[:-1]])
+            within = np.arange(int(c.sum()), dtype=np.int64) - np.repeat(run_starts, c)
+            src = np.repeat(offsets[:-1], c) + within
+            dst = np.repeat(out_off[:-1], c) + within
+            out[dst] = acc[src]
+
+    if short.any():
+        # prefix polynomial hash of the whole (short) doc, acc0 = 0
+        sidx = np.flatnonzero(short)
+        acc_s = np.zeros(len(sidx), dtype=np.uint64)
+        soff = offsets[:-1][sidx]
+        slen = lengths[sidx]
+        for s in range(n - 1):
+            has = slen > s
+            if not has.any():
+                break
+            acc_s[has] = acc_s[has] * prime + t[soff[has] + s]
+        out[out_off[:-1][sidx]] = acc_s
+    return out, codes
+
+
+def simhash64_batch(
+    flat_elems: np.ndarray, doc_codes: np.ndarray, n_docs: int, seed: int = DEFAULT_SEED
+) -> np.ndarray:
+    """Vectorized ``simhash64`` for a ragged batch: one uint64 per doc.
+
+    Hash every element once, then per bit one weighted bincount over doc
+    codes — O(64 * total_elements) with no per-doc Python and no
+    (len x 64) per-doc matrices. Bit b is set iff more than half of the
+    doc's element hashes have bit b set (identical to the +-1 score sum).
+    """
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if len(flat_elems) == 0:
+        return out
+    h = murmur64a_int64(np.asarray(flat_elems, dtype=np.uint64).view(np.int64), seed)
+    cnt = np.bincount(doc_codes, minlength=n_docs)
+    for b in range(64):
+        bit = ((h >> np.uint64(b)) & np.uint64(1)).astype(np.float64)
+        ones = np.bincount(doc_codes, weights=bit, minlength=n_docs)
+        # score = 2*ones - cnt > 0  (exact: counts < 2^53 in float64)
+        out |= (2 * ones > cnt).astype(np.uint64) << np.uint64(b)
+    return out
+
+
 @dataclass
 class MinHashSketch:
     """k-slot MinHash signature of a set of uint64 element fingerprints."""
