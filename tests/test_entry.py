@@ -37,10 +37,14 @@ def duck():
 # sequences-backed oracles read the sf0.01 (20k-row) materialization by path,
 # so those queries must run at sf0.01 here (the driver always runs sf0.01)
 _SEQ_ORACLE_QUERIES = {
+    # queries whose DuckDB oracle reads the sf0.01 sequences parquet by path
     "exact_distinct_tokens_per_source",
     "hll_tokens_accuracy",
     "hll_source_overlap",
     "checkpointed_resume_identity",
+    "cms_token_freq_topk",
+    "sql_over_checkpoint",
+    "streaming_hll_parity",
 }
 
 
