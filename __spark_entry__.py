@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenized_documents_roundtrip": Q.tokenized_documents_roundtrip,
         "exact_distinct_tokens_per_source": Q.exact_distinct_tokens_per_source,
         "hll_tokens_accuracy": Q.hll_tokens_accuracy,
+        "hll_tokens_rollup": Q.hll_tokens_rollup,
         "hll_source_overlap": Q.hll_source_overlap,
         "checkpointed_resume_identity": Q.checkpointed_resume_identity,
         "sql_over_checkpoint": Q.sql_over_checkpoint,
@@ -254,6 +255,13 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS within_3sigma
             FROM read_parquet('{_SEQ_PARQUET_SF001}'), UNNEST(tokens) AS t(tok)
             GROUP BY source ORDER BY source
+        """,
+        "hll_tokens_rollup": f"""
+            SELECT COALESCE(source, 'ALL') AS source,
+                   COUNT(DISTINCT t.tok) AS distinct_tokens,
+                   TRUE AS within_3sigma
+            FROM read_parquet('{_SEQ_PARQUET_SF001}'), UNNEST(tokens) AS t(tok)
+            GROUP BY ROLLUP(source) ORDER BY source
         """,
         "checkpointed_resume_identity": f"""
             SELECT (SELECT COUNT(*) FROM read_parquet('{_SEQ_PARQUET_SF001}')) // 10000

@@ -55,7 +55,12 @@ def main() -> None:
 
     sequences_parquet(spark, rows_for_sf_dir(sf_dir))
 
+    # cold/warm split (VERDICT r01 #8): the first run of a query pays
+    # one-time whole-stage-codegen compilation and scan-cache warmup; the
+    # second measures the steady-state pipeline. Reporting both keeps
+    # regressions visible instead of hidden in cross-query cache effects.
     timings: dict[str, float] = {}
+    timings_warm: dict[str, float] = {}
     n_items_flagship = 0
     total0 = time.perf_counter()
     for name, fn in E.queries().items():
@@ -65,6 +70,11 @@ def main() -> None:
         if name == "hll_tokens_per_source":
             n_items_flagship = sum(r["n_items"] for r in rows)
     total = round(time.perf_counter() - total0, 3)
+    for name, fn in E.queries().items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings_warm[name] = round(time.perf_counter() - t0, 3)
+    total_warm = round(sum(timings_warm.values()), 3)
 
     # head-to-head on the flagship workload: our HLL pipeline vs Spark's
     # native approx_count_distinct (needs an explode) vs exact countDistinct
@@ -90,12 +100,16 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
-    flag_t = timings.get("hll_tokens_per_source", 0.0)
+    flag_t = timings_warm.get("hll_tokens_per_source") or timings.get(
+        "hll_tokens_per_source", 0.0
+    )
     out = {
         "metric": "sketch_query_suite_wall_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_warm": timings_warm,
+        "suite_warm_sec": total_warm,
         "sf": sf_val,
         "cpus": cpus,
         "tokens_per_sec": round(n_items_flagship / flag_t) if flag_t else None,

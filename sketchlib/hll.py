@@ -216,20 +216,39 @@ class HllSketch:
 
     # -- codec ---------------------------------------------------------------
 
-    def to_bytes(self) -> bytes:
-        """Versioned at-rest blob: header + registers, dense or sparse.
+    def to_bytes(self, mode: str | None = None) -> bytes:
+        """Versioned at-rest blob: header + registers.
 
         The distributed analogue of the reference pickle (src/hll.c:847-909),
-        minus derivable state (histogram, cache) — SURVEY.md §3.4. Mirrors
-        the reference's dense/sparse duality *at rest only* (in flight is
-        always dense, SURVEY.md §4.1): when fewer than ~1/6 of registers are
-        set (e.g. per-doc sketches at p>=14), store sorted (idx:u32, rank:u8)
-        pairs behind a sparse marker instead of 2^p raw bytes.
+        minus derivable state (histogram, cache) — SURVEY.md §3.4. Three
+        encodings:
+
+        - mode 0 (dense): raw uint8 registers;
+        - mode 1 (sparse): sorted (idx:u32, rank:u8) pairs — picked
+          automatically when fewer than ~1/6 of registers are set (per-doc
+          sketches at p>=14), mirroring the reference's dense/sparse duality
+          *at rest only* (in flight is always dense, SURVEY.md §4.1);
+        - mode 2 (packed6, ``mode="packed6"``): 6 bits per register, the
+          reference's defining dense representation (src/hll.c:44-254
+          semantics — ranks <= 64-p+1 <= 63 always fit) at 75% of the raw
+          size. Explicit opt-in: for automatic blobs sparse already beats it
+          where it matters, but storage parity with the reference is kept.
+
+        ``mode=None`` auto-picks min(dense, sparse) as in round 1, so
+        existing checkpoint bytes are unchanged.
         """
         nz = np.flatnonzero(self.registers)
         dense_size = 1 << self.p
         head = pack_header(KIND_HLL, self.p, self.seed)
-        if len(nz) * 5 + 5 < dense_size:
+        if mode == "packed6":
+            bits = np.unpackbits(
+                self.registers[:, None], axis=1, bitorder="little"
+            )[:, :6]
+            return head + b"\x02" + np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+        if mode not in (None, "dense", "sparse"):
+            raise ValueError(f"unknown HLL encoding mode {mode!r}")
+        sparse_wins = len(nz) * 5 + 5 < dense_size
+        if mode == "sparse" or (mode is None and sparse_wins):
             body = (
                 b"\x01"
                 + struct.pack("<I", len(nz))
@@ -251,6 +270,14 @@ class HllSketch:
             ranks = np.frombuffer(payload, dtype=np.uint8, count=n, offset=4 + 4 * n)
             regs = np.zeros(1 << p, dtype=np.uint8)
             regs[idx.astype(np.int64)] = ranks
+        elif mode == 2:
+            m = 1 << p
+            bits = np.unpackbits(
+                np.frombuffer(payload, dtype=np.uint8), bitorder="little"
+            )[: 6 * m].reshape(m, 6)
+            regs = np.packbits(
+                np.pad(bits, ((0, 0), (0, 2))), axis=1, bitorder="little"
+            ).reshape(m)
         else:
             raise ValueError(f"unknown HLL register encoding {mode}")
         return cls(p=p, seed=seed, registers=regs)

@@ -37,6 +37,36 @@ _LINEAGE_FIELDS = [
 ]
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg runtime + catalog is on the classpath/config.
+
+    The canonical production input (SURVEY.md §1.2, BASELINE north rule) is
+    an Iceberg table; this sandbox ships no iceberg-spark-runtime jar, so the
+    probe gates the ``writeTo().append()`` path and everything falls back to
+    plain parquet with identical layout (append-only partials keyed by
+    shard).
+    """
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+    except Exception:
+        return False
+    confs = spark.sparkContext.getConf().getAll()
+    return any(k.startswith("spark.sql.catalog.") for k, _ in confs)
+
+
+def append_partials(df: DataFrame, target: str, spark: SparkSession) -> str:
+    """Append partial-sketch rows to the checkpoint: Iceberg table when a
+    catalog is live (atomic snapshot append, time-travelable lineage),
+    parquet directory otherwise. Returns the sink kind used."""
+    if "/" not in target and iceberg_available(spark):
+        df.writeTo(target).append()
+        return "iceberg"
+    df.write.mode("append").parquet(target)
+    return "parquet"
+
+
 def enumerate_shards(path: str) -> list[tuple[str, int]]:
     """(file, row_group) work units for a parquet table — the lineage grain."""
     dset = pads.dataset(path, format="parquet")
@@ -140,7 +170,7 @@ class CheckpointedBuild:
                             )
 
         partials = sdf.mapInArrow(scan_build_tagged, out_schema)
-        partials.write.mode("append").parquet(self.ckpt_dir)
+        append_partials(partials, self.ckpt_dir, spark)
         return len(pending)
 
     def run_to_completion(self, spark: SparkSession, input_path: str, **kw) -> int:

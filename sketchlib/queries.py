@@ -391,6 +391,49 @@ def tokenized_documents_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def hll_tokens_rollup(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> DataFrame:
+    """Grouping-sets/rollup surface: per-source AND grand-total distinct
+    tokens in one result, the sketch way — the per-source sketches MERGE
+    into the global one (no second scan; the exact path needs
+    ROLLUP/GROUPING SETS). Exact counts come from Spark's native rollup()
+    and reproduce in DuckDB GROUP BY ROLLUP; each sketch estimate is
+    asserted within 3 sigma. The total row carries source='ALL'."""
+    path = sequences_path(spark, sf_dir)
+    agg = HllAggregator(p=p, key_cols=["source"], value_col="tokens", value_kind="tokens")
+    per_source = {
+        r["source"]: HllSketch.from_bytes(bytes(r["sketch"]))
+        for r in agg.merged(path, spark=spark).collect()
+    }
+    global_sketch = HllSketch.empty(p)
+    for s in per_source.values():
+        global_sketch.merge(s)
+    est = {src: s.cardinality() for src, s in per_source.items()}
+    est["ALL"] = global_sketch.cardinality()
+
+    seqs = sequences_for(spark, sf_dir)
+    exact = (
+        seqs.select("source", F.explode("tokens").alias("tok"))
+        .rollup("source")
+        .agg(F.countDistinct("tok").alias("distinct_tokens"))
+        .select(
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"), "distinct_tokens"
+        )
+        .collect()
+    )
+    bound = 3.0 * HllSketch.std_error(p)
+    rows = [
+        (
+            r["source"],
+            int(r["distinct_tokens"]),
+            bool(abs(est[r["source"]] / r["distinct_tokens"] - 1.0) <= bound),
+        )
+        for r in exact
+    ]
+    return spark.createDataFrame(
+        rows, "source string, distinct_tokens long, within_3sigma boolean"
+    ).orderBy("source")
+
+
 # ---- set operations between sources (union / intersection / jaccard) -------------
 
 

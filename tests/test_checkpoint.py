@@ -61,3 +61,16 @@ def test_checkpointed_estimates_match_oracle(spark, seq_path, tmp_path):
     oracle.update_batch(np.concatenate(pdf["tokens"].to_list()).astype(np.int32))
     got = HllSketch.from_bytes(bytes(est["sketch"]))
     assert np.array_equal(got.registers, oracle.registers)
+
+
+def test_iceberg_probe_and_parquet_fallback(spark, tmp_path):
+    """No Iceberg jar in this sandbox: the probe must say so and
+    append_partials must take the parquet path; with a jar + catalog the
+    same call switches to writeTo().append() (dual-path contract)."""
+    from sketchlib.io import append_partials, iceberg_available
+
+    assert iceberg_available(spark) is False
+    df = spark.range(5).selectExpr("cast(id as string) AS shard_id", "id AS n")
+    sink = append_partials(df, str(tmp_path / "partials"), spark)
+    assert sink == "parquet"
+    assert spark.read.parquet(str(tmp_path / "partials")).count() == 5

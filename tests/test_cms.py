@@ -40,9 +40,14 @@ def test_merge_is_elementwise_add_and_order_free():
 
 def test_weighted_updates():
     s = CountMinSketch.empty(10, 3)
-    s.update_batch(np.array([7, 8], dtype=np.int32), weights=np.array([5.0, 2.0]))
+    s.update_batch(np.array([7, 8], dtype=np.int32), weights=np.array([5, 2]))
     est = s.query_batch(np.array([7, 8, 9], dtype=np.int32))
     assert int(est[0]) >= 5 and int(est[1]) >= 2
+    # float weights would silently floor fractional mass -> rejected
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError):
+        s.update_batch(np.array([7], dtype=np.int32), weights=np.array([1.5]))
 
 
 def test_roundtrip():

@@ -40,6 +40,7 @@ _SEQ_ORACLE_QUERIES = {
     # queries whose DuckDB oracle reads the sf0.01 sequences parquet by path
     "exact_distinct_tokens_per_source",
     "hll_tokens_accuracy",
+    "hll_tokens_rollup",
     "hll_source_overlap",
     "checkpointed_resume_identity",
     "cms_token_freq_topk",
