@@ -1,0 +1,75 @@
+"""Drop-in shim parity: sketchlib.compat.HyperLogLog exposes the reference
+class surface (ctor kwargs incl. sparse sizing, method set, pickle) and,
+when the C toolchain can build the reference, matches it LIVE call-for-call
+through the shim API itself."""
+
+import pickle
+import struct
+
+import numpy as np
+import pytest
+
+from sketchlib.compat import HyperLogLog
+
+from test_reference_live import ref_hll  # noqa: F401  (live-build fixture)
+
+
+def test_ctor_surface_and_meta_defaults():
+    h = HyperLogLog()  # reference defaults: p=12, seed=314, sparse
+    assert h.size() == 1 << 12 and h.seed() == 314
+    m = h._get_meta()
+    assert m["added"] == 0 and m["is_sparse"] == 1
+    assert m["max_list_size"] == (1 << 12) // 4
+    assert m["max_buffer_size"] == m["max_list_size"]  # reference quirk
+    h2 = HyperLogLog(4)  # tiny p -> reference default list sizing floor
+    assert h2._get_meta()["max_list_size"] == 2
+    h3 = HyperLogLog(14, 99, False, 123, 45)
+    m3 = h3._get_meta()
+    assert m3["is_sparse"] == 0 and m3["max_list_size"] == 123
+    with pytest.raises(ValueError):
+        HyperLogLog(p=1)
+
+
+def test_add_merge_added_counter_and_pickle():
+    a, b = HyperLogLog(12), HyperLogLog(12)
+    for i in range(500):
+        a.add(struct.pack("<i", i))
+    for i in range(250, 750):
+        b.add(struct.pack("<i", i))
+    assert a._get_meta()["added"] == 500
+    assert a.merge(b) is None  # reference merge returns None
+    assert a._get_meta()["added"] == 1000
+    est = a.cardinality()
+    assert abs(est / 750 - 1) < 0.1
+    r = pickle.loads(pickle.dumps(a))
+    assert r.cardinality() == est
+    assert r._get_meta()["added"] == 1000
+    assert [r.get_register(i) for i in range(64)] == [
+        a.get_register(i) for i in range(64)
+    ]
+
+
+def test_histogram_shape():
+    h = HyperLogLog(10)
+    hist = h._histogram()
+    assert len(hist) == 65 and hist[0] == 1 << 10
+
+
+def test_live_shim_parity(ref_hll):  # noqa: F811
+    """Same call sequence against the built reference and the shim: every
+    register, the estimate, hash(), and _histogram() must agree."""
+    p, seed = 12, 314
+    ref = ref_hll.HyperLogLog(p=p, seed=seed, sparse=False)
+    ours = HyperLogLog(p=p, seed=seed, sparse=False)
+    rng = np.random.default_rng(42)
+    for t in rng.integers(-(2**31), 2**31, 30_000).astype(np.int32).tolist():
+        buf = struct.pack("<i", t)
+        ref.add(buf)
+        ours.add(buf)
+    assert ours.cardinality() == ref.cardinality()
+    assert ours._histogram() == list(ref._histogram())
+    regs_ref = [ref.get_register(i) for i in range(1 << p)]
+    regs_ours = [ours.get_register(i) for i in range(1 << p)]
+    assert regs_ref == regs_ours
+    assert ours.hash(b"parity") == ref.hash(b"parity")
+    assert ours.seed() == ref.seed() and ours.size() == ref.size()
