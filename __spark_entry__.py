@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_distinct_docs": Q.fingerprint_distinct_docs,
         "lang_id_distribution": Q.lang_id_distribution,
         "exact_dedup_documents": Q.exact_dedup_documents,
+        "embedding_near_dup_pairs": Q.embedding_near_dup_pairs,
         "minhash_jaccard_consistency": Q.minhash_jaccard_consistency,
         "near_dup_topk_pairs": Q.near_dup_topk_pairs,
         "simhash_fingerprints_docs": Q.simhash_fingerprints_docs,
@@ -331,6 +332,13 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT text) AS n_after_dedup,
                    TRUE AS matches_distinct_text
             FROM documents
+        """,
+        "embedding_near_dup_pairs": """
+            SELECT COUNT(*) AS n_pairs, TRUE AS lsh_recall_ge_half
+            FROM (SELECT list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]) AS sim
+                  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+            WHERE sim >= 0.4
         """,
         "minhash_jaccard_consistency": """
             SELECT 780::BIGINT AS n_pairs,

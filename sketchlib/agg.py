@@ -668,24 +668,26 @@ class CmsAggregator(SketchAggregator):
             .distinct()
         )
 
-        if not key_cols:
-            probes = [r["value"] for r in cands.collect()]
-            est = self.point_estimates(source, probes, spark=spark)
-            return est.orderBy(F.desc("est_freq"), F.asc("value")).limit(topk)
-
-        # per-key: join candidate lists onto merged sketches and score in an
-        # applyInPandas task per key — nothing funnels through the driver
+        # one unified fully-distributed path: join candidate lists onto
+        # merged sketches and score in an applyInPandas task per key —
+        # nothing funnels through the driver. The keyless case runs the same
+        # shape under a constant __g key (one candidate list, one sketch).
+        group_cols = key_cols if key_cols else ["__g"]
         merged = self.merged(source, spark=spark)
-        cand_lists = cands.groupBy(*key_cols).agg(F.collect_list("value").alias("__probes"))
+        if not key_cols:
+            merged = merged.withColumn("__g", F.lit(0))
+            cands = cands.withColumn("__g", F.lit(0))
+            by_name["__g"] = T.StructField("__g", T.IntegerType(), False)
+        cand_lists = cands.groupBy(*group_cols).agg(
+            F.collect_list("value").alias("__probes")
+        )
         # eqNullSafe: a null group key is a valid group and must survive the join
-        cond = [
-            merged[k].eqNullSafe(cand_lists[k]) for k in key_cols
-        ]
+        cond = [merged[k].eqNullSafe(cand_lists[k]) for k in group_cols]
         joined = merged.join(cand_lists, cond).select(
-            *[merged[k] for k in key_cols], merged["sketch"], cand_lists["__probes"]
+            *[merged[k] for k in group_cols], merged["sketch"], cand_lists["__probes"]
         )
         out_schema = T.StructType(
-            [by_name[k] for k in key_cols]
+            [by_name[k] for k in group_cols]
             + [
                 T.StructField("value", value_field, False),
                 T.StructField("est_freq", T.LongType(), False),
@@ -705,11 +707,12 @@ class CmsAggregator(SketchAggregator):
             out = out.sort_values(
                 ["est_freq", "value"], ascending=[False, True]
             ).head(topk)
-            for k in key_cols:
+            for k in group_cols:
                 out[k] = pdf[k].iloc[0]
-            return out[key_cols + ["value", "est_freq"]]
+            return out[group_cols + ["value", "est_freq"]]
 
-        return joined.groupBy(*key_cols).applyInPandas(score, out_schema)
+        result = joined.groupBy(*group_cols).applyInPandas(score, out_schema)
+        return result.drop("__g") if not key_cols else result
 
     def point_estimates(
         self, source, probes, *, salt: int | None = None, spark=None

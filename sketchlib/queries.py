@@ -690,6 +690,84 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector-space dedup path.
+
+    Scale path: SRP-LSH banded buckets (capped, like MinHash-LSH) generate
+    candidates, exact cosine verifies candidates only. Exact companion (the
+    full pair count, feasible at oracle scale) reproduces in DuckDB, and the
+    LSH recall over it must clear the floor. All cosine math is double
+    precision on both sides (embeddings are float32 at rest) so the pair
+    count is bit-stable across engines. The pair join is JVM-side:
+    zip_with/aggregate dot products, no Python in the exact path.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import lsh_signatures
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("emb", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    e = emb.withColumn("__norm", norm)
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = (dot / (F.col("a.__norm") * F.col("b.__norm"))).alias("sim")
+    exact_pairs = (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"), cos)
+        .where(F.col("sim") >= threshold)
+    )
+    n_exact = exact_pairs.count()
+
+    # LSH candidate path: banded signature buckets, capped, then the same
+    # double-precision verify on candidates only
+    sigs = lsh_signatures(
+        load_table(spark, sf_dir, "embeddings"), bits=64, seed=7
+    )
+    bands, r = 16, 4
+    band_mask = (1 << r) - 1
+    band_cols = [
+        (F.shiftright("sig", i * r).bitwiseAND(F.lit(band_mask)) + F.lit(i << r)).alias(f"b{i}")
+        for i in range(bands)
+    ]
+    banded = sigs.select(
+        "vec_id", F.explode(F.array(*band_cols)).alias("band_key")
+    ).withColumn("__bn", F.count("*").over(Window.partitionBy("band_key")))
+    banded = banded.where(F.col("__bn") <= 1000).drop("__bn")
+    cands = (
+        banded.alias("l")
+        .join(banded.alias("r"), "band_key")
+        .where(F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(F.col("l.vec_id").alias("va"), F.col("r.vec_id").alias("vb"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("va"), F.col("emb").alias("emb_a"), F.col("__norm").alias("na"))
+    eb = e.select(F.col("vec_id").alias("vb"), F.col("emb").alias("emb_b"), F.col("__norm").alias("nb"))
+    cdot = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    n_lsh = (
+        cands.join(ea, "va")
+        .join(eb, "vb")
+        .where(cdot / (F.col("na") * F.col("nb")) >= threshold)
+        .count()
+    )
+    recall = n_lsh / n_exact if n_exact else 1.0
+    return spark.createDataFrame(
+        [(int(n_exact), bool(recall >= 0.5))],
+        "n_pairs long, lsh_recall_ge_half boolean",
+    )
+
+
 # ---- multimodal plumbing over binary asset columns -----------------------------------
 
 
