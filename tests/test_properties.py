@@ -81,3 +81,54 @@ def test_bloom_union_and_no_false_negatives(a, b):
     assert np.array_equal(fa.bits, whole.bits)
     if a:
         assert whole.contains_batch(np.array(a, dtype=np.int32)).all()
+
+
+ragged_docs = st.lists(
+    st.lists(st.integers(-(2**31), 2**31 - 1), min_size=0, max_size=40),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(ragged_docs, st.sampled_from([2, 3, 5]))
+@settings(max_examples=40, deadline=None)
+def test_shingles_flat_equals_per_doc(docs, n):
+    from sketchlib.minhash import shingles_flat, token_shingles
+
+    arrs = [np.array(d, dtype=np.int64) for d in docs]
+    flat = np.concatenate(arrs) if arrs else np.empty(0, np.int64)
+    lengths = np.array([len(d) for d in arrs], dtype=np.int64)
+    got_e, got_c = shingles_flat(flat, lengths, n)
+    exp_e = np.concatenate([token_shingles(a, n) for a in arrs])
+    exp_c = np.concatenate(
+        [np.full(len(token_shingles(a, n)), i, np.int64) for i, a in enumerate(arrs)]
+    )
+    assert np.array_equal(got_e, exp_e) and np.array_equal(got_c, exp_c)
+
+
+@given(ragged_docs)
+@settings(max_examples=25, deadline=None)
+def test_simhash_batch_equals_per_doc(docs):
+    from sketchlib.minhash import (
+        shingles_flat,
+        simhash64,
+        simhash64_batch,
+        token_shingles,
+    )
+
+    arrs = [np.array(d, dtype=np.int64) for d in docs]
+    flat = np.concatenate(arrs) if arrs else np.empty(0, np.int64)
+    lengths = np.array([len(d) for d in arrs], dtype=np.int64)
+    e, c = shingles_flat(flat, lengths, 2)
+    got = simhash64_batch(e, c, len(arrs), seed=314)
+    for i, a in enumerate(arrs):
+        assert int(got[i]) == simhash64(token_shingles(a, 2), seed=314)
+
+
+@given(st.lists(st.integers(0, 2**31 - 1), min_size=0, max_size=300))
+@settings(max_examples=30, deadline=None)
+def test_packed6_roundtrip_any_fill(toks):
+    s = HllSketch.empty(8)
+    s.update_batch(np.array(toks, dtype=np.int32))
+    r = HllSketch.from_bytes(s.to_bytes(mode="packed6"))
+    assert np.array_equal(r.registers, s.registers)
