@@ -188,6 +188,34 @@ def near_dup_pairs(
     return verified
 
 
+def near_dedup(
+    df: DataFrame,
+    doc_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    threshold: float = 0.8,
+    k: int = 128,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = DEFAULT_SEED,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Drop near-duplicate documents: keep a doc unless it has a near-dup
+    partner with a smaller doc_col (the standard greedy MinHash-LSH dedup,
+    e.g. the C4/RefinedWeb recipe). One anti-join on the loser side of the
+    pair list — no transitive closure pass; a chain a~b~c keeps `a` and
+    drops b and c, which is the accepted behavior for corpus dedup at scale
+    (losers are near SOME survivor, not necessarily the chain head).
+
+    Scale shape: pair generation is the capped bucket join (docs x bands
+    rows shuffled, sketch-sized); the anti-join shuffles doc ids only.
+    """
+    pairs = near_dup_pairs(
+        df, doc_col, tokens_col, threshold, k, bands, shingle_n, seed, max_bucket
+    )
+    losers = pairs.select(F.col("b").alias(doc_col)).distinct()
+    return df.join(losers, doc_col, "left_anti")
+
+
 def simhash_fingerprints(
     df: DataFrame,
     doc_col: str = "doc_id",

@@ -189,3 +189,18 @@ def test_lsh_cap_leaves_normal_buckets_untouched(spark, corpus_df):
         for r in lsh_candidate_pairs(sigs, bands=32, max_bucket=None).collect()
     }
     assert default == uncapped  # no bucket in the fixture exceeds the cap
+
+
+def test_near_dedup_keeps_one_of_each_group(spark, corpus_df):
+    """Greedy near-dedup: planted exact + 90%-overlap dups are dropped,
+    their lower-id partners survive, and unrelated docs are untouched."""
+    from sketchlib.dedup import near_dedup
+
+    kept = {r["doc_id"] for r in near_dedup(corpus_df, threshold=0.5, bands=32).collect()}
+    # lower-id partner of each planted pair survives; the dup is dropped
+    for i in range(3):
+        assert f"d{i:04d}" in kept and f"xd{i:04d}" not in kept
+    for i in range(10):
+        assert f"d{i:04d}" in kept and f"nd{i:04d}" not in kept
+    # random docs (no near-dup partner) all survive
+    assert {f"d{i:04d}" for i in range(10, 60)} <= kept
