@@ -53,6 +53,67 @@ def _decode_embedding_f32(payload: bytes, meta: dict) -> np.ndarray:
     return pooled
 
 
+def _decode_wav_pcm(payload: bytes, meta: dict) -> np.ndarray:
+    """REAL audio decode, stdlib only: RIFF/WAVE container via `wave`,
+    PCM samples via numpy. Feature = FEATURE_DIM-segment RMS energy
+    envelope (the classic cheap audio fingerprint), L2-normalized.
+    Supports 8/16/32-bit PCM, any channel count (channel-mean)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        width = w.getsampwidth()
+        n_ch = w.getnchannels()
+        raw = w.readframes(w.getnframes())
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+    if dtype is None:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if width == 1:
+        samples -= 128.0  # 8-bit WAV is unsigned
+    if n_ch > 1:
+        samples = samples[: len(samples) // n_ch * n_ch].reshape(-1, n_ch).mean(axis=1)
+    if len(samples) == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float64)
+    seg = max(1, len(samples) // FEATURE_DIM)
+    trimmed = samples[: seg * FEATURE_DIM]
+    if len(trimmed) < seg * FEATURE_DIM:
+        trimmed = np.pad(trimmed, (0, seg * FEATURE_DIM - len(trimmed)))
+    rms = np.sqrt((trimmed.reshape(FEATURE_DIM, -1) ** 2).mean(axis=1))
+    norm = np.linalg.norm(rms)
+    return rms / norm if norm else rms
+
+
+def _decode_bmp(payload: bytes, meta: dict) -> np.ndarray:
+    """REAL image decode, stdlib only: uncompressed 24-bit BMP
+    (BITMAPINFOHEADER) parsed with struct + numpy — header, bottom-up rows,
+    4-byte row padding, BGR order. Feature = FEATURE_DIM-bin grayscale
+    histogram, L1-normalized."""
+    import struct as _struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = _struct.unpack_from("<I", payload, 10)
+    header_size, width, height = _struct.unpack_from("<Iii", payload, 14)
+    (bpp,) = _struct.unpack_from("<H", payload, 28)
+    (compression,) = _struct.unpack_from("<I", payload, 30)
+    if header_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3
+    px = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * height, offset=data_off)
+    rows = px.reshape(height, row_bytes)[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    bgr = rows.astype(np.float64)
+    gray = 0.114 * bgr[..., 0] + 0.587 * bgr[..., 1] + 0.299 * bgr[..., 2]
+    hist = np.bincount(
+        (gray.astype(np.uint8) >> 4).ravel(), minlength=FEATURE_DIM
+    ).astype(np.float64)
+    return hist / hist.sum() if hist.sum() else hist
+
+
 def _stub(kind: str) -> Callable:
     def decoder(payload: bytes, meta: dict) -> np.ndarray:
         raise NotImplementedError(
@@ -66,10 +127,13 @@ def _stub(kind: str) -> Callable:
 DEFAULT_DECODERS: dict[str, Callable] = {
     "bytes-hist": _decode_bytes_hist,
     "embedding-f32": _decode_embedding_f32,
-    # real media kinds are stubbed (NotImplementedError names the fix)
+    # REAL stdlib decoders: no external codec needed for these formats
+    "audio/wav": _decode_wav_pcm,
+    "image/bmp": _decode_bmp,
+    # kinds that genuinely need external codecs stay stubbed
+    # (NotImplementedError names the one-line fix)
     "image/jpeg": _stub("image/jpeg"),
     "image/png": _stub("image/png"),
-    "audio/wav": _stub("audio/wav"),
     "video/mp4": _stub("video/mp4"),
 }
 
