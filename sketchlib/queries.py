@@ -885,10 +885,17 @@ def streaming_hll_parity(spark: SparkSession, sf_dir: str, p: int = 12) -> DataF
     from .agg import HllAggregator
     from .streaming import hll_streaming_estimates
 
+    import glob as _glob
+
     path = sequences_path(spark, sf_dir)
     schema = spark.read.parquet(path).schema
+    # ~4 micro-batches at any scale: enough to exercise cross-batch state
+    # accumulation without paying per-batch overhead 16x at big SFs
+    n_files = max(1, len(_glob.glob(f"{path}/*.parquet")))
     stream = (
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", 8).parquet(path)
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max(1, n_files // 4))
+        .parquet(path)
     )
     name = f"hll_stream_{uuid.uuid4().hex[:8]}"
     q = (
