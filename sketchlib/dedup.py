@@ -112,8 +112,9 @@ def lsh_candidate_pairs(
     bucketed shuffle quadratic. Buckets above the cap are dropped — the
     standard MinHash-LSH mitigation; it only affects recall *inside*
     degenerate buckets, where near-dup semantics are meaningless anyway.
-    The count window shares the band_key hash partitioning with the join,
-    so Spark reuses the exchange instead of adding a shuffle.
+    The count window hash-partitions on band_key — the same distribution
+    the join requires — so the guard adds no extra shuffle on either join
+    side (plan-verified: one Exchange per side, Window directly above it).
     """
     from pyspark.sql import Window
 

@@ -58,3 +58,24 @@ def test_broadcast_join_for_small_probe_side(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     plan = _plan(lsh_topk(emb, [0, 1], k=3))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_lsh_bucket_cap_adds_no_extra_shuffle(spark):
+    """The bucket-size guard's Window must ride the same band_key exchange
+    the self-join needs: exactly one Exchange under each Window, none
+    between Window and the join."""
+    from sketchlib.data import SEQUENCES_SCHEMA, gen_sequences_pandas
+    from sketchlib.dedup import lsh_candidate_pairs, minhash_signatures
+
+    df = spark.createDataFrame(gen_sequences_pandas(500), schema=SEQUENCES_SCHEMA)
+    plan = _plan(lsh_candidate_pairs(minhash_signatures(df), bands=16))
+    # each join side: ... Join <- Window <- Exchange(hashpartitioning(band_key ...
+    import re
+
+    windows = len(re.findall(r"\(\d+\) Window", plan))
+    exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert windows == 2  # one per self-join side
+    assert "hashpartitioning(band_key" in plan
+    # 2 side exchanges + 1 for the final distinct; the cap adds none beyond
+    # the per-side band_key partitioning the join itself requires
+    assert exchanges <= 3, plan[:2000]
