@@ -710,6 +710,15 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str, threshold: float 
     from pyspark.sql import types as T
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_corpus = emb.count()
+    if n_corpus > 2_000_000:
+        # explicit contract, not a silent driver OOM: beyond broadcastable
+        # size, use the capped band-bucket self-join (dedup.lsh pattern /
+        # similarity.lsh_topk) whose recall this query certifies
+        raise ValueError(
+            f"embedding_near_dup_pairs exact companion caps at 2M vectors "
+            f"(got {n_corpus}); use the LSH bucket join for production dedup"
+        )
     rows = emb.collect()
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     order = np.argsort(ids)
