@@ -46,3 +46,38 @@ def test_lang_id_on_real_sentences(spark):
     )
     got = [r["lang_pred"] for r in lang_id(spark.createDataFrame(pdf)).collect()]
     assert got == ["en", "de", "fr", "es", "und"]
+
+
+def test_lang_id_packed_equals_per_language_intersects(spark):
+    """The packed marker-mask formulation must equal per-language
+    array_intersect scoring exactly — including words shared across marker
+    lists ('la','que','est','es' overlap fr/es) and tie-breaking."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.textstats import lang_id, lang_scores, words_col
+
+    rows = [
+        ("la que es una la que",),           # shared fr/es markers only
+        ("le la les et est",),               # fr wins
+        ("el la los que es",),               # es
+        ("the la of es und der die das",),   # cross-language soup
+        ("xyzzy plugh",),                    # no markers -> und
+        ("",),
+        ("der die das und ist the and of to is in that it was for",),  # en vs de tie shape
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = [r["lang_pred"] for r in lang_id(df).collect()]
+
+    ref = df.withColumn("__ws", F.array_distinct(words_col(F.lower(F.col("text")))))
+    scores = lang_scores(F.col("__ws"))
+    pairs = F.array(
+        *[F.struct(s.alias("score"), F.lit(l).alias("lang")) for l, s in scores.items()]
+    )
+    best = F.array_max(pairs)
+    exp = [
+        r["p"]
+        for r in ref.select(
+            F.when(best["score"] > 0, best["lang"]).otherwise("und").alias("p")
+        ).collect()
+    ]
+    assert got == exp, (got, exp)
