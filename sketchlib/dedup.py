@@ -30,7 +30,6 @@ from .minhash import (
     band_keys,
     minhash_signatures_batch,
     shingles_flat,
-    simhash64,
     simhash64_batch,
     token_shingles,
 )

@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .codec import pack_header, unpack_header
-from .kernels import DEFAULT_SEED, murmur64a_int32, murmur64a_int64
+from .kernels import DEFAULT_SEED, murmur64a_int64
 
 KIND_MINHASH = 6
 

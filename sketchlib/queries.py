@@ -791,7 +791,7 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary asset pipeline end-to-end: embeddings packed to binary payloads,
 
     batch-decoded to fixed-dim features; per-kind counts + dims are exact."""
-    from .multimodal import FEATURE_DIM, decode_features, embeddings_as_assets
+    from .multimodal import decode_features, embeddings_as_assets
 
     assets = embeddings_as_assets(load_table(spark, sf_dir, "embeddings"))
     feats = decode_features(assets)
