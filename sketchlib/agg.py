@@ -241,6 +241,7 @@ class SketchAggregator:
         path: str,
         parallelism: int | None = None,
         batch_rows: int = 16384,
+        rg_plan_max_files: int = 512,
     ) -> DataFrame:
         """Partial build with task-local vectorized parquet IO.
 
@@ -255,10 +256,21 @@ class SketchAggregator:
         """
         cols = self.key_cols + [self.value_col]
         dset = pads.dataset(path, format="parquet")
-        shards = []
-        for frag in dset.get_fragments():
-            n_rg = frag.metadata.num_row_groups
-            shards.extend((frag.path, rg) for rg in range(n_rg))
+        files = list(dset.files)
+        if not files:
+            raise ValueError(f"no parquet files under {path}")
+        # Shard granularity: row groups give the best load balance, but
+        # discovering them means one footer read PER FILE on the driver —
+        # O(files) round trips, prohibitive at 10^5-10^6 files. Past the
+        # threshold, plan by whole file (rg = -1 -> the task iterates that
+        # file's row groups itself; it opens the footer anyway to read).
+        if len(files) <= rg_plan_max_files:
+            shards = []
+            for frag in dset.get_fragments():
+                n_rg = frag.metadata.num_row_groups
+                shards.extend((frag.path, rg) for rg in range(n_rg))
+        else:
+            shards = [(f, -1) for f in files]
         if not shards:
             raise ValueError(f"no parquet row groups under {path}")
         parallelism = parallelism or spark.sparkContext.defaultParallelism
@@ -287,8 +299,13 @@ class SketchAggregator:
                     ):
                         for f, rg in zip(files, rgs):
                             pf = papq.ParquetFile(f)
+                            row_groups = (
+                                list(range(pf.metadata.num_row_groups))
+                                if rg < 0
+                                else [rg]
+                            )
                             yield from pf.iter_batches(
-                                batch_size=batch_rows, row_groups=[rg], columns=cols
+                                batch_size=batch_rows, row_groups=row_groups, columns=cols
                             )
 
             yield from build(rb_iter())

@@ -174,3 +174,32 @@ def test_auto_salt_equals_unsalted(spark, tiny_pdf):
     a = bytes(g.merged(df, salt="auto").collect()[0]["sketch"])
     b = bytes(g.merged(df).collect()[0]["sketch"])
     assert a == b
+
+
+def test_file_granularity_shard_planning(spark, tmp_path):
+    """Past the footer-read threshold the planner shards by whole file
+    (rg=-1 -> task iterates its file's row groups); results identical to
+    row-group planning (VERDICT-class 100TB item: no O(files) driver
+    footer reads)."""
+    from sketchlib.data import sequences_parquet
+
+    path = sequences_parquet(spark, 2_000, cache_root=str(tmp_path))
+    agg = HllAggregator(p=10, key_cols=["source"])
+    by_rg = {
+        r["source"]: bytes(r["sketch"])
+        for r in agg.partials_from_parquet(spark, path)
+        .groupBy("source")
+        .count()
+        .join(agg.merged(path, spark=spark), "source")
+        .select("source", "sketch")
+        .collect()
+    }
+    a = {r["source"]: bytes(r["sketch"]) for r in agg.merged(path, spark=spark).collect()}
+    # force file-granularity planning
+    partials = agg.partials_from_parquet(spark, path, rg_plan_max_files=0)
+    b = {
+        r["source"]: bytes(r["sketch"])
+        for r in agg.merged(partials, is_partials=True).collect()
+    }
+    assert a == b
+    assert set(by_rg) == set(a)
