@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_users_no_false_negatives": Q.bloom_users_no_false_negatives,
         "bloom_semijoin_prefilter": Q.bloom_semijoin_prefilter,
         "kll_value_rank_accuracy": Q.kll_value_rank_accuracy,
+        "kll_value_quantiles_per_type": Q.kll_value_quantiles_per_type,
         "tdigest_value_rank_accuracy": Q.tdigest_value_rank_accuracy,
         "exact_distinct_words_per_lang": Q.exact_distinct_words_per_lang,
         "hll_words_accuracy_per_lang": Q.hll_words_accuracy_per_lang,
@@ -159,6 +160,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT q, TRUE AS within_bound
             FROM (SELECT UNNEST([0.1, 0.25, 0.5, 0.75, 0.9]::DOUBLE[]) AS q)
             ORDER BY q
+        """,
+        "kll_value_quantiles_per_type": """
+            SELECT event_type, q, TRUE AS within_bound
+            FROM (SELECT DISTINCT event_type FROM events),
+                 (SELECT UNNEST([0.25, 0.5, 0.75]::DOUBLE[]) AS q)
+            ORDER BY event_type, q
         """,
         "kll_ntok_quantiles": """
             SELECT q, TRUE AS within_bound

@@ -319,6 +319,29 @@ def kll_value_rank_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_accuracy(spark, sf_dir, est, "value", tol=0.03)
 
 
+def kll_value_quantiles_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-KEY quantiles: one KLL sketch per event_type, quartiles expanded
+    in a distributed applyInPandas finalize (no driver collect of sketches),
+    each estimate's exact within-key rank asserted inside the published
+    bound. Exercises the keyed finalize path through the driver surface."""
+    from .agg import KllAggregator
+
+    qs = [0.25, 0.5, 0.75]
+    events = load_table(spark, sf_dir, "events")
+    agg = KllAggregator(k=200, key_cols=["event_type"], value_col="value", value_kind="double")
+    est = agg.quantiles(f"{sf_dir}/events.parquet", qs, spark=spark)
+    ranks = (
+        events.join(est.withColumnRenamed("value", "est_v"), "event_type")
+        .groupBy("event_type", "q")
+        .agg(F.avg((F.col("value") <= F.col("est_v")).cast("double")).alias("rank"))
+    )
+    return ranks.select(
+        "event_type",
+        "q",
+        (F.abs(F.col("rank") - F.col("q")) <= F.lit(0.03)).alias("within_bound"),
+    ).orderBy("event_type", "q")
+
+
 def tdigest_value_rank_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest quantiles of events.value with tail checks (tol 2%, tails
 
