@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_token_freq_topk": Q.cms_token_freq_topk,
         "kll_ntok_quantiles": Q.kll_ntok_quantiles,
         "streaming_hll_parity": Q.streaming_hll_parity,
+        "streaming_windowed_users": Q.streaming_windowed_users,
         # oracle-checked: exact values + sketch-bound assertions
         "hll_users_accuracy": Q.hll_users_accuracy,
         "hll_parts_accuracy": Q.hll_parts_accuracy,
@@ -192,6 +193,12 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS stream_matches_batch
             FROM read_parquet('{_SEQ_PARQUET_SF001}')
             GROUP BY source ORDER BY source
+        """,
+        "streaming_windowed_users": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   event_type, COUNT(*) AS n_rows,
+                   TRUE AS stream_matches_batch
+            FROM events GROUP BY 1, 2 ORDER BY day, event_type
         """,
         "near_dup_topk_pairs": """
             SELECT 10::BIGINT AS n_pairs, TRUE AS all_within_bound

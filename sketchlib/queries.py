@@ -974,6 +974,96 @@ def streaming_hll_parity(spark: SparkSession, sf_dir: str, p: int = 12) -> DataF
     ).orderBy("source")
 
 
+def streaming_windowed_users(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> DataFrame:
+    """Event-time WINDOWED streaming through the driver: per (1-day window,
+    event_type) distinct-user HLL state via applyInPandasWithState with a
+    watermark, consumed as a time-ordered multi-file stream; the final
+    window states must match a batch build over the same rows exactly
+    (same registers -> equal estimates and counts). The watermark is set
+    beyond the data span so no row is late-dropped — parity is then a
+    deterministic law; late-drop/eviction behavior is pinned separately in
+    tests/test_streaming.py. Emits SQL-exact per-window row counts + the
+    provable parity boolean."""
+    import tempfile
+    import uuid
+
+    from .agg import HllAggregator
+    from .streaming import hll_windowed_streaming_estimates
+
+    events = load_table(spark, sf_dir, "events")
+    # multi-file, roughly time-ordered copy so the stream sees several
+    # micro-batches with advancing event time; ts cast to TIMESTAMP (the
+    # parquet NTZ type cannot carry a watermark; session TZ is UTC)
+    src = events.select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "user_id"
+    )
+    src_dir = tempfile.mkdtemp(prefix="sketchlib_winstream_")
+    src.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(src.schema).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    )
+    est = hll_windowed_streaming_estimates(
+        stream,
+        ts_col="ts",
+        window_duration="1 day",
+        watermark="60 days",
+        p=p,
+        key_col="event_type",
+        value_col="user_id",
+        value_kind="int64",
+    )
+    name = f"win_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        est.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sketchlib_winck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    spark.catalog.dropTempView(name)
+    latest: dict = {}
+    for r in rows:
+        key = (r["window_start"], r["event_type"])
+        if key not in latest or r["n_rows"] > latest[key]["n_rows"]:
+            latest[key] = r
+
+    batch_keyed = events.withColumn("day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
+    agg = HllAggregator(p=p, key_cols=["day", "event_type"], value_col="user_id", value_kind="int64")
+    batch = {
+        (r["day"], r["event_type"]): r for r in agg.estimates(batch_keyed).collect()
+    }
+    out = []
+    for (ws, et), r in latest.items():
+        day = ws.strftime("%Y-%m-%d")
+        b = batch.get((day, et))
+        out.append(
+            (
+                day,
+                et,
+                int(r["n_rows"]),
+                bool(
+                    b is not None
+                    and r["n_rows"] == b["n_rows"]
+                    and r["est_distinct"] == b["est_distinct"]
+                ),
+            )
+        )
+    ok_all = len(out) == len(batch)
+    return (
+        spark.createDataFrame(
+            [(d, e, n, bool(m and ok_all)) for d, e, n, m in out],
+            "day string, event_type string, n_rows long, stream_matches_batch boolean",
+        )
+        .orderBy("day", "event_type")
+    )
+
+
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the IVF (k-means cells) index vs brute force."""
     from .similarity import brute_force_topk, ivf_topk
