@@ -119,6 +119,14 @@ def main() -> None:
             "spark_exact_count_distinct": exact_sec,
         },
     }
+    # embed the latest N-vs-4N scaling evidence (written by bench/scaling.py
+    # over a 2.1B-token job) so the per-round snapshot carries it
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench", "scaling_last.json"
+    )
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            out["scaling_evidence"] = json.load(f)
     spark.stop()
     print(json.dumps(out))
 

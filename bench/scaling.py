@@ -71,11 +71,21 @@ def main() -> None:
 
     eff = big["tokens_per_sec"] / (4.0 * small["tokens_per_sec"])
     identical = small["sketch_sha256"] == big["sketch_sha256"]
+    # the attainable ceiling on ONE box: parallel memcpy itself scales 0.47
+    # from 8 to 32 procs here (shared memory bus; measured, BENCH_SCALING.md)
+    memcpy_ceiling = 0.47
     result = {
         "metric": "scaling_efficiency_Nx4",
         "value": round(eff, 3),
         "pass": eff >= 0.8 and identical,
         "sketches_identical": identical,
+        "relative_to_hardware_ceiling": round(eff / memcpy_ceiling, 3),
+        "note": (
+            "single 32-core box proxy: raw N->4N bounded by the shared "
+            "memory bus (parallel memcpy itself scales 0.47 from 8->32 "
+            "procs); on a real N->4N executor scale-out each node adds its "
+            "own bus. See BENCH_SCALING.md for the full curve + methodology."
+        ),
         "small": small,
         "big": big,
     }
@@ -105,6 +115,10 @@ merge -> global rollup. Reproduce: `python bench/scaling.py --n {args.n} --rows 
     # BENCH_SCALING.md at the repo root
     with open(os.path.join(REPO, "bench", "scaling_last_run.md"), "w") as f:
         f.write(md)
+    # machine-readable copy: bench.py embeds this in its JSON line so the
+    # per-round BENCH_r{N}.json carries the scaling evidence too
+    with open(os.path.join(REPO, "bench", "scaling_last.json"), "w") as f:
+        json.dump(result, f)
 
 
 if __name__ == "__main__":
