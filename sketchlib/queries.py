@@ -984,6 +984,18 @@ def streaming_windowed_users(spark: SparkSession, sf_dir: str, p: int = DEFAULT_
     deterministic law; late-drop/eviction behavior is pinned separately in
     tests/test_streaming.py. Emits SQL-exact per-window row counts + the
     provable parity boolean."""
+    # pin the session TZ for this query: window() aligns 1-day windows on
+    # UTC epoch boundaries while date_trunc('day') follows the session TZ —
+    # they only agree (and match the TZ-free DuckDB oracle) under UTC
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        return _streaming_windowed_users_utc(spark, sf_dir, p)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
+
+
+def _streaming_windowed_users_utc(spark: SparkSession, sf_dir: str, p: int) -> DataFrame:
     import tempfile
     import uuid
 
@@ -993,7 +1005,7 @@ def streaming_windowed_users(spark: SparkSession, sf_dir: str, p: int = DEFAULT_
     events = load_table(spark, sf_dir, "events")
     # multi-file, roughly time-ordered copy so the stream sees several
     # micro-batches with advancing event time; ts cast to TIMESTAMP (the
-    # parquet NTZ type cannot carry a watermark; session TZ is UTC)
+    # parquet NTZ type cannot carry a watermark; session TZ pinned UTC)
     src = events.select(
         F.col("ts").cast("timestamp").alias("ts"), "event_type", "user_id"
     )
