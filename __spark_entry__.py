@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_distinct_tokens_per_source": Q.exact_distinct_tokens_per_source,
         "hll_tokens_accuracy": Q.hll_tokens_accuracy,
         "hll_tokens_rollup": Q.hll_tokens_rollup,
+        "salted_merge_identity": Q.salted_merge_identity,
+        "per_doc_sketch_storage": Q.per_doc_sketch_storage,
         "hll_source_overlap": Q.hll_source_overlap,
         "checkpointed_resume_identity": Q.checkpointed_resume_identity,
         "sql_over_checkpoint": Q.sql_over_checkpoint,
@@ -271,6 +273,12 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_SEQ_PARQUET_SF001}'), UNNEST(tokens) AS t(tok)
             GROUP BY source ORDER BY source
         """,
+        "salted_merge_identity": f"""
+            SELECT source, COUNT(*) AS n_rows, SUM(n_tok)::BIGINT AS n_items,
+                   TRUE AS salted_identical, TRUE AS auto_salt_identical
+            FROM read_parquet('{_SEQ_PARQUET_SF001}')
+            GROUP BY source ORDER BY source
+        """,
         "hll_tokens_rollup": f"""
             SELECT COALESCE(source, 'ALL') AS source,
                    COUNT(DISTINCT t.tok) AS distinct_tokens,
@@ -345,6 +353,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n_docs,
                    COUNT(DISTINCT text) AS n_after_dedup,
                    TRUE AS matches_distinct_text
+            FROM documents
+        """,
+        "per_doc_sketch_storage": """
+            SELECT COUNT(*) AS docs, TRUE AS all_sparse,
+                   TRUE AS all_roundtrip, TRUE AS all_est_close
             FROM documents
         """,
         "embedding_near_dup_pairs": """

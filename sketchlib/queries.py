@@ -414,6 +414,43 @@ def tokenized_documents_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def salted_merge_identity(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> DataFrame:
+    """Axis-A skew handling as an oracle-checked law: the salted two-stage
+    merge (fan-in bounded per reduce task — the hot-source mitigation, s00
+    holds ~60% of rows) must produce BYTE-IDENTICAL sketches to the direct
+    merge, per source, at both a fixed salt and the stats-driven 'auto'
+    salt. Emits SQL-exact per-source row counts + the provable booleans."""
+    path = sequences_path(spark, sf_dir)
+    agg = HllAggregator(p=p, key_cols=["source"], value_col="tokens", value_kind="tokens")
+    direct = {
+        r["source"]: (bytes(r["sketch"]), r["n_rows"], r["n_items"])
+        for r in agg.merged(path, spark=spark).collect()
+    }
+    salted = {
+        r["source"]: (bytes(r["sketch"]), r["n_rows"], r["n_items"])
+        for r in agg.merged(path, salt=8, spark=spark).collect()
+    }
+    auto = {
+        r["source"]: (bytes(r["sketch"]), r["n_rows"], r["n_items"])
+        for r in agg.merged(path, salt="auto", spark=spark).collect()
+    }
+    rows = [
+        (
+            src,
+            int(direct[src][1]),
+            int(direct[src][2]),
+            bool(salted.get(src) == direct[src]),
+            bool(auto.get(src) == direct[src]),
+        )
+        for src in sorted(direct)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "source string, n_rows long, n_items long, "
+        "salted_identical boolean, auto_salt_identical boolean",
+    ).orderBy("source")
+
+
 def hll_tokens_rollup(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> DataFrame:
     """Grouping-sets/rollup surface: per-source AND grand-total distinct
     tokens in one result, the sketch way — the per-source sketches MERGE
@@ -608,6 +645,42 @@ def simhash_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(n_docs), bool(row["max_nfp"] == 1))],
         "docs long, dup_texts_share_fp boolean",
+    )
+
+
+def per_doc_sketch_storage(spark: SparkSession, sf_dir: str, p: int = 18) -> DataFrame:
+    """Per-DOCUMENT sketches (high-cardinality grouping, one sketch per row
+    key): exercises the packed sort-based grouped update (n_groups x 2^p
+    exceeds the dense scratch budget at p=18) and the sparse at-rest codec —
+    every per-doc blob must be sparse-encoded (mode byte 1, ~5 bytes per
+    distinct token vs 2^18 raw), byte-stable through a decode/encode
+    round-trip, and estimate-accurate against the exact per-doc distinct
+    count. Collecting blobs is oracle-scale-only; at 10^9 docs they'd land
+    in a checkpoint table (io.append_partials)."""
+    from .codec import HEADER_LEN
+
+    seqs = _tokenized_docs(spark, sf_dir)
+    agg = HllAggregator(p=p, key_cols=["doc_id"], value_col="tokens", value_kind="tokens")
+    blobs = {r["doc_id"]: bytes(r["sketch"]) for r in agg.merged(seqs).collect()}
+    exact = {
+        r["doc_id"]: r["d"]
+        for r in seqs.select(
+            "doc_id", F.size(F.array_distinct("tokens")).alias("d")
+        ).collect()
+    }
+    bound = 3.0 * HllSketch.std_error(p)
+    all_sparse = all(b[HEADER_LEN] == 1 for b in blobs.values())
+    all_roundtrip = all(
+        HllSketch.from_bytes(b).to_bytes() == b for b in blobs.values()
+    )
+    all_est_close = all(
+        abs(HllSketch.from_bytes(b).cardinality() - exact[d])
+        <= max(2.0, bound * exact[d])
+        for d, b in blobs.items()
+    )
+    return spark.createDataFrame(
+        [(len(blobs), bool(all_sparse), bool(all_roundtrip), bool(all_est_close))],
+        "docs long, all_sparse boolean, all_roundtrip boolean, all_est_close boolean",
     )
 
 

@@ -41,6 +41,7 @@ _SEQ_ORACLE_QUERIES = {
     "exact_distinct_tokens_per_source",
     "hll_tokens_accuracy",
     "hll_tokens_rollup",
+    "salted_merge_identity",
     "hll_source_overlap",
     "checkpointed_resume_identity",
     "cms_token_freq_topk",
