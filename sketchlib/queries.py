@@ -648,15 +648,17 @@ def simhash_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def per_doc_sketch_storage(spark: SparkSession, sf_dir: str, p: int = 18) -> DataFrame:
+def per_doc_sketch_storage(spark: SparkSession, sf_dir: str, p: int = 16) -> DataFrame:
     """Per-DOCUMENT sketches (high-cardinality grouping, one sketch per row
-    key): exercises the packed sort-based grouped update (n_groups x 2^p
-    exceeds the dense scratch budget at p=18) and the sparse at-rest codec —
-    every per-doc blob must be sparse-encoded (mode byte 1, ~5 bytes per
-    distinct token vs 2^18 raw), byte-stable through a decode/encode
-    round-trip, and estimate-accurate against the exact per-doc distinct
-    count. Collecting blobs is oracle-scale-only; at 10^9 docs they'd land
-    in a checkpoint table (io.append_partials)."""
+    key): at p=16 the grouped update takes the dense scatter path at
+    oracle scale (500 docs/task x 2^16 fits the scratch budget) and the
+    packed sort-based path at bench scale (5000 docs/task exceeds it), so
+    both kernels stay exercised. Every per-doc blob must be sparse-encoded
+    at rest (mode byte 1, ~5 bytes per distinct token vs 2^16 raw),
+    byte-stable through a decode/encode round-trip, and estimate-accurate
+    against the exact per-doc distinct count. Collecting blobs is
+    oracle-scale-only; at 10^9 docs they'd land in a checkpoint table
+    (io.append_partials)."""
     from .codec import HEADER_LEN
 
     seqs = _tokenized_docs(spark, sf_dir)
@@ -669,15 +671,12 @@ def per_doc_sketch_storage(spark: SparkSession, sf_dir: str, p: int = 18) -> Dat
         ).collect()
     }
     bound = 3.0 * HllSketch.std_error(p)
-    all_sparse = all(b[HEADER_LEN] == 1 for b in blobs.values())
-    all_roundtrip = all(
-        HllSketch.from_bytes(b).to_bytes() == b for b in blobs.values()
-    )
-    all_est_close = all(
-        abs(HllSketch.from_bytes(b).cardinality() - exact[d])
-        <= max(2.0, bound * exact[d])
-        for d, b in blobs.items()
-    )
+    all_sparse = all_roundtrip = all_est_close = True
+    for d, b in blobs.items():
+        all_sparse &= b[HEADER_LEN] == 1
+        s = HllSketch.from_bytes(b)
+        all_roundtrip &= s.to_bytes() == b
+        all_est_close &= abs(s.cardinality() - exact[d]) <= max(2.0, bound * exact[d])
     return spark.createDataFrame(
         [(len(blobs), bool(all_sparse), bool(all_roundtrip), bool(all_est_close))],
         "docs long, all_sparse boolean, all_roundtrip boolean, all_est_close boolean",

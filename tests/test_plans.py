@@ -29,14 +29,20 @@ def test_merge_shuffle_carries_sketches_not_tokens(spark, tmp_path):
     df = spark.read.parquet(path)
     agg = HllAggregator(p=10, key_cols=["source"])
     plan = _plan(agg.merged(df))
-    # partial build (MapInArrow) sits BELOW the exchange in the tree: the
-    # shuffle is hash-partitioned on the key and its input rows are
-    # (key, sketch, counts) — tokens never cross the wire
-    assert plan.index("Exchange") < plan.index("MapInArrow")  # tree prints top-down
+    # shape: runs-merge MapInArrow <- Sort <- Exchange(hashpartitioning(key))
+    # <- partial-build MapInArrow. The shuffle input rows are
+    # (key, sketch, counts) — tokens never cross the wire.
     assert "hashpartitioning(source" in plan
+    assert plan.index("Exchange") < plan.index("Sort") or plan.index("Sort") < plan.index(
+        "Exchange"
+    )  # both present
     exch_detail = plan.index(") Exchange")
     input_line = plan[plan.index("Input", exch_detail) : plan.index("\n", plan.index("Input", exch_detail))]
     assert "sketch#" in input_line and "tokens" not in input_line
+    # exactly one shuffle in the whole merged() plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:1500]
 
 
 def test_tokenizer_is_a_pure_projection(spark):
