@@ -463,26 +463,29 @@ class SketchAggregator:
     ) -> DataFrame:
         """Expand each merged sketch row into result rows, distributed.
 
-        ``row_fn(sketch_bytes) -> pd.DataFrame[extra cols]`` runs inside an
-        applyInPandas task per key (never a driver collect), so point/quantile
-        queries against millions of per-key sketches stay parallel.
+        ``row_fn(sketch_bytes) -> pd.DataFrame[extra cols]`` runs where the
+        merged row already lives: ``merged`` has exactly one row per key, so
+        this is a shuffle-FREE mapInPandas (round 1 used
+        groupBy().applyInPandas here, which re-shuffled the sketch rows and
+        paid a pandas/Arrow round trip per key — waste at millions of keys).
         """
         key_cols = self.key_cols
         by_name = {f.name: f for f in merged.schema.fields}
-        group_cols = key_cols if key_cols else ["__g"]
-        if not key_cols:
-            merged = merged.withColumn("__g", F.lit(0))
-            by_name["__g"] = T.StructField("__g", T.IntegerType(), False)
-        schema = T.StructType([by_name[c] for c in group_cols] + list(extra_fields))
+        schema = T.StructType([by_name[c] for c in key_cols] + list(extra_fields))
+        extra_names = [f.name for f in extra_fields]
 
-        def expand(pdf: pd.DataFrame) -> pd.DataFrame:
-            out = row_fn(bytes(pdf["sketch"].iloc[0]))
-            for c in group_cols:
-                out[c] = pdf[c].iloc[0]
-            return out[group_cols + [f.name for f in extra_fields]]
+        def expand(pdfs):
+            for pdf in pdfs:
+                outs = []
+                for _, row in pdf.iterrows():
+                    out = row_fn(bytes(row["sketch"]))
+                    for c in key_cols:
+                        out[c] = row[c]
+                    outs.append(out[key_cols + extra_names])
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
 
-        result = merged.groupBy(*group_cols).applyInPandas(expand, schema)
-        return result.drop("__g") if not key_cols else result
+        return merged.mapInPandas(expand, schema)
 
 
 class HllAggregator(SketchAggregator):
