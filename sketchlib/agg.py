@@ -772,23 +772,31 @@ class CmsAggregator(SketchAggregator):
         )
         width_log2, depth, seed, vkind = self.width_log2, self.depth, self.seed, kind
 
-        def score(pdf: pd.DataFrame) -> pd.DataFrame:
-            sketch = CountMinSketch.from_bytes(bytes(pdf["sketch"].iloc[0]))
-            probes = list(pdf["__probes"].iloc[0])
-            if vkind == "string":
-                est = sketch.query_batch(probes, kind=vkind)
-            else:
-                np_t = {"tokens": np.int32, "int32": np.int32, "int64": np.int64}[vkind]
-                est = sketch.query_batch(np.asarray(probes, dtype=np_t), kind=vkind)
-            out = pd.DataFrame({"value": probes, "est_freq": est.astype("int64")})
-            out = out.sort_values(
-                ["est_freq", "value"], ascending=[False, True]
-            ).head(topk)
-            for k in group_cols:
-                out[k] = pdf[k].iloc[0]
-            return out[group_cols + ["value", "est_freq"]]
+        def score(pdfs):
+            # joined has exactly one row per key: expand in place, no
+            # re-shuffle, one Python call per batch (same rationale as
+            # finalize_rows / the runs-merge stage)
+            for pdf in pdfs:
+                outs = []
+                for _, row in pdf.iterrows():
+                    sketch = CountMinSketch.from_bytes(bytes(row["sketch"]))
+                    probes = list(row["__probes"])
+                    if vkind == "string":
+                        est = sketch.query_batch(probes, kind=vkind)
+                    else:
+                        np_t = {"tokens": np.int32, "int32": np.int32, "int64": np.int64}[vkind]
+                        est = sketch.query_batch(np.asarray(probes, dtype=np_t), kind=vkind)
+                    out = pd.DataFrame({"value": probes, "est_freq": est.astype("int64")})
+                    out = out.sort_values(
+                        ["est_freq", "value"], ascending=[False, True]
+                    ).head(topk)
+                    for k in group_cols:
+                        out[k] = row[k]
+                    outs.append(out[group_cols + ["value", "est_freq"]])
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
 
-        result = joined.groupBy(*group_cols).applyInPandas(score, out_schema)
+        result = joined.mapInPandas(score, out_schema)
         return result.drop("__g") if not key_cols else result
 
     def point_estimates(
