@@ -103,32 +103,51 @@ def main() -> None:
     flag_t = timings_warm.get("hll_tokens_per_source") or timings.get(
         "hll_tokens_per_source", 0.0
     )
+    flag_cold = timings.get("hll_tokens_per_source", 0.0)
+    # cold and warm throughput are different metrics (cold pays one-time
+    # codegen + scan warmup) — report BOTH under explicit names, never one
+    # silently standing in for the other (ADVICE r02).
     out = {
         "metric": "sketch_query_suite_wall_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "queries_warm": timings_warm,
         "suite_warm_sec": total_warm,
         "sf": sf_val,
         "cpus": cpus,
-        "tokens_per_sec": round(n_items_flagship / flag_t) if flag_t else None,
+        "tokens_per_sec_cold": round(n_items_flagship / flag_cold) if flag_cold else None,
+        "tokens_per_sec_warm": round(n_items_flagship / flag_t) if flag_t else None,
         "flagship_vs_builtins_sec": {
             "sketchlib_hll": flag_t,
             "spark_approx_count_distinct": native_approx_sec,
             "spark_exact_count_distinct": exact_sec,
         },
     }
-    # embed the latest N-vs-4N scaling evidence (written by bench/scaling.py
-    # over a 2.1B-token job) so the per-round snapshot carries it
+    # summarize the latest N-vs-4N scaling evidence (written by
+    # bench/scaling.py over a 2.1B-token job) against the ORIGINAL >= 0.8
+    # gate; the full measurement (incl. the memcpy hardware-ceiling context)
+    # stays in bench/scaling_last.json
     scaling_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench", "scaling_last.json"
     )
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
-            out["scaling_evidence"] = json.load(f)
+            sc = json.load(f)
+        eff = sc.get("value")
+        out["scaling"] = {
+            "efficiency": eff,
+            "pass_ge_0.8": bool(eff is not None and eff >= 0.8),
+            "detail": "bench/scaling_last.json",
+        }
+    # full cold/warm per-query detail goes to a side file; stdout carries ONE
+    # compact line the driver's tail capture can always parse (VERDICT r02 #4)
+    detail = dict(out)
+    detail["queries_warm"] = timings_warm
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench", "last_run.json"), "w") as f:
+        json.dump(detail, f, indent=1)
     spark.stop()
-    print(json.dumps(out))
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

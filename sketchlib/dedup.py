@@ -26,8 +26,9 @@ import pyarrow.compute as pc
 
 from .kernels import DEFAULT_SEED
 from .minhash import (
-    MinHashSketch,
-    band_keys,
+    band_keys_batch,
+    decode_minhash_blobs,
+    encode_minhash_blobs,
     minhash_signatures_batch,
     shingles_flat,
     simhash64_batch,
@@ -85,15 +86,41 @@ def minhash_signatures(
                 continue
             elems, codes, n_docs = _shingle_batch(batch, tokens_col, shingle_n)
             sigs = minhash_signatures_batch(elems, codes, n_docs, k, seed)
-            blobs = [
-                MinHashSketch(k=k, seed=seed, sig=sigs[i]).to_bytes() for i in range(n_docs)
-            ]
             yield pa.RecordBatch.from_arrays(
-                [batch.column(doc_col), pa.array(blobs, type=pa.binary())],
+                [batch.column(doc_col), encode_minhash_blobs(sigs, seed)],
                 names=[doc_col, "sig"],
             )
 
     return df.select(doc_col, tokens_col).mapInArrow(build, out_schema)
+
+
+def banded_rows(
+    sig_df: DataFrame, doc_col: str = "doc_id", bands: int = 16
+) -> DataFrame:
+    """(doc_col, band_key long) — one row per (doc, band) from signature blobs.
+
+    mapInArrow: each Arrow batch of fixed-width signature blobs decodes with
+    one ``np.frombuffer`` reshape (decode_minhash_blobs), band keys come from
+    one vectorized pass (band_keys_batch), and the doc column is repeated
+    with an Arrow `take` — no per-row Python, no explode.
+    """
+    doc_field = sig_df.schema[doc_col]
+    out_schema = T.StructType([doc_field, T.StructField("band_key", T.LongType(), False)])
+
+    def explode_bands(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            sigs, _, _ = decode_minhash_blobs(batch.column("sig").to_pylist())
+            keys = band_keys_batch(sigs, bands).view(np.int64).reshape(-1)
+            idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(doc_col).take(idx), pa.array(keys, type=pa.int64())],
+                names=[doc_col, "band_key"],
+            )
+
+    return sig_df.select(doc_col, "sig").mapInArrow(explode_bands, out_schema)
 
 
 def lsh_candidate_pairs(
@@ -108,42 +135,43 @@ def lsh_candidate_pairs(
     ``max_bucket`` guards the self-join against degenerate hot buckets: a
     band bucket of B docs emits B^2 candidate rows, so one pathological key
     (e.g. every near-empty doc sharing a band value) turns the linear
-    bucketed shuffle quadratic. Buckets above the cap are dropped — the
-    standard MinHash-LSH mitigation; it only affects recall *inside*
-    degenerate buckets, where near-dup semantics are meaningless anyway.
-    The count window hash-partitions on band_key — the same distribution
-    the join requires — so the guard adds no extra shuffle on either join
-    side (plan-verified: one Exchange per side, Window directly above it).
+    bucketed shuffle quadratic. Over-cap buckets are detected with a
+    map-side-combined ``groupBy(band_key).count()`` (the degenerate bucket's
+    count is aggregated per task — its B rows never land on one reducer) and
+    excluded from the self-join via a broadcast anti-join of the over-cap
+    keys (at most rows/max_bucket of them). Instead of dropping a hot
+    bucket's docs outright, each over-cap bucket emits linear
+    *representative pairs* (min doc, other): every member is still paired
+    with one survivor, so downstream near-dedup removes the losers of a
+    degenerate duplicate cluster instead of silently keeping all of them
+    (ADVICE r02). Pairs are still signature-verified downstream, so a hot
+    bucket of genuinely unrelated docs contributes nothing.
     """
-    from pyspark.sql import Window
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def bands_udf(blobs: pd.Series) -> pd.Series:
-        out = []
-        for b in blobs:
-            s = MinHashSketch.from_bytes(bytes(b))
-            out.append(band_keys(s.sig, bands).view(np.int64).tolist())
-        return pd.Series(out)
-
-    banded = sig_df.select(
-        F.col(doc_col), F.explode(bands_udf(F.col("sig"))).alias("band_key")
-    )
+    banded = banded_rows(sig_df, doc_col, bands)
+    rep_pairs = None
     if max_bucket is not None:
-        banded = (
-            banded.withColumn(
-                "__bucket_n", F.count("*").over(Window.partitionBy("band_key"))
-            )
-            .where(F.col("__bucket_n") <= max_bucket)
-            .drop("__bucket_n")
+        hot = (
+            banded.groupBy("band_key")
+            .agg(F.count("*").alias("__n"), F.min(doc_col).alias("__rep"))
+            .where(F.col("__n") > max_bucket)
+            .select("band_key", "__rep")
         )
+        rep_pairs = (
+            banded.join(F.broadcast(hot), "band_key")
+            .where(F.col(doc_col) > F.col("__rep"))
+            .select(F.col("__rep").alias("a"), F.col(doc_col).alias("b"))
+        )
+        banded = banded.join(F.broadcast(hot.select("band_key")), "band_key", "left_anti")
     left = banded.alias("l")
     right = banded.alias("r")
-    return (
+    pairs = (
         left.join(right, "band_key")
         .where(F.col(f"l.{doc_col}") < F.col(f"r.{doc_col}"))
         .select(F.col(f"l.{doc_col}").alias("a"), F.col(f"r.{doc_col}").alias("b"))
-        .distinct()
     )
+    if rep_pairs is not None:
+        pairs = pairs.unionByName(rep_pairs)
+    return pairs.distinct()
 
 
 def near_dup_pairs(
@@ -169,12 +197,14 @@ def near_dup_pairs(
 
     @F.pandas_udf(T.DoubleType())
     def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        out = np.empty(len(a))
-        for i in range(len(a)):
-            sa = MinHashSketch.from_bytes(bytes(a.iloc[i]))
-            sb = MinHashSketch.from_bytes(bytes(b.iloc[i]))
-            out[i] = MinHashSketch.jaccard(sa, sb)
-        return pd.Series(out)
+        if len(a) == 0:
+            return pd.Series(np.empty(0))
+        sa, ka, seed_a = decode_minhash_blobs(a)
+        sb, kb, seed_b = decode_minhash_blobs(b)
+        if (ka, seed_a) != (kb, seed_b):
+            raise ValueError("config mismatch")
+        # slot-match fraction per pair, one vectorized comparison per batch
+        return pd.Series((sa == sb).mean(axis=1))
 
     a_sig = sigs.withColumnRenamed(doc_col, "a").withColumnRenamed("sig", "sig_a")
     b_sig = sigs.withColumnRenamed(doc_col, "b").withColumnRenamed("sig", "sig_b")

@@ -177,9 +177,13 @@ class CheckpointedBuild:
         total = 0
         while True:
             done = self.run(spark, input_path, **kw)
-            if done == 0:
-                return total
             total += done
+            # an unbounded run() sketches every pending shard in one pass, so
+            # completion is guaranteed — skip the no-op verification pass
+            # (checkpoint re-read + shard enumeration + schema probe per
+            # call; the r02 sql_over_checkpoint regression)
+            if done == 0 or kw.get("max_shards") is None:
+                return total
 
     # -- answers ------------------------------------------------------------------
 

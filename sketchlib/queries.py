@@ -460,15 +460,20 @@ def hll_tokens_rollup(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> D
     asserted within 3 sigma. The total row carries source='ALL'."""
     path = sequences_path(spark, sf_dir)
     agg = HllAggregator(p=p, key_cols=["source"], value_col="tokens", value_kind="tokens")
-    per_source = {
-        r["source"]: HllSketch.from_bytes(bytes(r["sketch"]))
-        for r in agg.merged(path, spark=spark).collect()
+    # per-source merged rows feed both the per-key estimates and the ALL row;
+    # the ALL row is a second DISTRIBUTED merge stage over the KB-sized
+    # per-source rows (agg.rollup_total) — no driver-side sketch loop, so the
+    # same plan holds at 10^6 group keys (VERDICT r02 #3). Only (source, est)
+    # integers ever reach the driver.
+    merged = agg.merged(path, spark=spark).localCheckpoint(eager=True)
+    est_udf = agg.estimate_udf()
+    rolled = merged.select("source", "sketch").unionByName(
+        agg.rollup_total(merged).select(F.lit("ALL").alias("source"), "sketch")
+    )
+    est = {
+        r["source"]: int(r["est"])
+        for r in rolled.select("source", est_udf(F.col("sketch")).alias("est")).collect()
     }
-    global_sketch = HllSketch.empty(p)
-    for s in per_source.values():
-        global_sketch.merge(s)
-    est = {src: s.cardinality() for src, s in per_source.items()}
-    est["ALL"] = global_sketch.cardinality()
 
     seqs = sequences_for(spark, sf_dir)
     exact = (
@@ -506,15 +511,26 @@ def hll_source_overlap(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> 
     """
     a_src, b_src = "s00", "s01"
     agg = HllAggregator(p=p, key_cols=["source"], value_col="tokens", value_kind="tokens")
-    sketches = {
-        r["source"]: HllSketch.from_bytes(bytes(r["sketch"]))
-        for r in agg.merged(sequences_path(spark, sf_dir), spark=spark)
+    # union sketch = distributed keyless merge of the two per-source rows
+    # (agg.rollup_total); intersection = inclusion-exclusion over the three
+    # estimates. Only integers reach the driver — same shape as
+    # union/intersection over arbitrarily many sources (VERDICT r02 #3).
+    merged = (
+        agg.merged(sequences_path(spark, sf_dir), spark=spark)
         .where(F.col("source").isin(a_src, b_src))
-        .collect()
+        .localCheckpoint(eager=True)
+    )
+    est_udf = agg.estimate_udf()
+    per_src = {
+        r["source"]: int(r["est"])
+        for r in merged.select("source", est_udf(F.col("sketch")).alias("est")).collect()
     }
-    a, b = sketches[a_src], sketches[b_src]
-    est_union = HllSketch.union_estimate(a, b)
-    est_inter = HllSketch.intersection_estimate(a, b)
+    est_union = int(
+        agg.rollup_total(merged)
+        .select(est_udf(F.col("sketch")).alias("est"))
+        .collect()[0]["est"]
+    )
+    est_inter = max(0, per_src[a_src] + per_src[b_src] - est_union)
 
     seqs = sequences_for(spark, sf_dir)
     per_tok = (

@@ -107,6 +107,42 @@ def test_minhash_roundtrip(corpus):
     assert r.k == 128 and r.seed == 9 and np.array_equal(r.sig, s.sig)
 
 
+def test_batch_blob_codec_golden(corpus):
+    """encode_minhash_blobs / decode_minhash_blobs / band_keys_batch are
+    byte-identical to the per-row to_bytes/from_bytes/band_keys path
+    (VERDICT r02 #1: the vectorized decode replaced per-row from_bytes)."""
+    from sketchlib.minhash import (
+        band_keys,
+        band_keys_batch,
+        decode_minhash_blobs,
+        encode_minhash_blobs,
+    )
+
+    sigs = np.stack(
+        [minhash_signature(token_shingles(t.astype(np.int64)), 64, seed=11) for _, t in corpus[:12]]
+    )
+    blobs = encode_minhash_blobs(sigs, seed=11)
+    expected = [MinHashSketch(k=64, seed=11, sig=sigs[i]).to_bytes() for i in range(12)]
+    assert blobs.to_pylist() == expected
+    dec, k, seed = decode_minhash_blobs(blobs.to_pylist())
+    assert (k, seed) == (64, 11) and np.array_equal(dec, sigs)
+    bk = band_keys_batch(sigs, 16)
+    for i in range(12):
+        assert np.array_equal(bk[i], band_keys(sigs[i], 16)), i
+
+
+def test_decode_minhash_blobs_rejects_mixed_batches():
+    from sketchlib.minhash import decode_minhash_blobs
+
+    a = MinHashSketch(k=64, seed=1)
+    b = MinHashSketch(k=64, seed=2)
+    c = MinHashSketch(k=128, seed=1)
+    with pytest.raises(ValueError):
+        decode_minhash_blobs([a.to_bytes(), b.to_bytes()])  # same width, mixed seed
+    with pytest.raises(ValueError):
+        decode_minhash_blobs([a.to_bytes(), c.to_bytes()])  # mixed k / width
+
+
 def test_near_dup_pipeline_recall_and_precision(spark, corpus_df, corpus):
     """Planted 90%-overlap pairs must surface; random pairs must not."""
     found = {
@@ -177,8 +213,39 @@ def test_lsh_hot_bucket_cap(spark):
     sigs = minhash_signatures(df, k=64)
     uncapped = lsh_candidate_pairs(sigs, bands=16, max_bucket=None).count()
     assert uncapped == n * (n - 1) // 2  # quadratic blow-up demonstrated
-    capped = lsh_candidate_pairs(sigs, bands=16, max_bucket=50).count()
-    assert capped == 0  # every bucket holds all 120 docs > cap -> dropped
+    # over-cap buckets collapse to linear representative pairs: every doc is
+    # paired with the bucket's min doc_id, so near-dedup still removes the
+    # losers of a degenerate duplicate cluster (ADVICE r02)
+    capped = lsh_candidate_pairs(sigs, bands=16, max_bucket=50).collect()
+    assert len(capped) == n - 1
+    assert {(r["a"], r["b"]) for r in capped} == {
+        ("h0000", f"h{i:04d}") for i in range(1, n)
+    }
+
+
+def test_near_dedup_survives_hot_bucket(spark):
+    """A duplicate cluster bigger than max_bucket must still dedup to one
+    survivor via the representative pairs (ADVICE r02: previously every doc
+    in an over-cap bucket silently survived)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from sketchlib.dedup import near_dedup
+
+    n = 120
+    tok = np.arange(50, dtype=np.int32)
+    pdf = pd.DataFrame(
+        {"doc_id": [f"h{i:04d}" for i in range(n)], "tokens": [tok.copy() for _ in range(n)]}
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType(), False), False),
+        ]
+    )
+    df = spark.createDataFrame(pdf, schema)
+    kept = {r["doc_id"] for r in near_dedup(df, k=64, bands=16, max_bucket=50).collect()}
+    assert kept == {"h0000"}
 
 
 def test_lsh_cap_leaves_normal_buckets_untouched(spark, corpus_df):

@@ -66,22 +66,21 @@ def test_broadcast_join_for_small_probe_side(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
-def test_lsh_bucket_cap_adds_no_extra_shuffle(spark):
-    """The bucket-size guard's Window must ride the same band_key exchange
-    the self-join needs: exactly one Exchange under each Window, none
-    between Window and the join."""
+def test_lsh_bucket_cap_shape(spark):
+    """The bucket-size guard must never land a hot bucket's rows on one
+    task: the over-cap keys come from a map-side-combined HashAggregate on
+    band_key (partial_count before its Exchange), the exclusion is a
+    BroadcastHashJoin (no extra shuffle of the banded rows), and no Window
+    appears anywhere (the r01/r02 Window guard shipped B rows to one task)."""
     from sketchlib.data import SEQUENCES_SCHEMA, gen_sequences_pandas
     from sketchlib.dedup import lsh_candidate_pairs, minhash_signatures
 
     df = spark.createDataFrame(gen_sequences_pandas(500), schema=SEQUENCES_SCHEMA)
     plan = _plan(lsh_candidate_pairs(minhash_signatures(df), bands=16))
-    # each join side: ... Join <- Window <- Exchange(hashpartitioning(band_key ...
-    import re
-
-    windows = len(re.findall(r"\(\d+\) Window", plan))
-    exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
-    assert windows == 2  # one per self-join side
+    assert "Window" not in plan
     assert "hashpartitioning(band_key" in plan
-    # 2 side exchanges + 1 for the final distinct; the cap adds none beyond
-    # the per-side band_key partitioning the join itself requires
-    assert exchanges <= 3, plan[:2000]
+    # map-side combine: a partial_count aggregate exists (runs before the
+    # aggregate's Exchange, so a degenerate bucket is counted per task)
+    assert "partial_count" in plan
+    # over-cap keys reach the banded rows via broadcast, not a shuffle
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
