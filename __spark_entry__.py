@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_ntok_quantiles": Q.kll_ntok_quantiles,
         "streaming_hll_parity": Q.streaming_hll_parity,
         "streaming_windowed_users": Q.streaming_windowed_users,
+        "streaming_finalized_windows": Q.streaming_finalized_windows,
         # oracle-checked: exact values + sketch-bound assertions
         "hll_users_accuracy": Q.hll_users_accuracy,
         "hll_parts_accuracy": Q.hll_parts_accuracy,
@@ -200,6 +201,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                    event_type, COUNT(*) AS n_rows,
                    TRUE AS stream_matches_batch
+            FROM events GROUP BY 1, 2 ORDER BY day, event_type
+        """,
+        "streaming_finalized_windows": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   event_type, COUNT(*) AS n_rows,
+                   TRUE AS final_matches_batch
             FROM events GROUP BY 1, 2 ORDER BY day, event_type
         """,
         "near_dup_topk_pairs": """

@@ -261,6 +261,92 @@ def hll_windowed_streaming_estimates(
     )
 
 
+def hll_windowed_finalized_estimates(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 day",
+    watermark: str = "1 hour",
+    p: int = 14,
+    seed: int = DEFAULT_SEED,
+    key_col: str = "event_type",
+    value_col: str = "user_id",
+    value_kind: str = "int64",
+) -> DataFrame:
+    """APPEND-mode windowed HLL: exactly ONE final row per (window, key),
+    emitted only when the event-time watermark passes the window end.
+
+    The production sink shape ("window closed, final answer") the update-mode
+    variant can't provide: micro-batches silently accumulate per-window
+    sketch state and emit nothing; when the watermark passes a window's end
+    its state times out, the finalized row (estimate + exact row count) is
+    appended, and the state is evicted. Late rows beyond the watermark are
+    dropped by Spark before reaching the state function. Windows still open
+    when the stream ends are never emitted — by design; feed a heartbeat row
+    past (max window end + watermark) to flush everything (the driver query
+    does exactly that with a sentinel key).
+    """
+    key_field = stream.schema[key_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("window_start", T.TimestampType(), False),
+            key_field,
+            T.StructField("est_distinct", T.LongType(), False),
+            T.StructField("n_rows", T.LongType(), False),
+        ]
+    )
+
+    def update_fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # watermark passed the window end: emit THE final row, evict
+            blob, n_rows, _ = state.get
+            sketch = HllSketch.from_bytes(bytes(blob))
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "window_start": [key[0]],
+                    key_col: [key[1]],
+                    "est_distinct": [sketch.cardinality()],
+                    "n_rows": [n_rows],
+                }
+            )
+            return
+        if state.exists:
+            blob, n_rows, _ = state.get
+            sketch = HllSketch.from_bytes(bytes(blob))
+        else:
+            sketch, n_rows = HllSketch.empty(p, seed), 0
+        for pdf in pdfs:
+            values, _ = _values_from_pandas(pdf[value_col], value_kind, seed)
+            if value_kind in ("tokens", "int32"):
+                sketch.update_batch(values)
+            elif value_kind == "int64":
+                sketch.update_batch_int64(values)
+            else:
+                sketch.update_hashes(murmur64a_str_array(values, seed))
+            n_rows += len(pdf)
+        state.update((sketch.to_bytes(), n_rows, 0))
+        end_ms = int(pd.Timestamp(key[0]).value // 10**6) + int(
+            pd.Timedelta(window_duration).total_seconds() * 1000
+        )
+        state.setTimeoutTimestamp(end_ms)
+        # append mode: nothing emitted while the window is open
+
+    from pyspark.sql import functions as F
+
+    windowed = (
+        stream.withWatermark(ts_col, watermark)
+        .withColumn("window_start", F.window(ts_col, window_duration)["start"])
+        .select("window_start", key_col, value_col, ts_col)
+    )
+    return windowed.groupBy("window_start", key_col).applyInPandasWithState(
+        update_fn,
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def sketch_streaming_windowed(
     stream: DataFrame,
     agg,

@@ -142,6 +142,92 @@ def test_windowed_streaming_with_watermark(spark, tmp_path):
         q.stop()
 
 
+def test_finalized_windows_append_mode(spark, tmp_path):
+    """Append-mode windowed HLL: a window's final row is emitted exactly once
+    when the watermark passes its end; late rows beyond the watermark don't
+    contaminate it; still-open windows emit nothing."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from sketchlib.hll import HllSketch
+    from sketchlib.streaming import hll_windowed_finalized_estimates
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("user_id", T.LongType(), False),
+        ]
+    )
+    base = pd.Timestamp("2026-03-01 00:00:00")
+    rng = np.random.default_rng(7)
+
+    def mk(hours, n):
+        return pd.DataFrame(
+            {
+                "ts": [base + pd.Timedelta(hours=h) for h in rng.choice(hours, n)],
+                "event_type": rng.choice(["click", "view"], n),
+                "user_id": rng.integers(0, 300, n),
+            }
+        )
+
+    in_dir = str(tmp_path / "fin_in")
+    os.makedirs(in_dir)
+
+    def feed(pdf, q=None):
+        spark.createDataFrame(pdf, schema=schema).coalesce(1).write.mode("append").parquet(
+            in_dir
+        )
+        if q is not None:
+            q.processAllAvailable()
+
+    b1 = mk([0.1, 0.6, 1.2, 1.7], 1_500)  # windows W0 [00,01) and W1 [01,02)
+    feed(b1)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    fin = hll_windowed_finalized_estimates(
+        stream, ts_col="ts", window_duration="1 hour", watermark="30 minutes", p=12
+    )
+    q = (
+        fin.writeStream.format("memory")
+        .queryName("fin_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "fin_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # nothing closed yet: watermark = 01:42 - 30m = 01:12 < W1 end,
+        # W0 end (01:00) < 01:12 -> W0 fires only on the NEXT batch
+        heartbeat = mk([3.0], 50)  # advances watermark to 02:30
+        feed(heartbeat, q)
+        late = mk([0.2], 100)  # behind the 02:30 watermark -> dropped
+        feed(late, q)
+        feed(mk([6.0], 5), q)  # watermark -> 05:30 (fires W0/W1/W2/W3 closes)
+        feed(mk([6.0], 5), q)  # one more batch so 05:30 timeouts fire
+        rows = spark.sql("select * from fin_test").collect()
+    finally:
+        q.stop()
+
+    got = {}
+    for r in rows:
+        k = (r["window_start"], r["event_type"])
+        assert k not in got, f"window {k} emitted twice in append mode"
+        got[k] = r
+    # oracle: b1 + heartbeat rows, NOT the late batch (dropped), NOT the
+    # 06:00 window (still open when the stream ended)
+    closed = pd.concat([b1, heartbeat]).assign(win=lambda d: d["ts"].dt.floor("1h"))
+    expected_keys = set()
+    for (win, et), grp in closed.groupby(["win", "event_type"]):
+        key = (win.to_pydatetime(), et)
+        expected_keys.add(key)
+        oracle = HllSketch.empty(12)
+        oracle.update_batch_int64(grp["user_id"].to_numpy())
+        assert key in got, key
+        assert got[key]["est_distinct"] == oracle.cardinality(), key
+        assert got[key]["n_rows"] == len(grp), key
+    assert set(got) == expected_keys  # open 06:00 windows never emitted
+
+
 def test_generic_streaming_cms_and_kll(spark, tmp_path):
     """The generic streaming wrapper runs CMS totals and KLL medians per key
 
