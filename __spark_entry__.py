@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_distinct_tokens_per_source": Q.exact_distinct_tokens_per_source,
         "hll_tokens_accuracy": Q.hll_tokens_accuracy,
         "hll_tokens_rollup": Q.hll_tokens_rollup,
+        "hll_users_cube": Q.hll_users_cube,
         "salted_merge_identity": Q.salted_merge_identity,
         "per_doc_sketch_storage": Q.per_doc_sketch_storage,
         "hll_source_overlap": Q.hll_source_overlap,
@@ -292,6 +293,17 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS within_3sigma
             FROM read_parquet('{_SEQ_PARQUET_SF001}'), UNNEST(tokens) AS t(tok)
             GROUP BY ROLLUP(source) ORDER BY source
+        """,
+        "hll_users_cube": """
+            SELECT COALESCE(day, 'ALL') AS day,
+                   COALESCE(event_type, 'ALL') AS event_type,
+                   COUNT(DISTINCT user_id) AS distinct_users,
+                   TRUE AS within_3sigma
+            FROM (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                         event_type, user_id
+                  FROM events)
+            GROUP BY CUBE (day, event_type)
+            ORDER BY day, event_type
         """,
         "checkpointed_resume_identity": f"""
             SELECT (SELECT COUNT(*) FROM read_parquet('{_SEQ_PARQUET_SF001}')) // 10000

@@ -34,7 +34,7 @@ def make_zip() -> str:
     return zpath
 
 
-def run_leg(cores: int, rows: int, zpath: str) -> dict:
+def run_leg(cores: int, rows: int, zpath: str, repeats: int = 2) -> dict:
     cmd = [
         "spark-submit",
         "--master",
@@ -50,6 +50,8 @@ def run_leg(cores: int, rows: int, zpath: str) -> dict:
         str(cores),
         "--rows",
         str(rows),
+        "--repeats",
+        str(repeats),
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     for line in proc.stdout.splitlines():
@@ -63,14 +65,17 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8, help="small parallelism; big = 4n")
     ap.add_argument("--rows", type=int, default=4_000_000)
+    ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
 
     zpath = make_zip()
-    small = run_leg(args.n, args.rows, zpath)
-    big = run_leg(args.n * 4, args.rows, zpath)
+    small = run_leg(args.n, args.rows, zpath, args.repeats)
+    big = run_leg(args.n * 4, args.rows, zpath, args.repeats)
 
     eff = big["tokens_per_sec"] / (4.0 * small["tokens_per_sec"])
-    identical = small["sketch_sha256"] == big["sketch_sha256"]
+    identical = small["sketch_sha256"] == big["sketch_sha256"] and small.get(
+        "quantile_sketch_sha256"
+    ) == big.get("quantile_sketch_sha256")
     # the attainable ceiling on ONE box: parallel memcpy itself scales 0.47
     # from 8 to 32 procs here (shared memory bus; measured, BENCH_SCALING.md)
     memcpy_ceiling = 0.47
@@ -103,9 +108,11 @@ Protocol (BASELINE.md): same spark-submit job, same deterministic input
 | 4N | local[{args.n * 4}] | {big['wall_sec']} | {big['tokens_per_sec']:,} |
 
 - **Scaling efficiency** T_4N / (4 x T_N) = **{eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
-- **Parallelism invariance**: per-source + global sketch bytes sha256
-  {"IDENTICAL" if identical else "MISMATCH"} across both legs
-  (`{small['sketch_sha256'][:16]}...`)
+- **Parallelism invariance**: per-source + global HLL sketch bytes sha256
+  AND the KLL + t-digest (per-row-group partials, content-seeded parity,
+  canonical merges) sha256 {"IDENTICAL" if identical else "MISMATCH"}
+  across both legs (`{small['sketch_sha256'][:16]}...`,
+  quantile `{small.get('quantile_sketch_sha256', '?')[:16]}...`)
 - Global distinct-token estimate: {small['global_estimate']:,}
 
 Job: parquet scan -> HLL partial build (p=14, seed=314) -> per-source tree

@@ -77,6 +77,28 @@ def main() -> None:
         h.update(global_sketch.to_bytes())
         digest = h.hexdigest()
 
+    # byte-determinism law extended to the order-SENSITIVE sketches
+    # (VERDICT r02 #7): per-row-group partials (parallelism-independent
+    # grain) + content-seeded KLL parity + canonical sorted-blob merges must
+    # produce the same bytes at every core count. Not part of the timed
+    # throughput job — it is the invariance evidence.
+    from sketchlib.agg import KllAggregator, TDigestAggregator
+
+    qh = hashlib.sha256()
+    for qagg in (
+        KllAggregator(k=200, key_cols=["source"], value_col="n_tok", value_kind="int32"),
+        TDigestAggregator(
+            delta=200, key_cols=["source"], value_col="n_tok", value_kind="int32"
+        ),
+    ):
+        parts = qagg.partials_from_parquet(spark, path, per_shard=True)
+        for src, blob in sorted(
+            (r["source"], bytes(r["sketch"]))
+            for r in qagg.merged(parts, is_partials=True).collect()
+        ):
+            qh.update(src.encode())
+            qh.update(blob)
+
     out = {
         "cores": args.cores,
         "rows": args.rows,
@@ -84,6 +106,7 @@ def main() -> None:
         "wall_sec": round(best, 3),
         "tokens_per_sec": round(n_items / best),
         "sketch_sha256": digest,
+        "quantile_sketch_sha256": qh.hexdigest(),
         "global_estimate": global_sketch.cardinality(),
     }
     spark.stop()

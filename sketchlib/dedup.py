@@ -27,6 +27,7 @@ import pyarrow.compute as pc
 from .kernels import DEFAULT_SEED
 from .minhash import (
     band_keys_batch,
+    decode_minhash_arrow,
     decode_minhash_blobs,
     encode_minhash_blobs,
     minhash_signatures_batch,
@@ -112,7 +113,7 @@ def banded_rows(
             n = batch.num_rows
             if n == 0:
                 continue
-            sigs, _, _ = decode_minhash_blobs(batch.column("sig").to_pylist())
+            sigs, _, _ = decode_minhash_arrow(batch.column("sig"))
             keys = band_keys_batch(sigs, bands).view(np.int64).reshape(-1)
             idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
             yield pa.RecordBatch.from_arrays(

@@ -57,14 +57,25 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 
 def append_partials(df: DataFrame, target: str, spark: SparkSession) -> str:
-    """Append partial-sketch rows to the checkpoint: Iceberg table when a
-    catalog is live (atomic snapshot append, time-travelable lineage),
-    parquet directory otherwise. Returns the sink kind used."""
+    """Append partial-sketch rows to the checkpoint: Iceberg table when the
+    target is a table identifier and a catalog is live (atomic snapshot
+    append, time-travelable lineage), parquet directory otherwise. Returns
+    the sink kind used. First Iceberg append creates the table."""
     if "/" not in target and iceberg_available(spark):
-        df.writeTo(target).append()
+        if spark.catalog.tableExists(target):
+            df.writeTo(target).append()
+        else:
+            df.writeTo(target).using("iceberg").create()
         return "iceberg"
     df.write.mode("append").parquet(target)
     return "parquet"
+
+
+def read_partials(spark: SparkSession, target: str) -> DataFrame:
+    """Read checkpoint partials back from either sink kind."""
+    if "/" not in target:
+        return spark.table(target)
+    return spark.read.parquet(target)
 
 
 def enumerate_shards(path: str) -> list[tuple[str, int]]:
@@ -90,16 +101,31 @@ class CheckpointedBuild:
     invocation's work — the unit tests use it to simulate interruption.
     """
 
-    def __init__(self, agg: SketchAggregator, ckpt_root: str, run_id: str | None = None):
+    def __init__(
+        self,
+        agg: SketchAggregator,
+        ckpt_root: str | None = None,
+        run_id: str | None = None,
+        table: str | None = None,
+    ):
+        """``ckpt_root``: parquet directory root (a per-run subdir is
+        created). ``table``: an Iceberg table identifier instead — appends
+        become atomic snapshot commits and lineage is time-travelable; the
+        caller owns identifier uniqueness. Exactly one must be given."""
+        if (ckpt_root is None) == (table is None):
+            raise ValueError("exactly one of ckpt_root / table must be given")
         self.agg = agg
         self.run_id = run_id or uuid.uuid4().hex[:12]
-        self.ckpt_dir = os.path.join(ckpt_root, self.run_id, "partials")
+        if table is not None:
+            self.ckpt_dir = table  # table identifier ('/'-free) -> Iceberg sink
+        else:
+            self.ckpt_dir = os.path.join(ckpt_root, self.run_id, "partials")
 
     # -- state ------------------------------------------------------------------
 
     def completed_shards(self, spark: SparkSession) -> set[str]:
         try:
-            rows = spark.read.parquet(self.ckpt_dir).select("shard_id").distinct().collect()
+            rows = read_partials(spark, self.ckpt_dir).select("shard_id").distinct().collect()
         except Exception:
             return set()
         return {r["shard_id"] for r in rows}
@@ -188,7 +214,7 @@ class CheckpointedBuild:
     # -- answers ------------------------------------------------------------------
 
     def partials(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.ckpt_dir)
+        return read_partials(spark, self.ckpt_dir)
 
     def merged(self, spark: SparkSession, salt: int | None = None) -> DataFrame:
         parts = self.partials(spark).drop("shard_id", "wall_secs")

@@ -11,10 +11,15 @@ Published bound: rank error eps with constant ~O(1/k); k=200 gives ~1.65%
 worst-case single-sided at 99% confidence (DataSketches' published figure);
 in practice ~<1% mid-range. Tests assert the empirical bound.
 
-Determinism: compaction parity comes from a counter-seeded RNG, so a sketch
-built from the same value sequence is reproducible; parallel/merged builds
-are *statistically* equivalent but not bit-equal (SURVEY.md §7 hard part 7),
-unlike HLL/CMS/Bloom which are order-exact.
+Determinism: compaction parity is CONTENT-SEEDED — a hash of the sorted
+level being compacted (plus the sketch seed) picks the promoted offset, so
+compaction is a pure function of the data it sees. Combined with a
+parallelism-independent partial grain (per-row-group partials) and
+canonical sorted-blob merge order (merge_blobs), a distributed build is
+byte-identical at ANY parallelism — the same order-exactness law
+HLL/CMS/Bloom get for free from their idempotent-max/add algebra
+(SURVEY.md §7 hard part 7). Parity remains unbiased across compactions
+because level contents differ.
 """
 
 from __future__ import annotations
@@ -25,6 +30,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .codec import KIND_KLL, pack_header, unpack_header
+from .kernels import murmur64a_int64
 
 _C = 2.0 / 3.0
 
@@ -37,7 +43,6 @@ class KllSketch:
     n: int = 0
     min_v: float = np.inf
     max_v: float = -np.inf
-    _ops: int = 0  # compaction counter -> deterministic parity stream
 
     def __post_init__(self) -> None:
         if not (8 <= int(self.k) <= 65535):
@@ -57,10 +62,17 @@ class KllSketch:
         depth = len(self.levels)
         return max(2, int(self.k * (_C ** (depth - 1 - level))))
 
-    def _parity(self) -> int:
-        self._ops += 1
-        rng = np.random.default_rng((self.seed * 0x9E3779B9 + self._ops) & 0xFFFFFFFF)
-        return int(rng.integers(0, 2))
+    def _parity(self, arr_sorted: np.ndarray) -> int:
+        """Promoted-offset parity as a pure function of the compacted data:
+        hash the sorted level contents (xor-reduced MurmurHash64A) with the
+        sketch seed. Identical contents -> identical promote/drop choice on
+        every execution path, which is what makes distributed builds
+        byte-reproducible; across compactions the contents differ, so the
+        choice stays unbiased (the KLL analysis only needs the parity to be
+        uncorrelated with item ranks)."""
+        h = murmur64a_int64(arr_sorted.view(np.int64), self.seed)
+        x = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
+        return int(x & np.uint64(1))
 
     def _compact(self) -> None:
         while sum(len(lv) for lv in self.levels) > sum(
@@ -69,7 +81,7 @@ class KllSketch:
             for i, lv in enumerate(self.levels):
                 if len(lv) > self._capacity(i):
                     arr = np.sort(lv)
-                    promoted = arr[self._parity() :: 2]
+                    promoted = arr[self._parity(arr) :: 2]
                     self.levels[i] = np.empty(0, dtype=np.float64)
                     if i + 1 == len(self.levels):
                         self.levels.append(np.empty(0, dtype=np.float64))
@@ -102,7 +114,6 @@ class KllSketch:
         self.n += other.n
         self.min_v = min(self.min_v, other.min_v)
         self.max_v = max(self.max_v, other.max_v)
-        self._ops = max(self._ops, other._ops) + 1
         self._compact()
         return self
 
@@ -151,7 +162,7 @@ class KllSketch:
     def to_bytes(self) -> bytes:
         head = pack_header(KIND_KLL, 0, self.seed)
         meta = struct.pack(
-            "<HQddIq", self.k, self.n, self.min_v, self.max_v, len(self.levels), self._ops
+            "<HQddI", self.k, self.n, self.min_v, self.max_v, len(self.levels)
         )
         lens = struct.pack(f"<{len(self.levels)}I", *(len(lv) for lv in self.levels))
         body = b"".join(np.ascontiguousarray(lv).tobytes() for lv in self.levels)
@@ -160,22 +171,23 @@ class KllSketch:
     @classmethod
     def from_bytes(cls, blob: bytes) -> "KllSketch":
         _, seed, payload = unpack_header(blob, KIND_KLL)
-        k, n, min_v, max_v, n_levels, ops = struct.unpack_from("<HQddIq", payload, 0)
-        off = struct.calcsize("<HQddIq")
+        k, n, min_v, max_v, n_levels = struct.unpack_from("<HQddI", payload, 0)
+        off = struct.calcsize("<HQddI")
         lens = struct.unpack_from(f"<{n_levels}I", payload, off)
         off += 4 * n_levels
         levels = []
         for ln in lens:
             levels.append(np.frombuffer(payload, dtype=np.float64, count=ln, offset=off).copy())
             off += 8 * ln
-        s = cls(k=k, seed=seed, levels=levels, n=n, min_v=min_v, max_v=max_v)
-        s._ops = ops
-        return s
+        return cls(k=k, seed=seed, levels=levels, n=n, min_v=min_v, max_v=max_v)
 
     @staticmethod
     def merge_blobs(blobs, k: int, seed: int = 0) -> "KllSketch":
+        """Merge serialized sketches in CANONICAL (bytewise-sorted) order:
+        with content-seeded compaction parity, the merged result is then a
+        pure function of the blob MULTISET — any permutation of the same
+        partials yields byte-identical output."""
         out = KllSketch.empty(k, seed)
-        for b in blobs:
-            if b is not None:
-                out.merge(KllSketch.from_bytes(bytes(b)))
+        for b in sorted(bytes(b) for b in blobs if b is not None):
+            out.merge(KllSketch.from_bytes(b))
         return out

@@ -215,6 +215,24 @@ def encode_minhash_blobs(sigs: np.ndarray, seed: int = DEFAULT_SEED) -> "pa.Arra
     )
 
 
+def _sigs_from_matrix(raw: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """(n, width) uint8 blob matrix -> (sigs (n, k) uint64, k, seed), with
+    vectorized header validation (every blob must share the first blob's
+    magic/version/kind/seed/k prefix; the sig payload follows)."""
+    from .codec import HEADER_LEN
+
+    n, width = raw.shape
+    first = MinHashSketch.from_bytes(raw[0].tobytes())
+    k, seed = first.k, first.seed
+    pre = HEADER_LEN + 4
+    if width != pre + 8 * k:
+        raise ValueError("blob width inconsistent with header k")
+    if not (raw[:, :pre] == raw[0, :pre]).all():
+        raise ValueError("mixed MinHash headers in one batch")
+    sigs = np.ascontiguousarray(raw[:, pre:]).view(np.uint64).reshape(n, k)
+    return sigs, k, seed
+
+
 def decode_minhash_blobs(blobs) -> tuple[np.ndarray, int, int]:
     """Batch-decode serialized MinHash sketches: (sigs (n, k) uint64, k, seed).
 
@@ -232,8 +250,7 @@ def decode_minhash_blobs(blobs) -> tuple[np.ndarray, int, int]:
     k, seed = first.k, first.seed
     from .codec import HEADER_LEN
 
-    pre = HEADER_LEN + 4
-    width = pre + 8 * k
+    width = HEADER_LEN + 4 + 8 * k
     buf = b"".join(bytes(b) for b in blobs)
     if len(buf) != n * width:
         sigs = np.empty((n, k), dtype=np.uint64)
@@ -243,13 +260,33 @@ def decode_minhash_blobs(blobs) -> tuple[np.ndarray, int, int]:
                 raise ValueError("mixed MinHash configs in one batch")
             sigs[i] = s.sig
         return sigs, k, seed
-    raw = np.frombuffer(buf, dtype=np.uint8).reshape(n, width)
-    # vectorized header validation: every blob must share the first blob's
-    # magic/version/kind/seed/k prefix (the sig payload follows)
-    if not (raw[:, :pre] == raw[0, :pre]).all():
-        raise ValueError("mixed MinHash headers in one batch")
-    sigs = np.ascontiguousarray(raw[:, pre:]).view(np.uint64).reshape(n, k)
-    return sigs, k, seed
+    return _sigs_from_matrix(np.frombuffer(buf, dtype=np.uint8).reshape(n, width))
+
+
+def decode_minhash_arrow(col) -> tuple[np.ndarray, int, int]:
+    """``decode_minhash_blobs`` straight off an Arrow binary column —
+    ZERO-copy when the blobs are fixed-width (they are, per batch): the
+    signature matrix is a reshape of the column's value buffer, no per-row
+    bytes objects at all. Falls back to the bytes path on ragged widths."""
+    import pyarrow as pa
+
+    n = len(col)
+    if n == 0:
+        raise ValueError("empty blob batch")
+    if col.null_count:
+        raise ValueError("null signature blob")
+    if not pa.types.is_binary(col.type):
+        return decode_minhash_blobs(col.to_pylist())
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset : col.offset + n + 1
+    ]
+    widths = offs[1:] - offs[:-1]
+    width = int(widths[0])
+    if width <= 0 or not (widths == width).all():
+        return decode_minhash_blobs(col.to_pylist())
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    raw = data[offs[0] : offs[-1]].reshape(n, width)
+    return _sigs_from_matrix(raw)
 
 
 def band_keys_batch(sigs: np.ndarray, bands: int, seed: int = DEFAULT_SEED) -> np.ndarray:

@@ -499,6 +499,57 @@ def hll_tokens_rollup(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> D
     ).orderBy("source")
 
 
+def hll_users_cube(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> DataFrame:
+    """Full CUBE surface (closes SURVEY §2B 'grouping sets/cube beyond
+    rollup'): distinct users per (day x event_type) CUBE — all four grouping
+    sets derived from ONE scan's per-key sketches via agg.cube(); each
+    coarser set is a distributed KB-sized re-merge, never a rescan and never
+    a driver-side sketch. Exact counts come from Spark's native cube() and
+    reproduce in DuckDB GROUP BY CUBE; each sketch estimate is asserted
+    within 3 sigma. Aggregated-out dimensions surface as 'ALL'."""
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        from .agg import HllAggregator
+
+        events = load_table(spark, sf_dir, "events").withColumn(
+            "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+        )
+        agg = HllAggregator(
+            p=p, key_cols=["day", "event_type"], value_col="user_id", value_kind="int64"
+        )
+        merged = agg.merged(events).localCheckpoint(eager=True)
+        est_df = agg.cube(merged).select(
+            F.coalesce(F.col("day"), F.lit("ALL")).alias("day"),
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            agg.estimate_udf()(F.col("sketch")).alias("est"),
+        )
+        exact = (
+            events.cube("day", "event_type")
+            .agg(F.countDistinct("user_id").alias("distinct_users"))
+            .select(
+                F.coalesce(F.col("day"), F.lit("ALL")).alias("day"),
+                F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+                "distinct_users",
+            )
+        )
+        bound = 3.0 * HllSketch.std_error(p)
+        return (
+            exact.join(est_df, ["day", "event_type"])
+            .select(
+                "day",
+                "event_type",
+                "distinct_users",
+                (
+                    F.abs(F.col("est") / F.col("distinct_users") - 1.0) <= bound
+                ).alias("within_3sigma"),
+            )
+            .orderBy("day", "event_type")
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
+
+
 # ---- set operations between sources (union / intersection / jaccard) -------------
 
 

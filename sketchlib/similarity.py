@@ -266,7 +266,17 @@ def ivf_index(
         sample_df = sample_df.where(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(fit_sample_mod)) == 0
         )
-    sample = sample_df.limit(max_fit_sample).collect()
+    # deterministic cap: a bare limit() keeps whichever rows arrive first
+    # (partition scheduling order), so rebuilding the index could yield
+    # different centroids despite the fixed seed (ADVICE r02). Ordering by
+    # the id hash makes the fit sample — hence the index — a pure function
+    # of the corpus. Distributed TakeOrderedAndProject: each partition ships
+    # only its top max_fit_sample rows, no full sort materialization.
+    sample = (
+        sample_df.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(max_fit_sample)
+        .collect()
+    )
     mat = np.array([r[vec_col] for r in sample], dtype=np.float64)
     centers = _spherical_kmeans(mat, n_clusters, seed)
 

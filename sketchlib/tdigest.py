@@ -5,8 +5,11 @@ values buffer locally, then centroids are rebuilt by a single sorted sweep
 bounded by the k1 scale function, which allots more resolution near q=0/1.
 
 Mergeable-sketch discipline (SURVEY.md §2C): merge = concatenate centroids +
-recompress — associative "enough" (statistically equivalent, not bit-equal,
-like KLL).
+recompress. The sweep has no RNG, so merging blobs in canonical
+(bytewise-sorted) order makes the result a pure function of the partial
+MULTISET; with a parallelism-independent partial grain (per-row-group
+partials) the distributed build is byte-identical at any parallelism, same
+as HLL/CMS/Bloom and the content-seeded KLL.
 """
 
 from __future__ import annotations
@@ -188,8 +191,12 @@ class TDigest:
 
     @staticmethod
     def merge_blobs(blobs, delta: float = 200.0) -> "TDigest":
+        """Merge serialized digests in CANONICAL (bytewise-sorted) order:
+        the t-digest recompression sweep is fully deterministic (no RNG), so
+        a canonical merge order makes the result a pure function of the blob
+        MULTISET — any permutation of the same partials yields byte-identical
+        output."""
         out = TDigest.empty(delta)
-        for b in blobs:
-            if b is not None:
-                out.merge(TDigest.from_bytes(bytes(b)))
+        for b in sorted(bytes(b) for b in blobs if b is not None):
+            out.merge(TDigest.from_bytes(b))
         return out

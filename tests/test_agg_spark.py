@@ -7,6 +7,7 @@ change nothing but the plan shape.
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from sketchlib.agg import HllAggregator
 from sketchlib.data import SEQUENCES_SCHEMA, gen_sequences_pandas, sequences_df
@@ -174,6 +175,44 @@ def test_auto_salt_equals_unsalted(spark, tiny_pdf):
     a = bytes(g.merged(df, salt="auto").collect()[0]["sketch"])
     b = bytes(g.merged(df).collect()[0]["sketch"])
     assert a == b
+
+
+def test_cube_grouping_sets_from_one_scan(spark):
+    """agg.cube() derives every grouping set by re-merging the finest-grain
+    sketch rows — estimates must equal a direct build of each set, and the
+    NULL-filled key layout must match Spark's native cube()."""
+    import pandas as pd
+
+    rng = np.random.default_rng(13)
+    pdf = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y"], 5_000),
+            "b": rng.choice(["u", "v", "w"], 5_000),
+            "val": rng.integers(0, 1200, 5_000),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    agg = HllAggregator(p=12, key_cols=["a", "b"], value_col="val", value_kind="int64")
+    merged = agg.merged(df).localCheckpoint(eager=True)
+    rows = agg.cube(merged).collect()
+    got = {
+        (r["a"], r["b"]): HllSketch.from_bytes(bytes(r["sketch"])).cardinality()
+        for r in rows
+    }
+    # 2*3 + 2 + 3 + 1 grouping-set rows
+    assert len(got) == 12
+    # every set's estimate equals an independent direct build of that set
+    for keys in (["a", "b"], ["a"], ["b"], []):
+        sub = HllAggregator(p=12, key_cols=keys, value_col="val", value_kind="int64")
+        for r in sub.estimates(df).collect():
+            full_key = tuple(r[k] if k in keys else None for k in ["a", "b"])
+            assert got[full_key] == r["est_distinct"], full_key
+    # exact parity with native cube() row counts at p=12 on 1200 values
+    exact = {
+        (r["a"], r["b"]): r["n"]
+        for r in df.cube("a", "b").agg(F.countDistinct("val").alias("n")).collect()
+    }
+    assert set(exact) == set(got)
 
 
 def test_file_granularity_shard_planning(spark, tmp_path):

@@ -126,6 +126,13 @@ def test_batch_blob_codec_golden(corpus):
     assert blobs.to_pylist() == expected
     dec, k, seed = decode_minhash_blobs(blobs.to_pylist())
     assert (k, seed) == (64, 11) and np.array_equal(dec, sigs)
+    # the zero-copy Arrow path must agree exactly (incl. on a sliced column)
+    from sketchlib.minhash import decode_minhash_arrow
+
+    dec2, k2, seed2 = decode_minhash_arrow(blobs)
+    assert (k2, seed2) == (64, 11) and np.array_equal(dec2, sigs)
+    dec3, _, _ = decode_minhash_arrow(blobs.slice(3, 6))
+    assert np.array_equal(dec3, sigs[3:9])
     bk = band_keys_batch(sigs, 16)
     for i in range(12):
         assert np.array_equal(bk[i], band_keys(sigs[i], 16)), i

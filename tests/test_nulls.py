@@ -75,6 +75,34 @@ def test_multi_key_with_nulls(spark, null_df):
     assert est == exact
 
 
+def test_float_nan_key_is_one_group(spark):
+    """A float NaN group key must merge into ONE row (Spark groupBy
+    normalizes NaN into a single group); Python tuple comparison in the
+    run-merge used to split NaN partials into unmerged rows (ADVICE r02)."""
+    schema = T.StructType(
+        [
+            T.StructField("fk", T.DoubleType(), True),
+            T.StructField("v", T.LongType(), False),
+        ]
+    )
+    rows = [(float("nan"), i) for i in range(200)]
+    rows += [(1.5, i) for i in range(100)]
+    rows += [(None, i) for i in range(50)]
+    df = spark.createDataFrame(rows, schema).repartition(8)
+    agg = HllAggregator(p=10, key_cols=["fk"], value_col="v", value_kind="int64")
+    got = agg.estimates(df).collect()
+    assert len(got) == 3  # NaN group, 1.5 group, null group
+    by_key = {}
+    for r in got:
+        k = "nan" if (r["fk"] is not None and r["fk"] != r["fk"]) else r["fk"]
+        by_key[k] = r
+    assert by_key["nan"]["n_rows"] == 200
+    assert by_key[1.5]["n_rows"] == 100
+    assert by_key[None]["n_rows"] == 50
+    # p=10 linear-counting regime: within 3 sigma of the 200 distinct values
+    assert abs(by_key["nan"]["est_distinct"] - 200) <= 3 * 1.04 / (2**5) * 200
+
+
 def test_cms_heavy_hitters_null_key(spark, null_df):
     agg = CmsAggregator(
         width_log2=12, depth=4, key_cols=["k"], value_col="v", value_kind="int64"
