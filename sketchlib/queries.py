@@ -1042,6 +1042,25 @@ def sql_over_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _streaming_conf(spark: SparkSession, shuffle_partitions: str = "8"):
+    """Pin shuffle partitions low for the stateful streaming queries: every
+    micro-batch pays a state-store commit + shuffle task PER PARTITION, and
+    the keyed state here is a few hundred rows — 32 partitions is pure
+    overhead at test scale. On a real cluster the session value (sized to
+    executors) applies as usual; this only scopes the toy-SF driver queries.
+    """
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", shuffle_partitions)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
 def streaming_hll_parity(spark: SparkSession, sf_dir: str, p: int = 12) -> DataFrame:
     """Structured Streaming surfaced through the driver: consume the
     sequences parquet as a file-source micro-batch stream (keyed
@@ -1069,19 +1088,20 @@ def streaming_hll_parity(spark: SparkSession, sf_dir: str, p: int = 12) -> DataF
         .parquet(path)
     )
     name = f"hll_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        hll_streaming_estimates(stream, p=p)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sketchlib_stream_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    with _streaming_conf(spark):
+        q = (
+            hll_streaming_estimates(stream, p=p)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sketchlib_stream_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     rows = spark.sql(f"SELECT * FROM {name}").collect()
     latest: dict = {}
     for r in rows:  # update mode emits once per key per micro-batch
@@ -1149,7 +1169,9 @@ def _streaming_windowed_users_utc(spark: SparkSession, sf_dir: str, p: int) -> D
         F.col("ts").cast("timestamp").alias("ts"), "event_type", "user_id"
     )
     src_dir = tempfile.mkdtemp(prefix="sketchlib_winstream_")
-    src.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src_dir)
+    # 2 time-ordered files -> 2 micro-batches: cross-batch accumulation is
+    # exercised while per-batch fixed overhead stays bounded
+    src.repartitionByRange(2, "ts").write.mode("overwrite").parquet(src_dir)
     stream = (
         spark.readStream.schema(src.schema).option("maxFilesPerTrigger", 1).parquet(src_dir)
     )
@@ -1164,18 +1186,19 @@ def _streaming_windowed_users_utc(spark: SparkSession, sf_dir: str, p: int) -> D
         value_kind="int64",
     )
     name = f"win_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        est.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sketchlib_winck_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    with _streaming_conf(spark):
+        q = (
+            est.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sketchlib_winck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     # derive the day string IN SPARK (date_format under the pinned UTC
     # session TZ) — collecting the raw timestamp and strftime-ing it on the
     # driver converts through the driver's SYSTEM timezone and flips the
@@ -1250,7 +1273,9 @@ def _streaming_finalized_windows_utc(spark: SparkSession, sf_dir: str, p: int) -
         F.col("ts").cast("timestamp").alias("ts"), "event_type", "user_id"
     )
     src_dir = tempfile.mkdtemp(prefix="sketchlib_finstream_")
-    src.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src_dir)
+    # 2 time-ordered data files + 2 sentinel files = 4 micro-batches: windows
+    # accumulate across data batches, then close on the sentinel pair
+    src.repartitionByRange(2, "ts").write.mode("overwrite").parquet(src_dir)
     # two sentinel heartbeat files (appended AFTER the data files, so the
     # file stream sees them in later micro-batches): the first advances the
     # watermark past every real window's end, the second triggers the
@@ -1260,11 +1285,16 @@ def _streaming_finalized_windows_utc(spark: SparkSession, sf_dir: str, p: int) -
     max_ts = src.agg(F.max("ts").alias("m")).collect()[0]["m"]
     import datetime as _dt
 
+    # one-partition JVM-side literal row (range(...,numPartitions=1) +
+    # lit()): a local createDataFrame + coalesce(1) pays a ~6s python
+    # parallelize round trip PER WRITE for a single row
+    sentinel = spark.range(0, 1, 1, 1).select(
+        F.lit(max_ts + _dt.timedelta(days=400)).cast("timestamp").alias("ts"),
+        F.lit("__sentinel__").alias("event_type"),
+        F.lit(0).cast("long").alias("user_id"),
+    )
     for _ in range(2):
-        spark.createDataFrame(
-            [(max_ts + _dt.timedelta(days=400), "__sentinel__", 0)],
-            schema=src.schema,
-        ).coalesce(1).write.mode("append").parquet(src_dir)
+        sentinel.write.mode("append").parquet(src_dir)
     stream = (
         spark.readStream.schema(src.schema).option("maxFilesPerTrigger", 1).parquet(src_dir)
     )
@@ -1282,18 +1312,19 @@ def _streaming_finalized_windows_utc(spark: SparkSession, sf_dir: str, p: int) -
         value_kind="int64",
     )
     name = f"fin_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        fin.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sketchlib_finck_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    with _streaming_conf(spark):
+        q = (
+            fin.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sketchlib_finck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     rows = spark.sql(
         f"SELECT date_format(window_start, 'yyyy-MM-dd') AS day, "
         f"event_type, est_distinct, n_rows FROM {name} "
