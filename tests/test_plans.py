@@ -84,3 +84,23 @@ def test_lsh_bucket_cap_shape(spark):
     assert "partial_count" in plan
     # over-cap keys reach the banded rows via broadcast, not a shuffle
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    # banding happens inside mapInArrow (vectorized over blob buffers) —
+    # no per-row explode stage remains
+    assert "Generate" not in plan
+
+
+def test_cube_grouping_sets_never_rescan_the_data(spark):
+    """agg.cube() must derive every grouping set from the checkpointed
+    per-key sketch rows — zero parquet rescans in the whole cube plan (the
+    exact-SQL cube pays one raw-data shuffle PER SET)."""
+    from sketchlib.agg import HllAggregator
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    agg = HllAggregator(
+        p=10, key_cols=["event_type"], value_col="user_id", value_kind="int64"
+    )
+    merged = agg.merged(events).localCheckpoint(eager=True)
+    plan = _plan(agg.cube(merged))
+    assert "Scan parquet" not in plan
+    # the derived total row re-merges via the distributed merge stage
+    assert "MapInArrow" in plan
