@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_tokens_accuracy": Q.hll_tokens_accuracy,
         "hll_tokens_rollup": Q.hll_tokens_rollup,
         "hll_users_cube": Q.hll_users_cube,
+        "cms_heavy_hitters_per_source": Q.cms_heavy_hitters_per_source,
         "salted_merge_identity": Q.salted_merge_identity,
         "per_doc_sketch_storage": Q.per_doc_sketch_storage,
         "hll_source_overlap": Q.hll_source_overlap,
@@ -293,6 +294,19 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS within_3sigma
             FROM read_parquet('{_SEQ_PARQUET_SF001}'), UNNEST(tokens) AS t(tok)
             GROUP BY ROLLUP(source) ORDER BY source
+        """,
+        "cms_heavy_hitters_per_source": f"""
+            SELECT source, token, exact_cnt,
+                   TRUE AS in_cms_topk, TRUE AS never_undercounts
+            FROM (
+                SELECT source, t.tok AS token, COUNT(*) AS exact_cnt,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY COUNT(*) DESC, t.tok ASC) AS rk
+                FROM read_parquet('{_SEQ_PARQUET_SF001}'), UNNEST(tokens) AS t(tok)
+                GROUP BY source, t.tok
+            ) WHERE rk <= 3
+            ORDER BY source, token
         """,
         "hll_users_cube": """
             SELECT COALESCE(day, 'ALL') AS day,

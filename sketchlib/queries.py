@@ -217,6 +217,49 @@ def cms_token_freq_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFra
     )
 
 
+def cms_heavy_hitters_per_source(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """PER-KEY scalable top-k through the driver: candidates are the exact
+    per-partition-per-source top-C (a global heavy hitter is a local one in
+    some slice), deduplicated and scored against each source's merged
+    count-min sketch — fully distributed, candidates never leave the
+    cluster. Exact per-source top-k (ties on (count desc, token asc))
+    reproduces in SQL; booleans: each source's exact top-k is contained in
+    the CMS top-(k+2) (the margin absorbs near-tie reordering from CMS
+    overestimates), and no estimate undercounts."""
+    from pyspark.sql import Window
+
+    from .agg import CmsAggregator
+
+    path = sequences_path(spark, sf_dir)
+    seqs = sequences_for(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(F.desc("exact_cnt"), F.asc("token"))
+    exact_top = (
+        seqs.select("source", F.explode("tokens").alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("exact_cnt"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+    agg = CmsAggregator(
+        width_log2=18, depth=5, key_cols=["source"], value_col="tokens", value_kind="tokens"
+    )
+    hh = agg.heavy_hitters(path, topk=k + 2, spark=spark).withColumnRenamed(
+        "value", "token"
+    )
+    return (
+        exact_top.join(hh, ["source", "token"], "left")
+        .select(
+            "source",
+            "token",
+            "exact_cnt",
+            F.col("est_freq").isNotNull().alias("in_cms_topk"),
+            (F.col("est_freq") >= F.col("exact_cnt")).alias("never_undercounts"),
+        )
+        .orderBy("source", "token")
+    )
+
+
 # ---- bloom: membership / semi-join prefilter ------------------------------------
 
 

@@ -45,6 +45,7 @@ _SEQ_ORACLE_QUERIES = {
     "hll_source_overlap",
     "checkpointed_resume_identity",
     "cms_token_freq_topk",
+    "cms_heavy_hitters_per_source",
     "sql_over_checkpoint",
     "streaming_hll_parity",
 }
