@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_tokens_rollup": Q.hll_tokens_rollup,
         "hll_users_cube": Q.hll_users_cube,
         "cms_heavy_hitters_per_source": Q.cms_heavy_hitters_per_source,
+        "multimodal_av_decode": Q.multimodal_av_decode,
         "salted_merge_identity": Q.salted_merge_identity,
         "per_doc_sketch_storage": Q.per_doc_sketch_storage,
         "hll_source_overlap": Q.hll_source_overlap,
@@ -325,6 +326,13 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS resume_protocol_ok,
                    TRUE AS byte_identical,
                    TRUE AS lineage_ok
+        """,
+        "multimodal_av_decode": """
+            SELECT 'audio/wav' AS kind, COUNT(DISTINCT user_id) AS n_assets,
+                   TRUE AS all_features_valid FROM events
+            UNION ALL
+            SELECT 'image/bmp', COUNT(DISTINCT user_id), TRUE FROM events
+            ORDER BY kind
         """,
         "multimodal_decode_stats": """
             SELECT 'embedding-f32' AS kind, COUNT(*) AS n_assets,

@@ -138,6 +138,41 @@ DEFAULT_DECODERS: dict[str, Callable] = {
 }
 
 
+def synth_wav_pcm16(amplitude: int, n_samples: int = 1600, rate: int = 8000) -> bytes:
+    """Constant-amplitude square-wave PCM16 WAV (stdlib `wave`): every RMS
+    segment equals the amplitude, so the decoded FEATURE_DIM-segment
+    envelope L2-normalizes to uniformly 1/sqrt(FEATURE_DIM) — an
+    analytically-known decode oracle for ANY amplitude >= 1."""
+    import io
+    import wave
+
+    data = np.full(n_samples, int(amplitude), dtype=np.int16)
+    data[1::2] *= -1
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(data.tobytes())
+    return buf.getvalue()
+
+
+def synth_bmp_solid(gray: int, width: int = 8, height: int = 6) -> bytes:
+    """Solid-gray uncompressed 24-bit BMP (stdlib struct): the grayscale
+    histogram concentrates in exactly ONE bin, so the decoded feature is a
+    one-hot vector — an analytically-known decode oracle for any gray."""
+    import struct as _s
+
+    gray = int(gray) & 0xFF
+    row = bytes([gray, gray, gray]) * width
+    row += b"\x00" * ((-len(row)) % 4)
+    rows = row * height
+    data_off = 54
+    hdr = b"BM" + _s.pack("<IHHI", data_off + len(rows), 0, 0, data_off)
+    info = _s.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+    return hdr + info + rows
+
+
 def decode_features(
     df: DataFrame,
     decoders: dict[str, Callable] | None = None,

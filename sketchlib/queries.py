@@ -1011,6 +1011,60 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_av_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stdlib codecs through the driver: one PCM16 WAV (square wave,
+    amplitude uid+1) and one solid-gray 24-bit BMP per distinct user are
+    synthesized DISTRIBUTED (mapInPandas), decoded by the real wave/struct
+    decoders, and checked against analytically-known features — the WAV RMS
+    envelope is uniformly 1/sqrt(16) for any amplitude, the BMP grayscale
+    histogram is one-hot for any gray. n_assets is SQL-exact."""
+    import pandas as pd_
+
+    from .multimodal import ASSET_SCHEMA, decode_features, synth_bmp_solid, synth_wav_pcm16
+
+    uids = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").cast("long").alias("uid"))
+        .distinct()
+    )
+
+    def synth(pdfs):
+        for pdf in pdfs:
+            ids, kinds, payloads, metas = [], [], [], []
+            for uid in pdf["uid"]:
+                u = int(uid)
+                ids += [u, u]
+                kinds += ["audio/wav", "image/bmp"]
+                payloads += [synth_wav_pcm16(u % 1000 + 1), synth_bmp_solid((u * 13) % 256)]
+                metas += [{}, {}]
+            yield pd_.DataFrame(
+                {"asset_id": ids, "kind": kinds, "payload": payloads, "meta": metas}
+            )
+
+    assets = uids.mapInPandas(synth, ASSET_SCHEMA)
+    feats = decode_features(assets)
+    hi = F.array_max("features")
+    lo = F.array_min("features")
+    total = F.aggregate("features", F.lit(0.0), lambda a, x: a + x)
+    ok = F.when(
+        F.col("kind") == "audio/wav",
+        # flat envelope at 1/sqrt(16) = 0.25
+        (hi - lo < 1e-9) & (F.abs(hi - 0.25) < 1e-9),
+    ).otherwise(
+        # one-hot histogram
+        (F.abs(hi - 1.0) < 1e-9) & (F.abs(total - 1.0) < 1e-9)
+    )
+    return (
+        feats.withColumn("__ok", ok)
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.min("__ok").alias("all_features_valid"),
+        )
+        .orderBy("kind")
+    )
+
+
 # ---- checkpoint/resume demonstrated through the driver surface ------------------------
 
 
