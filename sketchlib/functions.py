@@ -58,12 +58,64 @@ def register(spark: SparkSession, prefix: str = "") -> None:
     def bloom_fpp(blobs: pd.Series) -> pd.Series:
         return blobs.map(lambda b: BloomFilter.from_bytes(bytes(b)).fpp_estimate())
 
+    @F.pandas_udf(T.DoubleType())
+    def kll_quantile(blobs: pd.Series, qs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [KllSketch.from_bytes(bytes(b)).quantile(float(q)) for b, q in zip(blobs, qs)]
+        )
+
+    @F.pandas_udf(T.DoubleType())
+    def tdigest_quantile(blobs: pd.Series, qs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [TDigest.from_bytes(bytes(b)).quantile(float(q)) for b, q in zip(blobs, qs)]
+        )
+
+    @F.pandas_udf(T.LongType())
+    def cms_point(blobs: pd.Series, values: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                int(CountMinSketch.from_bytes(bytes(b)).query_batch([int(v)], kind="int64")[0])
+                for b, v in zip(blobs, values)
+            ]
+        ).astype("int64")
+
+    @F.pandas_udf(T.DoubleType())
+    def minhash_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from .minhash import decode_minhash_blobs
+
+        if len(a) == 0:
+            return pd.Series(np.empty(0))
+        sa, ka, seed_a = decode_minhash_blobs(a)
+        sb, kb, seed_b = decode_minhash_blobs(b)
+        if (ka, seed_a) != (kb, seed_b):
+            raise ValueError("MinHash config mismatch")
+        return pd.Series((sa == sb).mean(axis=1))
+
+    @F.pandas_udf(T.IntegerType())
+    def simhash_hamming(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        x = a.to_numpy(dtype=np.int64).view(np.uint64) ^ b.to_numpy(
+            dtype=np.int64
+        ).view(np.uint64)
+        # vectorized popcount: sum the bit table of each byte
+        table = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+        cnt = table[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+        return pd.Series(cnt.astype("int32"))
+
     for name, fn in [
         ("hll_estimate", hll_estimate),
         ("hll_merge_pair", hll_merge_pair),
         ("kll_median", kll_median),
+        ("kll_quantile", kll_quantile),
         ("tdigest_p99", tdigest_p99),
+        ("tdigest_quantile", tdigest_quantile),
         ("cms_total", cms_total),
+        ("cms_point", cms_point),
         ("bloom_fpp", bloom_fpp),
+        ("minhash_jaccard", minhash_jaccard),
+        ("simhash_hamming", simhash_hamming),
     ]:
         spark.udf.register(prefix + name, fn)

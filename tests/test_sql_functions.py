@@ -1,0 +1,101 @@
+"""SQL-facing UDF surface: every registered function answers correctly over
+BinaryType sketch columns in PURE SQL (the checkpoint-table consumer path)."""
+
+import numpy as np
+import pytest
+
+from sketchlib.cms import CountMinSketch
+from sketchlib.functions import register
+from sketchlib.hll import HllSketch
+from sketchlib.kll import KllSketch
+from sketchlib.minhash import MinHashSketch, hamming64, token_shingles
+from sketchlib.tdigest import TDigest
+
+
+@pytest.fixture(scope="module")
+def sql(spark):
+    register(spark)
+    return spark
+
+
+def _one_row_view(spark, name, cols: dict):
+    from pyspark.sql import types as T
+
+    fields, row = [], []
+    for c, v in cols.items():
+        if isinstance(v, (bytes, bytearray)):
+            fields.append(T.StructField(c, T.BinaryType(), False))
+            row.append(bytearray(v))
+        elif isinstance(v, float):
+            fields.append(T.StructField(c, T.DoubleType(), False))
+            row.append(v)
+        else:
+            fields.append(T.StructField(c, T.LongType(), False))
+            row.append(int(v))
+    spark.createDataFrame([tuple(row)], T.StructType(fields)).createOrReplaceTempView(name)
+
+
+def test_quantile_functions_parametrized(sql):
+    rng = np.random.default_rng(3)
+    vals = rng.normal(100, 10, 20_000)
+    k = KllSketch.empty(200)
+    k.update_batch(vals)
+    td = TDigest.empty(200)
+    td.update_batch(vals)
+    _one_row_view(sql, "qview", {"kll": k.to_bytes(), "td": td.to_bytes(), "q": 0.9})
+    r = sql.sql(
+        "SELECT kll_quantile(kll, q) AS kq, tdigest_quantile(td, q) AS tq, "
+        "kll_median(kll) AS km FROM qview"
+    ).collect()[0]
+    exact_p90 = np.quantile(vals, 0.9)
+    assert abs(r["kq"] - exact_p90) < 1.0
+    assert abs(r["tq"] - exact_p90) < 1.0
+    assert abs(r["km"] - np.median(vals)) < 1.0
+
+
+def test_cms_point_function(sql):
+    c = CountMinSketch.empty(width_log2=16, depth=5)
+    c.update_batch(np.array([7] * 1000 + [9] * 10, dtype=np.int64), kind="int64")
+    _one_row_view(sql, "cview", {"cms": c.to_bytes(), "v": 7})
+    r = sql.sql("SELECT cms_point(cms, v) AS f, cms_total(cms) AS t FROM cview").collect()[0]
+    assert r["f"] >= 1000  # never undercounts
+    assert r["t"] == 1010
+
+
+def test_minhash_jaccard_function(sql):
+    rng = np.random.default_rng(5)
+    a_toks = rng.integers(0, 5000, 300).astype(np.int64)
+    b_toks = a_toks.copy()
+    b_toks[:30] = rng.integers(5000, 9000, 30)  # ~90% overlap
+    sa = MinHashSketch.empty(128)
+    sa.update_elements(token_shingles(a_toks))
+    sb = MinHashSketch.empty(128)
+    sb.update_elements(token_shingles(b_toks))
+    _one_row_view(sql, "mview", {"a": sa.to_bytes(), "b": sb.to_bytes()})
+    r = sql.sql("SELECT minhash_jaccard(a, b) AS j, minhash_jaccard(a, a) AS self FROM mview").collect()[0]
+    assert r["self"] == 1.0
+    assert 0.5 < r["j"] < 1.0
+    assert abs(r["j"] - MinHashSketch.jaccard(sa, sb)) < 1e-12
+
+
+def test_simhash_hamming_function(sql):
+    a, b = np.int64(-4611686018427387904), np.int64(255)
+    _one_row_view(sql, "sview", {"a": int(a), "b": int(b)})
+    r = sql.sql(
+        "SELECT simhash_hamming(a, b) AS d, simhash_hamming(a, a) AS z FROM sview"
+    ).collect()[0]
+    assert r["z"] == 0
+    assert r["d"] == hamming64(int(a), int(b))
+
+
+def test_hll_sql_functions_still_work(sql):
+    h1 = HllSketch.empty(12)
+    h1.update_batch(np.arange(1000, dtype=np.int32))
+    h2 = HllSketch.empty(12)
+    h2.update_batch(np.arange(500, 1500, dtype=np.int32))
+    _one_row_view(sql, "hview", {"a": h1.to_bytes(), "b": h2.to_bytes()})
+    r = sql.sql(
+        "SELECT hll_estimate(a) AS ea, hll_estimate(hll_merge_pair(a, b)) AS eu FROM hview"
+    ).collect()[0]
+    assert abs(r["ea"] - 1000) <= 3 * 1.04 / 2**6 * 1000
+    assert abs(r["eu"] - 1500) <= 3 * 1.04 / 2**6 * 1500
