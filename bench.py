@@ -100,9 +100,9 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
-    flag_t = timings_warm.get("hll_tokens_per_source") or timings.get(
-        "hll_tokens_per_source", 0.0
-    )
+    # warm uses the warm timing EXCLUSIVELY (None when absent) — no silent
+    # cold fallback, which would relabel cold throughput as warm
+    flag_t = timings_warm.get("hll_tokens_per_source")
     flag_cold = timings.get("hll_tokens_per_source", 0.0)
     # cold and warm throughput are different metrics (cold pays one-time
     # codegen + scan warmup) — report BOTH under explicit names, never one

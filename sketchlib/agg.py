@@ -544,7 +544,12 @@ class SketchAggregator:
         KB-sized rows through the distributed merge stage — the input data
         is never rescanned, and no sketch ever touches the driver.
         Aggregated-out key columns come back NULL, like Spark's native
-        ``cube()``/``rollup()``. The exact path needs one full shuffle of
+        ``cube()``/``rollup()``, and a ``grouping_id`` column (same bitmask
+        semantics as Spark's ``grouping_id()``: bit set = column aggregated
+        out, key_cols[0] highest bit) disambiguates a rollup NULL from a
+        GENUINE NULL group key — the library treats null keys as valid
+        groups, so without it a real day=NULL row and the day-rollup row
+        would be indistinguishable. The exact path needs one full shuffle of
         raw values PER SET; the sketch path pays one tiny per-set shuffle —
         the gap widens with every added set at 100 TB.
 
@@ -564,13 +569,24 @@ class SketchAggregator:
                 sub = self._merge_stage(merged, s)
             else:
                 sub = self.rollup_total(merged)
+            gid = 0
+            for c in self.key_cols:
+                gid = (gid << 1) | (0 if c in s else 1)
             cols = [
                 F.col(c)
-                if (c in s or set(s) == full)
+                if c in s or set(s) == full
                 else F.lit(None).cast(by_name[c].dataType).alias(c)
                 for c in self.key_cols
             ]
-            outs.append(sub.select(*cols, "sketch", "n_rows", "n_items"))
+            outs.append(
+                sub.select(
+                    *cols,
+                    F.lit(gid).cast("long").alias("grouping_id"),
+                    "sketch",
+                    "n_rows",
+                    "n_items",
+                )
+            )
         out = outs[0]
         for o in outs[1:]:
             out = out.unionByName(o)

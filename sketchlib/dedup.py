@@ -28,8 +28,8 @@ from .kernels import DEFAULT_SEED
 from .minhash import (
     band_keys_batch,
     decode_minhash_arrow,
-    decode_minhash_blobs,
     encode_minhash_blobs,
+    jaccard_from_blob_batches,
     minhash_signatures_batch,
     shingles_flat,
     simhash64_batch,
@@ -151,11 +151,16 @@ def lsh_candidate_pairs(
     banded = banded_rows(sig_df, doc_col, bands)
     rep_pairs = None
     if max_bucket is not None:
+        # persist: the over-cap key list (tiny — at most rows/max_bucket
+        # entries) feeds BOTH the anti-join and the representative-pair
+        # join; without it each broadcast recomputes the full count
+        # aggregate over the banded rows
         hot = (
             banded.groupBy("band_key")
             .agg(F.count("*").alias("__n"), F.min(doc_col).alias("__rep"))
             .where(F.col("__n") > max_bucket)
             .select("band_key", "__rep")
+            .persist()
         )
         rep_pairs = (
             banded.join(F.broadcast(hot), "band_key")
@@ -200,12 +205,7 @@ def near_dup_pairs(
     def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
         if len(a) == 0:
             return pd.Series(np.empty(0))
-        sa, ka, seed_a = decode_minhash_blobs(a)
-        sb, kb, seed_b = decode_minhash_blobs(b)
-        if (ka, seed_a) != (kb, seed_b):
-            raise ValueError("config mismatch")
-        # slot-match fraction per pair, one vectorized comparison per batch
-        return pd.Series((sa == sb).mean(axis=1))
+        return pd.Series(jaccard_from_blob_batches(a, b))
 
     a_sig = sigs.withColumnRenamed(doc_col, "a").withColumnRenamed("sig", "sig_a")
     b_sig = sigs.withColumnRenamed(doc_col, "b").withColumnRenamed("sig", "sig_b")

@@ -83,15 +83,11 @@ def register(spark: SparkSession, prefix: str = "") -> None:
     def minhash_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
         import numpy as np
 
-        from .minhash import decode_minhash_blobs
+        from .minhash import jaccard_from_blob_batches
 
         if len(a) == 0:
             return pd.Series(np.empty(0))
-        sa, ka, seed_a = decode_minhash_blobs(a)
-        sb, kb, seed_b = decode_minhash_blobs(b)
-        if (ka, seed_a) != (kb, seed_b):
-            raise ValueError("MinHash config mismatch")
-        return pd.Series((sa == sb).mean(axis=1))
+        return pd.Series(jaccard_from_blob_batches(a, b))
 
     @F.pandas_udf(T.IntegerType())
     def simhash_hamming(a: pd.Series, b: pd.Series) -> pd.Series:

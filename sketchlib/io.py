@@ -61,7 +61,17 @@ def append_partials(df: DataFrame, target: str, spark: SparkSession) -> str:
     target is a table identifier and a catalog is live (atomic snapshot
     append, time-travelable lineage), parquet directory otherwise. Returns
     the sink kind used. First Iceberg append creates the table."""
-    if "/" not in target and iceberg_available(spark):
+    if "/" not in target:
+        # a table identifier REQUIRES a live catalog: silently falling back
+        # to a parquet dir named like the table would desynchronize writes
+        # from read_partials (spark.table), making completed_shards() always
+        # empty -> every resume re-sketches and appends duplicates
+        if not iceberg_available(spark):
+            raise ValueError(
+                f"checkpoint target {target!r} is a table identifier but no "
+                f"Iceberg catalog is configured — use a path for the parquet "
+                f"sink, or configure spark.sql.catalog.*"
+            )
         if spark.catalog.tableExists(target):
             df.writeTo(target).append()
         else:

@@ -43,6 +43,9 @@ class KllSketch:
     n: int = 0
     min_v: float = np.inf
     max_v: float = -np.inf
+    # per-object compaction ordinal: parity salt only — derivable state,
+    # never serialized (a fresh object re-derives it deterministically)
+    _compactions: int = 0
 
     def __post_init__(self) -> None:
         if not (8 <= int(self.k) <= 65535):
@@ -63,15 +66,21 @@ class KllSketch:
         return max(2, int(self.k * (_C ** (depth - 1 - level))))
 
     def _parity(self, arr_sorted: np.ndarray) -> int:
-        """Promoted-offset parity as a pure function of the compacted data:
-        hash the sorted level contents (xor-reduced MurmurHash64A) with the
-        sketch seed. Identical contents -> identical promote/drop choice on
-        every execution path, which is what makes distributed builds
-        byte-reproducible; across compactions the contents differ, so the
-        choice stays unbiased (the KLL analysis only needs the parity to be
-        uncorrelated with item ranks)."""
+        """Promoted-offset parity as a pure function of (compacted data,
+        per-sketch compaction ordinal): hash the sorted level contents
+        (xor-reduced MurmurHash64A) with the sketch seed, mixed with a
+        compaction counter. The counter evolves deterministically from the
+        update/merge sequence, so any execution path that performs the same
+        compactions makes the same promote/drop choices — distributed builds
+        stay byte-reproducible (canonical merge order + per-shard partials
+        fix the sequence). The counter term keeps the parity varying even
+        when IDENTICAL level contents recur (e.g. a periodic input repeating
+        one block of values), so compaction errors still cancel like the
+        unbiased coin the KLL analysis assumes."""
+        self._compactions += 1
         h = murmur64a_int64(arr_sorted.view(np.int64), self.seed)
         x = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
+        x ^= np.uint64(self._compactions * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF)
         return int(x & np.uint64(1))
 
     def _compact(self) -> None:
@@ -159,8 +168,13 @@ class KllSketch:
 
     # -- codec -----------------------------------------------------------------------
 
+    # layout version, carried in the header's p byte (unused by KLL):
+    # v1 dropped the serialized _ops counter (round 3); v0 blobs would
+    # misparse silently, so from_bytes rejects them loudly
+    _LAYOUT_V = 1
+
     def to_bytes(self) -> bytes:
-        head = pack_header(KIND_KLL, 0, self.seed)
+        head = pack_header(KIND_KLL, self._LAYOUT_V, self.seed)
         meta = struct.pack(
             "<HQddI", self.k, self.n, self.min_v, self.max_v, len(self.levels)
         )
@@ -170,7 +184,12 @@ class KllSketch:
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "KllSketch":
-        _, seed, payload = unpack_header(blob, KIND_KLL)
+        layout_v, seed, payload = unpack_header(blob, KIND_KLL)
+        if layout_v != cls._LAYOUT_V:
+            raise ValueError(
+                f"unsupported KLL blob layout v{layout_v} (expected v{cls._LAYOUT_V}; "
+                f"v0 blobs carry a serialized compaction counter this version dropped)"
+            )
         k, n, min_v, max_v, n_levels = struct.unpack_from("<HQddI", payload, 0)
         off = struct.calcsize("<HQddI")
         lens = struct.unpack_from(f"<{n_levels}I", payload, off)

@@ -289,6 +289,17 @@ def decode_minhash_arrow(col) -> tuple[np.ndarray, int, int]:
     return _sigs_from_matrix(raw)
 
 
+def jaccard_from_blob_batches(a, b) -> np.ndarray:
+    """Estimated Jaccard per pair for two equal-length batches of serialized
+    signatures (slot-match fraction), batch-decoded — the single shared
+    implementation behind the dedup verify UDF and the SQL function."""
+    sa, ka, seed_a = decode_minhash_blobs(a)
+    sb, kb, seed_b = decode_minhash_blobs(b)
+    if (ka, seed_a) != (kb, seed_b):
+        raise ValueError("MinHash config mismatch")
+    return (sa == sb).mean(axis=1)
+
+
 def band_keys_batch(sigs: np.ndarray, bands: int, seed: int = DEFAULT_SEED) -> np.ndarray:
     """``band_keys`` for a (n_docs, k) signature matrix -> (n_docs, bands)
     uint64, byte-identical to the per-row path but vectorized over docs."""

@@ -562,23 +562,32 @@ def hll_users_cube(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> Data
             p=p, key_cols=["day", "event_type"], value_col="user_id", value_kind="int64"
         )
         merged = agg.merged(events).localCheckpoint(eager=True)
+        # join on grouping_id TOO (both sides use Spark's bitmask
+        # convention): a genuine NULL key row and a rollup row would
+        # otherwise coalesce to the same 'ALL' label and cross-join
         est_df = agg.cube(merged).select(
             F.coalesce(F.col("day"), F.lit("ALL")).alias("day"),
             F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            "grouping_id",
             agg.estimate_udf()(F.col("sketch")).alias("est"),
         )
         exact = (
             events.cube("day", "event_type")
-            .agg(F.countDistinct("user_id").alias("distinct_users"))
+            .agg(
+                F.countDistinct("user_id").alias("distinct_users"),
+                F.grouping_id().alias("grouping_id"),
+            )
             .select(
                 F.coalesce(F.col("day"), F.lit("ALL")).alias("day"),
                 F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+                "grouping_id",
                 "distinct_users",
             )
         )
         bound = 3.0 * HllSketch.std_error(p)
         return (
-            exact.join(est_df, ["day", "event_type"])
+            exact.join(est_df, ["day", "event_type", "grouping_id"])
+            .drop("grouping_id")
             .select(
                 "day",
                 "event_type",

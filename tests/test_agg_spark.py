@@ -213,6 +213,38 @@ def test_cube_grouping_sets_from_one_scan(spark):
         for r in df.cube("a", "b").agg(F.countDistinct("val").alias("n")).collect()
     }
     assert set(exact) == set(got)
+    # grouping_id uses Spark's bitmask convention (bit set = aggregated out)
+    gids = {(r["a"] is None, r["b"] is None): r["grouping_id"] for r in rows}
+    assert gids == {(False, False): 0, (False, True): 1, (True, False): 2, (True, True): 3}
+
+
+def test_cube_grouping_id_disambiguates_genuine_null_keys(spark):
+    """A real NULL group key must stay distinguishable from the rollup row
+    that NULLs the same column (the library supports null keys as groups)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "a": [None, None, "x", "x"] * 50,
+            "val": list(range(200)),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    agg = HllAggregator(p=12, key_cols=["a"], value_col="val", value_kind="int64")
+    merged = agg.merged(df).localCheckpoint(eager=True)
+    rows = agg.cube(merged).collect()
+    # 2 finest rows (a=NULL genuine, a='x') + 1 total row (a=NULL, gid=1)
+    assert len(rows) == 3
+    by = {(r["a"], r["grouping_id"]): r for r in rows}
+    assert set(by) == {(None, 0), ("x", 0), (None, 1)}
+    # exact counts prove the split; estimates within 3 sigma at p=12
+    assert by[(None, 0)]["n_rows"] == 100  # the genuine NULL group
+    assert by[("x", 0)]["n_rows"] == 100
+    assert by[(None, 1)]["n_rows"] == 200  # the grand total
+    bound = 3 * 1.04 / 2**6
+    est = lambda r: HllSketch.from_bytes(bytes(r["sketch"])).cardinality()
+    assert abs(est(by[(None, 0)]) / 100 - 1) <= bound
+    assert abs(est(by[(None, 1)]) / 200 - 1) <= bound
 
 
 def test_file_granularity_shard_planning(spark, tmp_path):

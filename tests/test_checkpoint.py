@@ -74,3 +74,17 @@ def test_iceberg_probe_and_parquet_fallback(spark, tmp_path):
     sink = append_partials(df, str(tmp_path / "partials"), spark)
     assert sink == "parquet"
     assert spark.read.parquet(str(tmp_path / "partials")).count() == 5
+
+
+def test_table_target_without_catalog_raises(spark):
+    """A '/'-free (table-identifier) checkpoint target with no Iceberg
+    catalog must fail LOUDLY: a silent parquet fallback would desync writes
+    from read_partials(spark.table), so completed_shards() stays empty and
+    every resume re-appends duplicate partials."""
+    import pytest as _pytest
+
+    from sketchlib.io import append_partials
+
+    df = spark.range(3).selectExpr("cast(id as string) AS shard_id", "id AS n")
+    with _pytest.raises(ValueError, match="catalog"):
+        append_partials(df, "db.ckpt_no_catalog", spark)
