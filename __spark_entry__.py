@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users_cube": Q.hll_users_cube,
         "cms_heavy_hitters_per_source": Q.cms_heavy_hitters_per_source,
         "multimodal_av_decode": Q.multimodal_av_decode,
+        "multimodal_frame_sample": Q.multimodal_frame_sample,
         "salted_merge_identity": Q.salted_merge_identity,
         "per_doc_sketch_storage": Q.per_doc_sketch_storage,
         "hll_source_overlap": Q.hll_source_overlap,
@@ -326,6 +327,12 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS resume_protocol_ok,
                    TRUE AS byte_identical,
                    TRUE AS lineage_ok
+        """,
+        "multimodal_frame_sample": """
+            SELECT COUNT(*) AS n_assets, COUNT(*) * 4 AS n_frames,
+                   TRUE AS frames_per_asset_exact,
+                   TRUE AS all_histograms_normalized
+            FROM embeddings
         """,
         "multimodal_av_decode": """
             SELECT 'audio/wav' AS kind, COUNT(DISTINCT user_id) AS n_assets,

@@ -1074,6 +1074,32 @@ def multimodal_av_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str, n_frames: int = 4) -> DataFrame:
+    """Video-style frame-sampling plumbing through the driver: every asset
+    payload splits into n_frames chunks, one feature row per (asset, frame)
+    — the keyframe-extraction shape with a deterministic stand-in decoder.
+    Exact facts: n_frames rows per asset, every frame feature is an
+    L1-normalized 16-bin histogram (sums to 1 for non-empty chunks)."""
+    from .multimodal import embeddings_as_assets, frame_sample
+
+    assets = embeddings_as_assets(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "kind", F.lit("bytes-hist")
+    )
+    frames = frame_sample(assets, n_frames=n_frames)
+    total = F.aggregate("features", F.lit(0.0), lambda a, x: a + x)
+    per_asset = (
+        frames.withColumn("__ok", F.abs(total - 1.0) < 1e-9)
+        .groupBy("asset_id")
+        .agg(F.count("*").alias("nf"), F.min("__ok").alias("ok"))
+    )
+    return per_asset.agg(
+        F.count("*").alias("n_assets"),
+        F.sum("nf").alias("n_frames"),
+        F.min(F.col("nf") == n_frames).alias("frames_per_asset_exact"),
+        F.min("ok").alias("all_histograms_normalized"),
+    )
+
+
 # ---- checkpoint/resume demonstrated through the driver surface ------------------------
 
 
