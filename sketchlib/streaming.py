@@ -356,13 +356,21 @@ def sketch_streaming_windowed(
     finalize_fn,
     window_duration: str = "1 hour",
     watermark: str = "2 hours",
+    mode: str = "update",
 ) -> DataFrame:
     """Generic event-time windowed streaming sketch for any aggregator.
 
     State key = (window_start, key); late rows beyond the watermark are
     dropped by Spark; state evicts on event-time timeout when the watermark
     passes the window end. Same finalize contract as sketch_streaming.
+
+    ``mode``: "update" emits the refreshed row every micro-batch the window
+    received data; "append" emits exactly ONE final row per window when the
+    watermark passes its end (the hll_windowed_finalized_estimates shape,
+    generalized to any aggregator).
     """
+    if mode not in ("update", "append"):
+        raise ValueError(f"mode must be 'update' or 'append', got {mode!r}")
     from pyspark.sql import functions as F
 
     value_col, value_kind = agg.value_col, agg.value_kind
@@ -375,10 +383,22 @@ def sketch_streaming_windowed(
     empty = agg._empty
     update = agg._update
     from_blob = agg._merge_blobs
+    names = [f.name for f in out_schema.fields]
+
+    def finalize_row(sketch, window_start, key_val, n_rows):
+        out = {"window_start": [window_start], key_col: [key_val], "n_rows": [n_rows]}
+        out.update({k: [v] for k, v in finalize_fn(sketch).items()})
+        return pd.DataFrame(out)[names]
 
     def update_fn(key, pdfs, state: GroupState):
         if state.hasTimedOut:
-            state.remove()
+            if mode == "append":
+                blob, n_rows, _ = state.get
+                sketch = from_blob([bytes(blob)])
+                state.remove()
+                yield finalize_row(sketch, key[0], key[1], n_rows)
+            else:
+                state.remove()
             return
         if state.exists:
             blob, n_rows, _ = state.get
@@ -395,9 +415,8 @@ def sketch_streaming_windowed(
             pd.Timedelta(window_duration).total_seconds() * 1000
         )
         state.setTimeoutTimestamp(end_ms)
-        out = {"window_start": [window_start], key_col: [key[1]], "n_rows": [n_rows]}
-        out.update({k: [v] for k, v in finalize_fn(sketch).items()})
-        yield pd.DataFrame(out)[[f.name for f in out_schema.fields]]
+        if mode == "update":
+            yield finalize_row(sketch, window_start, key[1], n_rows)
 
     windowed = (
         stream.withWatermark(ts_col, watermark)
@@ -408,6 +427,6 @@ def sketch_streaming_windowed(
         update_fn,
         outputStructType=out_schema,
         stateStructType=_STATE_SCHEMA,
-        outputMode="update",
+        outputMode=mode,
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

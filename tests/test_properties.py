@@ -132,3 +132,56 @@ def test_packed6_roundtrip_any_fill(toks):
     s.update_batch(np.array(toks, dtype=np.int32))
     r = HllSketch.from_bytes(s.to_bytes(mode="packed6"))
     assert np.array_equal(r.registers, s.registers)
+
+
+@given(
+    st.lists(token_lists, min_size=1, max_size=8),
+    st.sampled_from([16, 64, 128]),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_minhash_blob_batch_codec_roundtrip(docs, k, seed):
+    """encode_minhash_blobs / decode_minhash_blobs / band_keys_batch are
+    byte-faithful to the per-row paths for ARBITRARY signatures."""
+    from sketchlib.minhash import (
+        MinHashSketch,
+        band_keys,
+        band_keys_batch,
+        decode_minhash_blobs,
+        encode_minhash_blobs,
+        token_shingles,
+    )
+
+    sigs = []
+    for toks in docs:
+        s = MinHashSketch.empty(k, seed=seed)
+        s.update_elements(token_shingles(np.array(toks, dtype=np.int64)))
+        sigs.append(s.sig)
+    sigs = np.stack(sigs)
+    blobs = encode_minhash_blobs(sigs, seed=seed)
+    expected = [MinHashSketch(k=k, seed=seed, sig=sigs[i]).to_bytes() for i in range(len(docs))]
+    assert blobs.to_pylist() == expected
+    dec, kk, ss = decode_minhash_blobs(blobs.to_pylist())
+    assert (kk, ss) == (k, seed) and np.array_equal(dec, sigs)
+    bands = 16 if k % 16 == 0 else 8
+    bk = band_keys_batch(sigs, bands)
+    for i in range(len(docs)):
+        assert np.array_equal(bk[i], band_keys(sigs[i], bands))
+
+
+@given(
+    st.lists(st.lists(st.floats(-1e6, 1e6), min_size=1, max_size=400), min_size=1, max_size=6)
+)
+@settings(max_examples=20, deadline=None)
+def test_kll_merge_permutation_invariant_any_data(parts):
+    """Canonical sorted-blob merges: any permutation of the same KLL partials
+    yields byte-identical output, for arbitrary float data."""
+    from sketchlib.kll import KllSketch
+
+    blobs = []
+    for vals in parts:
+        s = KllSketch.empty(64)
+        s.update_batch(np.array(vals, dtype=np.float64))
+        blobs.append(s.to_bytes())
+    ref = KllSketch.merge_blobs(blobs, 64).to_bytes()
+    assert KllSketch.merge_blobs(list(reversed(blobs)), 64).to_bytes() == ref

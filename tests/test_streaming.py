@@ -291,6 +291,81 @@ def test_generic_streaming_cms_and_kll(spark, tmp_path):
         q.stop()
 
 
+def test_generic_windowed_append_mode_kll(spark, tmp_path):
+    """The generic wrapper's append mode: one finalized row per closed
+    window with a KLL median, matching the per-window batch oracle."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from sketchlib.agg import KllAggregator
+    from sketchlib.streaming import sketch_streaming_windowed
+
+    rng = np.random.default_rng(6)
+    base = pd.Timestamp("2026-04-01")
+    pdf = pd.DataFrame(
+        {
+            "ts": [base + pd.Timedelta(minutes=int(m)) for m in rng.integers(0, 120, 3000)],
+            "k": rng.choice(["x", "y"], 3000),
+            "v": rng.normal(20, 4, 3000),
+        }
+    )
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("k", T.StringType(), False),
+            T.StructField("v", T.DoubleType(), False),
+        ]
+    )
+    in_dir = str(tmp_path / "ga_in")
+    os.makedirs(in_dir)
+    spark.createDataFrame(pdf, schema=schema).coalesce(1).write.mode("append").parquet(in_dir)
+    agg = KllAggregator(k=200, key_cols=[], value_col="v", value_kind="double")
+    est = sketch_streaming_windowed(
+        stream=spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir),
+        agg=agg,
+        ts_col="ts",
+        key_col="k",
+        finalize_fields=[T.StructField("median", T.DoubleType(), False)],
+        finalize_fn=lambda s: {"median": s.quantile(0.5)},
+        window_duration="1 hour",
+        watermark="10 minutes",
+        mode="append",
+    )
+    q = (
+        est.writeStream.format("memory")
+        .queryName("ga_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ga_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # two heartbeat batches flush every real window
+        hb = pd.DataFrame(
+            {"ts": [base + pd.Timedelta(days=30)], "k": ["__hb__"], "v": [0.0]}
+        )
+        for _ in range(2):
+            spark.createDataFrame(hb, schema=schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(in_dir)
+            q.processAllAvailable()
+        rows = [r for r in spark.sql("select * from ga_stream").collect() if r["k"] != "__hb__"]
+    finally:
+        q.stop()
+    got = {}
+    for r in rows:
+        key = (r["window_start"], r["k"])
+        assert key not in got, "append mode emitted a window twice"
+        got[key] = r
+    pdfw = pdf.assign(win=pdf["ts"].dt.floor("1h"))
+    for (win, kk), grp in pdfw.groupby(["win", "k"]):
+        g = got[(win.to_pydatetime(), kk)]
+        assert g["n_rows"] == len(grp)
+        rank = (grp["v"] <= g["median"]).mean()
+        assert abs(rank - 0.5) < 0.06, (win, kk, rank)
+    assert len(got) == pdfw.groupby(["win", "k"]).ngroups
+
+
 def test_generic_windowed_streaming_tdigest(spark, tmp_path):
     """Windowed generic wrapper with a t-digest: per-(window, key) p50 within
 
