@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters_per_source": Q.cms_heavy_hitters_per_source,
         "multimodal_av_decode": Q.multimodal_av_decode,
         "multimodal_frame_sample": Q.multimodal_frame_sample,
+        "hll_source_jaccard_matrix": Q.hll_source_jaccard_matrix,
         "salted_merge_identity": Q.salted_merge_identity,
         "per_doc_sketch_storage": Q.per_doc_sketch_storage,
         "hll_source_overlap": Q.hll_source_overlap,
@@ -327,6 +328,26 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS resume_protocol_ok,
                    TRUE AS byte_identical,
                    TRUE AS lineage_ok
+        """,
+        "hll_source_jaccard_matrix": f"""
+            WITH per AS (
+                SELECT DISTINCT source, t.tok AS tok
+                FROM read_parquet('{_SEQ_PARQUET_SF001}'), UNNEST(tokens) AS t(tok)
+            ),
+            cnt AS (SELECT source, COUNT(*) AS n FROM per GROUP BY source),
+            inter AS (
+                SELECT a.source AS sa, b.source AS sb, COUNT(*) AS i
+                FROM per a JOIN per b ON a.tok = b.tok AND a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT ca.source AS source_a, cb.source AS source_b,
+                   ca.n + cb.n - COALESCE(i.i, 0) AS exact_union,
+                   COALESCE(i.i, 0) AS exact_intersection,
+                   TRUE AS union_within_3sigma,
+                   TRUE AS intersection_within_bound
+            FROM cnt ca JOIN cnt cb ON ca.source < cb.source
+            LEFT JOIN inter i ON i.sa = ca.source AND i.sb = cb.source
+            ORDER BY source_a, source_b
         """,
         "multimodal_frame_sample": """
             SELECT COUNT(*) AS n_assets, COUNT(*) * 4 AS n_frames,

@@ -8,8 +8,11 @@ oracles. Column aliases here are load-bearing: they must match the oracle SQL.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .agg import HllAggregator
 from .data import load_table, rows_for_sf_dir, sequences_parquet
@@ -655,6 +658,99 @@ def hll_source_overlap(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> 
         [(a_src, b_src, int(exact_union), int(exact_inter), bool(union_ok), bool(inter_ok))],
         "source_a string, source_b string, exact_union long, exact_intersection long, "
         "union_within_3sigma boolean, intersection_within_bound boolean",
+    )
+
+
+def hll_source_jaccard_matrix(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> DataFrame:
+    """FULL pairwise source-similarity matrix via sketch set algebra: every
+    (source_a < source_b) pair's union (register-max merge) and intersection
+    (inclusion-exclusion) — a cross join of KB-sized sketch rows, so the
+    pairwise stage scales as K^2 sketches regardless of data volume, vs the
+    exact path's K^2 re-scans / one big distinct self-join. Exact counts
+    reproduce in SQL; estimates asserted within the inclusion-exclusion
+    bound (~3 estimates' errors, each O(sigma * union))."""
+    agg = HllAggregator(p=p, key_cols=["source"], value_col="tokens", value_kind="tokens")
+    merged = (
+        agg.merged(sequences_path(spark, sf_dir), spark=spark)
+        .select("source", "sketch")
+        .localCheckpoint(eager=True)
+    )
+
+    @F.pandas_udf(T.LongType())
+    def union_est(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                HllSketch.from_bytes(bytes(x))
+                .merge(HllSketch.from_bytes(bytes(y)))
+                .cardinality()
+                for x, y in zip(a, b)
+            ]
+        ).astype("int64")
+
+    est_udf = agg.estimate_udf()
+    left = merged.select(
+        F.col("source").alias("source_a"),
+        F.col("sketch").alias("sk_a"),
+        est_udf("sketch").alias("est_a"),
+    )
+    right = merged.select(
+        F.col("source").alias("source_b"),
+        F.col("sketch").alias("sk_b"),
+        est_udf("sketch").alias("est_b"),
+    )
+    est = (
+        left.join(right, F.col("source_a") < F.col("source_b"))
+        .withColumn("est_union", union_est("sk_a", "sk_b"))
+        .withColumn(
+            "est_inter", F.greatest(F.lit(0), F.col("est_a") + F.col("est_b") - F.col("est_union"))
+        )
+        .select("source_a", "source_b", "est_union", "est_inter")
+    )
+
+    seqs = sequences_for(spark, sf_dir)
+    per = seqs.select("source", F.explode("tokens").alias("tok")).distinct()
+    a = per.select(F.col("source").alias("source_a"), "tok")
+    b = per.select(F.col("source").alias("source_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    counts = per.groupBy("source").agg(F.count("*").alias("n"))
+    exact = (
+        counts.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+        .join(
+            counts.select(F.col("source").alias("source_b"), F.col("n").alias("nb")),
+            F.col("source_a") < F.col("source_b"),
+        )
+        .join(inter, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            (F.col("na") + F.col("nb") - F.coalesce("exact_inter", F.lit(0))).alias(
+                "exact_union"
+            ),
+            F.coalesce("exact_inter", F.lit(0)).alias("exact_intersection"),
+        )
+    )
+    sigma = HllSketch.std_error(p)
+    return (
+        exact.join(est, ["source_a", "source_b"])
+        .select(
+            "source_a",
+            "source_b",
+            "exact_union",
+            "exact_intersection",
+            (
+                F.abs(F.col("est_union") / F.col("exact_union") - 1.0) <= 3 * sigma
+            ).alias("union_within_3sigma"),
+            (
+                F.abs(F.col("est_inter") - F.col("exact_intersection"))
+                <= 3 * sigma * 3 * F.col("exact_union")
+            ).alias("intersection_within_bound"),
+        )
+        .orderBy("source_a", "source_b")
     )
 
 

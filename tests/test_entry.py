@@ -43,6 +43,7 @@ _SEQ_ORACLE_QUERIES = {
     "hll_tokens_rollup",
     "salted_merge_identity",
     "hll_source_overlap",
+    "hll_source_jaccard_matrix",
     "checkpointed_resume_identity",
     "cms_token_freq_topk",
     "cms_heavy_hitters_per_source",
