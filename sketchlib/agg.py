@@ -836,8 +836,27 @@ class CmsAggregator(SketchAggregator):
         def local_candidates(batches):
             from collections import Counter
 
+            # numeric kinds: per-key (values, counts) numpy pair, compacted
+            # by one vectorized unique+scatter-add per batch — never a
+            # per-element Python loop (the Counter merge was the hot spot at
+            # data scale). Memory stays <= per-key distinct values seen by
+            # this task. Strings keep the Counter path (hash-map domain).
             counts: dict[tuple, Counter] = {}
+            acc: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
             key_types = None
+
+            def fold(keyt, uniq, cnt):
+                prev = acc.get(keyt)
+                if prev is None:
+                    acc[keyt] = (uniq, cnt.astype(np.int64))
+                    return
+                allv = np.concatenate([prev[0], uniq])
+                allc = np.concatenate([prev[1], cnt.astype(np.int64)])
+                u2, inv = np.unique(allv, return_inverse=True)
+                tot = np.zeros(len(u2), dtype=np.int64)
+                np.add.at(tot, inv, allc)
+                acc[keyt] = (u2, tot)
+
             for batch in batches:
                 if batch.num_rows == 0:
                     continue
@@ -858,24 +877,29 @@ class CmsAggregator(SketchAggregator):
                         dtype=np.int64,
                     )
                 for gi, keyt in enumerate(uniq_tuples):
-                    c = counts.setdefault(keyt, Counter())
                     if kind == "string":
                         gvals = (
                             values.filter(pa.array(value_codes == gi)).to_pylist()
                             if isinstance(values, pa.Array)
                             else [v for v, m in zip(values, value_codes == gi) if m]
                         )
-                        c.update(gvals)
+                        counts.setdefault(keyt, Counter()).update(gvals)
                     else:
                         gvals = values[value_codes == gi]
                         uniq, cnt = np.unique(gvals, return_counts=True)
-                        for v, n in zip(uniq.tolist(), cnt.tolist()):
-                            c[v] += n
+                        fold(keyt, uniq, cnt)
             keys_out, vals_out = [], []
             for keyt, c in counts.items():
                 for v, _ in c.most_common(candidates_per_task):
                     keys_out.append(keyt)
                     vals_out.append(v)
+            for keyt, (vals, cnts) in acc.items():
+                # deterministic top-C: (count desc, value asc) — tie-breaks
+                # must not depend on accumulation order, or candidate sets
+                # (and downstream heavy-hitter results) vary run to run
+                order = np.lexsort((vals, -cnts))[:candidates_per_task]
+                keys_out.extend([keyt] * len(order))
+                vals_out.extend(vals[order].tolist())
             if not vals_out:
                 return
             arrays = [

@@ -140,17 +140,47 @@ class CountMinSketch:
 
     # -- codec ----------------------------------------------------------------------
 
+    _SPARSE_FLAG = 0x8000  # set in the depth field (depth itself is <= 16)
+
     def to_bytes(self) -> bytes:
+        """Dense (depth x width uint64) or SPARSE at rest — (flat idx uint64,
+        count uint64) pairs — whichever is smaller. A task-local partial over
+        a modest value set is mostly zeros, so sparse cuts the merge-shuffle
+        payload (the dominant cost of a wide CMS at scale: bytes ~= tasks x
+        keys x depth x width x 8, independent of data volume); a saturated
+        merged sketch stays dense. Backward compatible: the sparse flag
+        rides a high bit of the depth field, which dense blobs never set."""
         head = pack_header(KIND_CMS, self.width_log2, self.seed)
+        flat = self.counters.reshape(-1)
+        nz = np.flatnonzero(flat)
+        if len(nz) * 16 < flat.size * 8:
+            return (
+                head
+                + struct.pack("<HI", self.depth | self._SPARSE_FLAG, len(nz))
+                + nz.astype(np.uint64).tobytes()
+                + np.ascontiguousarray(flat[nz]).tobytes()
+            )
         return head + struct.pack("<H", self.depth) + self.counters.tobytes()
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "CountMinSketch":
         width_log2, seed, payload = unpack_header(blob, KIND_CMS)
-        (depth,) = struct.unpack_from("<H", payload, 0)
-        counters = np.frombuffer(
-            payload, dtype=np.uint64, count=depth * (1 << width_log2), offset=2
-        ).reshape(depth, 1 << width_log2).copy()
+        (dfield,) = struct.unpack_from("<H", payload, 0)
+        depth = dfield & ~cls._SPARSE_FLAG
+        n_cells = depth * (1 << width_log2)
+        if dfield & cls._SPARSE_FLAG:
+            (nnz,) = struct.unpack_from("<I", payload, 2)
+            idx = np.frombuffer(payload, dtype=np.uint64, count=nnz, offset=6)
+            vals = np.frombuffer(payload, dtype=np.uint64, count=nnz, offset=6 + 8 * nnz)
+            flat = np.zeros(n_cells, dtype=np.uint64)
+            flat[idx.astype(np.int64)] = vals
+            counters = flat.reshape(depth, 1 << width_log2)
+        else:
+            counters = (
+                np.frombuffer(payload, dtype=np.uint64, count=n_cells, offset=2)
+                .reshape(depth, 1 << width_log2)
+                .copy()
+            )
         return cls(width_log2=width_log2, depth=depth, seed=seed, counters=counters)
 
     @staticmethod

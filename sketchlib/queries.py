@@ -247,9 +247,13 @@ def cms_heavy_hitters_per_source(spark: SparkSession, sf_dir: str, k: int = 3) -
     agg = CmsAggregator(
         width_log2=18, depth=5, key_cols=["source"], value_col="tokens", value_kind="tokens"
     )
-    hh = agg.heavy_hitters(path, topk=k + 2, spark=spark).withColumnRenamed(
-        "value", "token"
-    )
+    # wide per-task candidate budget: at toy SF the per-source counts are
+    # tiny (top-3 ~ 6 occurrences) so near-ties dominate — a candidate list
+    # deep enough to cover them keeps containment deterministic; the budget
+    # costs tasks x keys x C x 8B of shuffle, immaterial at any scale
+    hh = agg.heavy_hitters(
+        path, topk=k + 2, candidates_per_task=4000, spark=spark
+    ).withColumnRenamed("value", "token")
     return (
         exact_top.join(hh, ["source", "token"], "left")
         .select(

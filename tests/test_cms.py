@@ -73,3 +73,31 @@ def test_int64_and_string_kinds():
     s2 = CountMinSketch.empty(12, 4)
     s2.update_batch(["a", "a", "a", "b"], kind="string")
     assert int(s2.query_batch(["a"], kind="string")[0]) >= 3
+
+
+def test_sparse_at_rest_codec():
+    """Partials serialize sparse when mostly zeros; round-trip is exact in
+    both modes and mixed-mode merges agree with dense-only merges."""
+    import numpy as np
+
+    from sketchlib.cms import CountMinSketch
+
+    sparse = CountMinSketch.empty(width_log2=16, depth=5)
+    sparse.update_batch(np.arange(100, dtype=np.int64), kind="int64")
+    dense = CountMinSketch.empty(width_log2=4, depth=3)
+    dense.update_batch(np.arange(5000, dtype=np.int64), kind="int64")
+    b_sparse, b_dense = sparse.to_bytes(), dense.to_bytes()
+    # the sparse partial is far smaller than its dense form
+    assert len(b_sparse) < 5 * (1 << 16) * 8 / 4
+    for s, b in ((sparse, b_sparse), (dense, b_dense)):
+        r = CountMinSketch.from_bytes(b)
+        assert np.array_equal(r.counters, s.counters)
+        assert (r.width_log2, r.depth, r.seed) == (s.width_log2, s.depth, s.seed)
+    # merge across modes == element-wise add regardless of encoding
+    a = CountMinSketch.empty(width_log2=16, depth=5)
+    a.update_batch(np.arange(50_000, dtype=np.int64), kind="int64")  # dense-ish
+    expect = a.counters + sparse.counters
+    merged = CountMinSketch.from_bytes(a.to_bytes()).merge(
+        CountMinSketch.from_bytes(b_sparse)
+    )
+    assert np.array_equal(merged.counters, expect)
