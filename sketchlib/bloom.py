@@ -112,16 +112,39 @@ class BloomFilter:
 
     # -- codec ----------------------------------------------------------------------
 
+    _SPARSE_FLAG = 0x8000  # set in the k field (k itself is <= 32)
+
     def to_bytes(self) -> bytes:
+        """Packed bitmap, or SPARSE set-bit indices (uint64) when far below
+        fill — a task-local partial sets ~n_task x k of 2^m bits, so sparse
+        cuts the merge-shuffle payload the same way the CMS sparse mode
+        does; a well-filled merged filter stays a bitmap. Backward
+        compatible: the flag rides a spare bit of the k field."""
         head = pack_header(KIND_BLOOM, self.m_log2, self.seed)
+        idx = np.flatnonzero(self.bits)
+        if len(idx) * 8 < (1 << self.m_log2) // 8:
+            return (
+                head
+                + struct.pack("<HI", self.k | self._SPARSE_FLAG, len(idx))
+                + idx.astype(np.uint64).tobytes()
+            )
         return head + struct.pack("<H", self.k) + np.packbits(self.bits).tobytes()
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "BloomFilter":
         m_log2, seed, payload = unpack_header(blob, KIND_BLOOM)
-        (k,) = struct.unpack_from("<H", payload, 0)
-        packed = np.frombuffer(payload, dtype=np.uint8, offset=2, count=(1 << m_log2) // 8)
-        bits = np.unpackbits(packed).astype(bool)
+        (kfield,) = struct.unpack_from("<H", payload, 0)
+        k = kfield & ~cls._SPARSE_FLAG
+        if kfield & cls._SPARSE_FLAG:
+            (nnz,) = struct.unpack_from("<I", payload, 2)
+            idx = np.frombuffer(payload, dtype=np.uint64, count=nnz, offset=6)
+            bits = np.zeros(1 << m_log2, dtype=bool)
+            bits[idx.astype(np.int64)] = True
+        else:
+            packed = np.frombuffer(
+                payload, dtype=np.uint8, offset=2, count=(1 << m_log2) // 8
+            )
+            bits = np.unpackbits(packed).astype(bool)
         return cls(m_log2=m_log2, k=k, seed=seed, bits=bits)
 
     @staticmethod

@@ -58,3 +58,26 @@ def test_optimal_params_sane():
 def test_config_mismatch_raises():
     with pytest.raises(ValueError):
         BloomFilter.empty(14, 5).merge(BloomFilter.empty(15, 5))
+
+
+def test_sparse_at_rest_codec():
+    """Near-empty filters serialize as set-bit indices; round-trip is exact
+    in both modes and mixed-mode merges agree."""
+    import numpy as np
+
+    from sketchlib.bloom import BloomFilter
+
+    sparse = BloomFilter.empty(m_log2=20, k=7)
+    sparse.update_batch(np.arange(100, dtype=np.int64), kind="int64")
+    dense = BloomFilter.empty(m_log2=8, k=3)
+    dense.update_batch(np.arange(500, dtype=np.int64), kind="int64")
+    b_sparse, b_dense = sparse.to_bytes(), dense.to_bytes()
+    assert len(b_sparse) < (1 << 20) // 8 // 10  # far below the bitmap size
+    for s, b in ((sparse, b_sparse), (dense, b_dense)):
+        r = BloomFilter.from_bytes(b)
+        assert np.array_equal(r.bits, s.bits)
+        assert (r.m_log2, r.k, r.seed) == (s.m_log2, s.k, s.seed)
+    other = BloomFilter.empty(m_log2=20, k=7)
+    other.update_batch(np.arange(50, 150, dtype=np.int64), kind="int64")
+    merged = BloomFilter.from_bytes(b_sparse).merge(BloomFilter.from_bytes(other.to_bytes()))
+    assert np.array_equal(merged.bits, sparse.bits | other.bits)
