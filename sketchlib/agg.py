@@ -836,26 +836,32 @@ class CmsAggregator(SketchAggregator):
         def local_candidates(batches):
             from collections import Counter
 
-            # numeric kinds: per-key (values, counts) numpy pair, compacted
-            # by one vectorized unique+scatter-add per batch — never a
-            # per-element Python loop (the Counter merge was the hot spot at
-            # data scale). Memory stays <= per-key distinct values seen by
-            # this task. Strings keep the Counter path (hash-map domain).
+            # numeric kinds: per-key list of (values, counts) chunks,
+            # compacted by a vectorized unique + bincount only when the
+            # buffered length doubles the last compacted size (amortized one
+            # O(D log D) pass total) — never a per-element Python loop (the
+            # Counter merge was the hot spot at data scale). Memory stays
+            # O(per-key distinct). Strings keep the Counter path (hash-map
+            # domain) with the same deterministic tie-break.
             counts: dict[tuple, Counter] = {}
-            acc: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+            acc: dict[tuple, list] = {}  # keyt -> [chunks, buffered, base]
             key_types = None
 
-            def fold(keyt, uniq, cnt):
-                prev = acc.get(keyt)
-                if prev is None:
-                    acc[keyt] = (uniq, cnt.astype(np.int64))
-                    return
-                allv = np.concatenate([prev[0], uniq])
-                allc = np.concatenate([prev[1], cnt.astype(np.int64)])
+            def compact(st):
+                allv = np.concatenate([u for u, _ in st[0]])
+                allc = np.concatenate([c for _, c in st[0]])
                 u2, inv = np.unique(allv, return_inverse=True)
-                tot = np.zeros(len(u2), dtype=np.int64)
-                np.add.at(tot, inv, allc)
-                acc[keyt] = (u2, tot)
+                tot = np.bincount(inv, weights=allc).astype(np.int64)
+                st[0] = [(u2, tot)]
+                st[1] = st[2] = len(u2)
+                return u2, tot
+
+            def fold(keyt, uniq, cnt):
+                st = acc.setdefault(keyt, [[], 0, 0])
+                st[0].append((uniq, cnt.astype(np.int64)))
+                st[1] += len(uniq)
+                if st[1] > max(2 * st[2], 4096):
+                    compact(st)
 
             for batch in batches:
                 if batch.num_rows == 0:
@@ -889,14 +895,16 @@ class CmsAggregator(SketchAggregator):
                         uniq, cnt = np.unique(gvals, return_counts=True)
                         fold(keyt, uniq, cnt)
             keys_out, vals_out = [], []
+            # deterministic top-C everywhere: (count desc, value asc) —
+            # tie-breaks must not depend on accumulation order, or candidate
+            # sets (and downstream heavy-hitter results) vary run to run
             for keyt, c in counts.items():
-                for v, _ in c.most_common(candidates_per_task):
+                top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+                for v, _ in top[:candidates_per_task]:
                     keys_out.append(keyt)
                     vals_out.append(v)
-            for keyt, (vals, cnts) in acc.items():
-                # deterministic top-C: (count desc, value asc) — tie-breaks
-                # must not depend on accumulation order, or candidate sets
-                # (and downstream heavy-hitter results) vary run to run
+            for keyt, st in acc.items():
+                vals, cnts = compact(st)
                 order = np.lexsort((vals, -cnts))[:candidates_per_task]
                 keys_out.extend([keyt] * len(order))
                 vals_out.extend(vals[order].tolist())

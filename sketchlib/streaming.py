@@ -284,66 +284,22 @@ def hll_windowed_finalized_estimates(
     when the stream ends are never emitted — by design; feed a heartbeat row
     past (max window end + watermark) to flush everything (the driver query
     does exactly that with a sentinel key).
+
+    Thin wrapper over ``sketch_streaming_windowed(mode="append")`` — the one
+    windowed-state machine serves every aggregator.
     """
-    key_field = stream.schema[key_col]
-    out_schema = T.StructType(
-        [
-            T.StructField("window_start", T.TimestampType(), False),
-            key_field,
-            T.StructField("est_distinct", T.LongType(), False),
-            T.StructField("n_rows", T.LongType(), False),
-        ]
-    )
+    from .agg import HllAggregator
 
-    def update_fn(key, pdfs, state: GroupState):
-        if state.hasTimedOut:
-            # watermark passed the window end: emit THE final row, evict
-            blob, n_rows, _ = state.get
-            sketch = HllSketch.from_bytes(bytes(blob))
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "window_start": [key[0]],
-                    key_col: [key[1]],
-                    "est_distinct": [sketch.cardinality()],
-                    "n_rows": [n_rows],
-                }
-            )
-            return
-        if state.exists:
-            blob, n_rows, _ = state.get
-            sketch = HllSketch.from_bytes(bytes(blob))
-        else:
-            sketch, n_rows = HllSketch.empty(p, seed), 0
-        for pdf in pdfs:
-            values, _ = _values_from_pandas(pdf[value_col], value_kind, seed)
-            if value_kind in ("tokens", "int32"):
-                sketch.update_batch(values)
-            elif value_kind == "int64":
-                sketch.update_batch_int64(values)
-            else:
-                sketch.update_hashes(murmur64a_str_array(values, seed))
-            n_rows += len(pdf)
-        state.update((sketch.to_bytes(), n_rows, 0))
-        end_ms = int(pd.Timestamp(key[0]).value // 10**6) + int(
-            pd.Timedelta(window_duration).total_seconds() * 1000
-        )
-        state.setTimeoutTimestamp(end_ms)
-        # append mode: nothing emitted while the window is open
-
-    from pyspark.sql import functions as F
-
-    windowed = (
-        stream.withWatermark(ts_col, watermark)
-        .withColumn("window_start", F.window(ts_col, window_duration)["start"])
-        .select("window_start", key_col, value_col, ts_col)
-    )
-    return windowed.groupBy("window_start", key_col).applyInPandasWithState(
-        update_fn,
-        outputStructType=out_schema,
-        stateStructType=_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    return sketch_streaming_windowed(
+        stream,
+        HllAggregator(p=p, seed=seed, key_cols=[], value_col=value_col, value_kind=value_kind),
+        ts_col=ts_col,
+        key_col=key_col,
+        finalize_fields=[T.StructField("est_distinct", T.LongType(), False)],
+        finalize_fn=lambda s: {"est_distinct": s.cardinality()},
+        window_duration=window_duration,
+        watermark=watermark,
+        mode="append",
     )
 
 
