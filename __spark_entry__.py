@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_av_decode": Q.multimodal_av_decode,
         "multimodal_frame_sample": Q.multimodal_frame_sample,
         "hll_source_jaccard_matrix": Q.hll_source_jaccard_matrix,
+        "cms_join_size_estimate": Q.cms_join_size_estimate,
         "salted_merge_identity": Q.salted_merge_identity,
         "per_doc_sketch_storage": Q.per_doc_sketch_storage,
         "hll_source_overlap": Q.hll_source_overlap,
@@ -328,6 +329,17 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS resume_protocol_ok,
                    TRUE AS byte_identical,
                    TRUE AS lineage_ok
+        """,
+        "cms_join_size_estimate": """
+            SELECT (SELECT SUM(c * c)::BIGINT FROM
+                        (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_partkey))
+                       AS exact_selfjoin,
+                   (SELECT COUNT(*) FROM lineitem JOIN part
+                        ON l_partkey = p_partkey) AS exact_join,
+                   TRUE AS selfjoin_never_undercounts,
+                   TRUE AS selfjoin_within_eps,
+                   TRUE AS join_never_undercounts,
+                   TRUE AS join_within_eps
         """,
         "hll_source_jaccard_matrix": f"""
             WITH per AS (

@@ -140,6 +140,23 @@ class CountMinSketch:
 
     # -- codec ----------------------------------------------------------------------
 
+    @staticmethod
+    def inner_product(a: "CountMinSketch", b: "CountMinSketch") -> int:
+        """Join-size / inner-product estimate (Cormode & Muthukrishnan 2005
+        §4.2): min over depth rows of dot(row_a, row_b). NEVER undercounts
+        the true inner product sum_v f_a(v) * f_b(v) (each row's dot adds
+        only non-negative collision terms); overcounts by at most
+        eps * N_a * N_b with probability 1 - delta. With a == b this is the
+        self-join size sum f(v)^2 — the skew statistic query optimizers use.
+        float64 accumulation: exact to 2^53, i.e. relative error < 1e-15 at
+        any scale where the sketch error (eps * N^2) dominates anyway."""
+        a._check(b)
+        dots = [
+            float(np.dot(a.counters[j].astype(np.float64), b.counters[j].astype(np.float64)))
+            for j in range(a.depth)
+        ]
+        return int(min(dots))
+
     _SPARSE_FLAG = 0x8000  # set in the depth field (depth itself is <= 16)
 
     def to_bytes(self) -> bytes:

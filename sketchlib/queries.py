@@ -267,6 +267,58 @@ def cms_heavy_hitters_per_source(spark: SparkSession, sf_dir: str, k: int = 3) -
     )
 
 
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from sketches — the optimizer statistic (Cormode
+    & Muthukrishnan 2005): CMS inner product estimates (1) the SELF-join
+    size of lineitem on l_partkey (sum of squared key frequencies, the skew
+    measure) and (2) |lineitem JOIN part| on partkey, each from two KB-scale
+    sketches instead of a shuffle of the tables. Published guarantees as
+    booleans: never undercounts; over by <= eps * N_a * N_b."""
+    from .agg import CmsAggregator
+    from .cms import CountMinSketch
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("long").alias("k")
+    )
+    pt = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("k")
+    )
+    agg = CmsAggregator(width_log2=18, depth=5, key_cols=[], value_col="k", value_kind="int64")
+    cms_li = CountMinSketch.from_bytes(
+        bytes(agg.merged(li).collect()[0]["sketch"])
+    )
+    cms_pt = CountMinSketch.from_bytes(
+        bytes(agg.merged(pt).collect()[0]["sketch"])
+    )
+    est_self = CountMinSketch.inner_product(cms_li, cms_li)
+    est_join = CountMinSketch.inner_product(cms_li, cms_pt)
+
+    exact_self = (
+        li.groupBy("k")
+        .count()
+        .agg(F.sum(F.col("count") * F.col("count")).alias("s"))
+        .collect()[0]["s"]
+    )
+    exact_join = li.join(pt, "k").count()
+    n_li, n_pt = li.count(), pt.count()
+    eps = 2.718281828459045 / (1 << 18)
+    return spark.createDataFrame(
+        [
+            (
+                int(exact_self),
+                int(exact_join),
+                bool(est_self >= exact_self),
+                bool(est_self - exact_self <= eps * n_li * n_li),
+                bool(est_join >= exact_join),
+                bool(est_join - exact_join <= eps * n_li * n_pt),
+            )
+        ],
+        "exact_selfjoin long, exact_join long, "
+        "selfjoin_never_undercounts boolean, selfjoin_within_eps boolean, "
+        "join_never_undercounts boolean, join_within_eps boolean",
+    )
+
+
 # ---- bloom: membership / semi-join prefilter ------------------------------------
 
 

@@ -101,3 +101,33 @@ def test_sparse_at_rest_codec():
         CountMinSketch.from_bytes(b_sparse)
     )
     assert np.array_equal(merged.counters, expect)
+
+
+def test_inner_product_guarantees():
+    """Inner-product estimate: >= true sum f_a*f_b; <= + eps*Na*Nb; exact on
+    collision-free data; config mismatch raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sketchlib.cms import CountMinSketch
+
+    rng = np.random.default_rng(2)
+    a_vals = rng.zipf(1.6, 30_000).clip(max=5_000).astype(np.int64)
+    b_vals = rng.zipf(1.6, 20_000).clip(max=5_000).astype(np.int64)
+    ca = CountMinSketch.empty(width_log2=16, depth=5)
+    ca.update_batch(a_vals, kind="int64")
+    cb = CountMinSketch.empty(width_log2=16, depth=5)
+    cb.update_batch(b_vals, kind="int64")
+    fa = np.bincount(a_vals)
+    fb = np.bincount(b_vals)
+    n = max(len(fa), len(fb))
+    true_ip = int(np.dot(np.pad(fa, (0, n - len(fa))), np.pad(fb, (0, n - len(fb)))))
+    est = CountMinSketch.inner_product(ca, cb)
+    eps = np.e / (1 << 16)
+    assert true_ip <= est <= true_ip + eps * len(a_vals) * len(b_vals)
+    # self-join size
+    true_self = int(np.dot(fa.astype(np.float64), fa.astype(np.float64)))
+    est_self = CountMinSketch.inner_product(ca, ca)
+    assert true_self <= est_self <= true_self + eps * len(a_vals) ** 2
+    with _pytest.raises(ValueError):
+        CountMinSketch.inner_product(ca, CountMinSketch.empty(width_log2=14, depth=5))
