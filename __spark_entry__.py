@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": Q.multimodal_frame_sample,
         "hll_source_jaccard_matrix": Q.hll_source_jaccard_matrix,
         "cms_join_size_estimate": Q.cms_join_size_estimate,
+        "hll_customers_per_orderpriority": Q.hll_customers_per_orderpriority,
         "salted_merge_identity": Q.salted_merge_identity,
         "per_doc_sketch_storage": Q.per_doc_sketch_storage,
         "hll_source_overlap": Q.hll_source_overlap,
@@ -329,6 +330,11 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS resume_protocol_ok,
                    TRUE AS byte_identical,
                    TRUE AS lineage_ok
+        """,
+        "hll_customers_per_orderpriority": """
+            SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS distinct_customers,
+                   TRUE AS within_3sigma
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "cms_join_size_estimate": """
             SELECT (SELECT SUM(c * c)::BIGINT FROM

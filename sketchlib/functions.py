@@ -58,6 +58,36 @@ def register(spark: SparkSession, prefix: str = "") -> None:
     def bloom_fpp(blobs: pd.Series) -> pd.Series:
         return blobs.map(lambda b: BloomFilter.from_bytes(bytes(b)).fpp_estimate())
 
+    @F.pandas_udf(T.LongType())
+    def hll_union_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                HllSketch.from_bytes(bytes(x))
+                .merge(HllSketch.from_bytes(bytes(y)))
+                .cardinality()
+                for x, y in zip(a, b)
+            ]
+        ).astype("int64")
+
+    @F.pandas_udf(T.LongType())
+    def hll_intersection_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
+        def one(x, y):
+            sa, sb = HllSketch.from_bytes(bytes(x)), HllSketch.from_bytes(bytes(y))
+            return HllSketch.intersection_estimate(sa, sb)
+
+        return pd.Series([one(x, y) for x, y in zip(a, b)]).astype("int64")
+
+    @F.pandas_udf(T.LongType())
+    def cms_inner_product(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                CountMinSketch.inner_product(
+                    CountMinSketch.from_bytes(bytes(x)), CountMinSketch.from_bytes(bytes(y))
+                )
+                for x, y in zip(a, b)
+            ]
+        ).astype("int64")
+
     @F.pandas_udf(T.DoubleType())
     def kll_quantile(blobs: pd.Series, qs: pd.Series) -> pd.Series:
         return pd.Series(
@@ -104,6 +134,9 @@ def register(spark: SparkSession, prefix: str = "") -> None:
     for name, fn in [
         ("hll_estimate", hll_estimate),
         ("hll_merge_pair", hll_merge_pair),
+        ("hll_union_estimate", hll_union_estimate),
+        ("hll_intersection_estimate", hll_intersection_estimate),
+        ("cms_inner_product", cms_inner_product),
         ("kll_median", kll_median),
         ("kll_quantile", kll_quantile),
         ("tdigest_p99", tdigest_p99),

@@ -267,6 +267,41 @@ def cms_heavy_hitters_per_source(spark: SparkSession, sf_dir: str, k: int = 3) -
     )
 
 
+def hll_customers_per_orderpriority(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> DataFrame:
+    """TPC-H-flavored grouping on the orders table: distinct customers per
+    order priority via the HLL aggregator (generic DataFrame path over a
+    string group key + int64 values); exact counts reproduce in SQL and each
+    estimate is asserted within 3 sigma."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = HllAggregator(
+        p=p, key_cols=["o_orderpriority"], value_col="o_custkey", value_kind="int64"
+    )
+    est = {
+        r["o_orderpriority"]: int(r["est_distinct"])
+        for r in agg.estimates(orders).collect()
+    }
+    bound = 3.0 * HllSketch.std_error(p)
+    exact = (
+        orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("distinct_customers"))
+        .collect()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                r["o_orderpriority"],
+                int(r["distinct_customers"]),
+                bool(
+                    abs(est[r["o_orderpriority"]] / r["distinct_customers"] - 1.0)
+                    <= bound
+                ),
+            )
+            for r in exact
+        ],
+        "o_orderpriority string, distinct_customers long, within_3sigma boolean",
+    ).orderBy("o_orderpriority")
+
+
 def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-size estimation from sketches — the optimizer statistic (Cormode
     & Muthukrishnan 2005): CMS inner product estimates (1) the SELF-join

@@ -95,7 +95,22 @@ def test_hll_sql_functions_still_work(sql):
     h2.update_batch(np.arange(500, 1500, dtype=np.int32))
     _one_row_view(sql, "hview", {"a": h1.to_bytes(), "b": h2.to_bytes()})
     r = sql.sql(
-        "SELECT hll_estimate(a) AS ea, hll_estimate(hll_merge_pair(a, b)) AS eu FROM hview"
+        "SELECT hll_estimate(a) AS ea, hll_estimate(hll_merge_pair(a, b)) AS eu, "
+        "hll_union_estimate(a, b) AS u, hll_intersection_estimate(a, b) AS i "
+        "FROM hview"
     ).collect()[0]
-    assert abs(r["ea"] - 1000) <= 3 * 1.04 / 2**6 * 1000
-    assert abs(r["eu"] - 1500) <= 3 * 1.04 / 2**6 * 1500
+    bound = 3 * 1.04 / 2**6
+    assert abs(r["ea"] - 1000) <= bound * 1000
+    assert abs(r["eu"] - 1500) <= bound * 1500
+    assert r["u"] == r["eu"]  # union == merge-then-estimate by definition
+    assert abs(r["i"] - 500) <= 3 * bound * 1500  # inclusion-exclusion error
+
+
+def test_cms_inner_product_sql(sql):
+    c1 = CountMinSketch.empty(width_log2=16, depth=5)
+    c1.update_batch(np.array([1, 1, 2, 3], dtype=np.int64), kind="int64")
+    c2 = CountMinSketch.empty(width_log2=16, depth=5)
+    c2.update_batch(np.array([1, 2, 2, 9], dtype=np.int64), kind="int64")
+    _one_row_view(sql, "ipview", {"a": c1.to_bytes(), "b": c2.to_bytes()})
+    r = sql.sql("SELECT cms_inner_product(a, b) AS ip FROM ipview").collect()[0]
+    assert r["ip"] >= 2 * 1 + 1 * 2  # f1: {1:2,2:1,3:1} x f2: {1:1,2:2,9:1} = 4
