@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_source_jaccard_matrix": Q.hll_source_jaccard_matrix,
         "cms_join_size_estimate": Q.cms_join_size_estimate,
         "hll_customers_per_orderpriority": Q.hll_customers_per_orderpriority,
+        "near_dedup_documents": Q.near_dedup_documents,
         "salted_merge_identity": Q.salted_merge_identity,
         "per_doc_sketch_storage": Q.per_doc_sketch_storage,
         "hll_source_overlap": Q.hll_source_overlap,
@@ -330,6 +331,12 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS resume_protocol_ok,
                    TRUE AS byte_identical,
                    TRUE AS lineage_ok
+        """,
+        "near_dedup_documents": """
+            SELECT COUNT(*) AS n_docs,
+                   TRUE AS exact_dup_groups_collapse_to_min,
+                   TRUE AS survivors_le_distinct_texts
+            FROM documents
         """,
         "hll_customers_per_orderpriority": """
             SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS distinct_customers,

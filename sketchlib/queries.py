@@ -845,6 +845,58 @@ def hll_source_jaccard_matrix(spark: SparkSession, sf_dir: str, p: int = DEFAULT
     )
 
 
+def near_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end GREEDY near-dedup (the C4/RefinedWeb survivor-set
+    recipe) through the driver: tokenize -> MinHash -> capped LSH buckets ->
+    signature verify -> drop every doc with a lower-id near-dup partner.
+    Provable facts emitted as booleans: every EXACT-duplicate text group
+    collapses to exactly its min-doc_id survivor (identical texts share all
+    band keys, so the pair always surfaces and the greedy rule keeps the
+    min), and the survivor count can never exceed the distinct-text count.
+    n_docs is SQL-exact."""
+    from .data import tokenize_documents
+    from .dedup import near_dedup
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    seqs = tokenize_documents(docs)
+    kept = near_dedup(seqs, threshold=0.8, k=128, bands=32)
+    kept_ids = kept.select("doc_id")
+
+    n_docs = docs.count()
+    n_survivors = kept_ids.count()
+    distinct_texts = docs.select("text").distinct().count()
+
+    # exact-dup law: within each same-text group, the min doc_id survives
+    # and every other member is dropped
+    grp = docs.select("doc_id", F.xxhash64("text").alias("fp"))
+    min_per_group = grp.groupBy("fp").agg(
+        F.min("doc_id").alias("min_id"), F.count("*").alias("g")
+    )
+    survivors_tagged = grp.join(kept_ids, "doc_id").join(min_per_group, "fp")
+    # any survivor in a multi-member group that is NOT the group min breaks the law
+    bad_survivors = survivors_tagged.where(
+        (F.col("g") > 1) & (F.col("doc_id") != F.col("min_id"))
+    ).count()
+    # and every group's min must survive only if it has no other near-dup
+    # partner — exact-dup partners never beat the min, so the min of each
+    # group survives unless near-dup'd to a DIFFERENT lower-id text; at the
+    # planted fixtures this does not happen, but the provable law is only
+    # the two checks above
+    return spark.createDataFrame(
+        [
+            (
+                int(n_docs),
+                bool(bad_survivors == 0),
+                bool(n_survivors <= distinct_texts),
+            )
+        ],
+        "n_docs long, exact_dup_groups_collapse_to_min boolean, "
+        "survivors_le_distinct_texts boolean",
+    )
+
+
 # ---- deduplication over documents -------------------------------------------------
 
 
