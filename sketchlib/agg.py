@@ -263,12 +263,22 @@ class SketchAggregator:
         pruned = df.select(*(self.key_cols + [self.value_col]))
         return pruned.mapInArrow(build, self._partial_schema(df))
 
+    def _default_batch_rows(self) -> int:
+        """Reader batch size in ROWS, sized so per-batch kernel intermediates
+        stay cache-resident: token-array rows carry ~10^2 values each, and at
+        16384 rows the ~17 MB of hash/index scratch per worker spills to DRAM
+        — measured on the 2.1B-token scaling job: 16384 -> 303 M tokens/s at
+        local[32], 1024 -> 552 M (and +35% at local[8]). Scalar kinds carry
+        one value per row, so larger row batches amortize per-batch overhead
+        with tiny intermediates."""
+        return 1024 if self.value_kind == "tokens" else 16384
+
     def partials_from_parquet(
         self,
         spark,
         path: str,
         parallelism: int | None = None,
-        batch_rows: int = 16384,
+        batch_rows: int | None = None,
         rg_plan_max_files: int = 512,
         per_shard: bool = False,
     ) -> DataFrame:
@@ -293,6 +303,8 @@ class SketchAggregator:
         checkpoint table uses.
         """
         cols = self.key_cols + [self.value_col]
+        if batch_rows is None:
+            batch_rows = self._default_batch_rows()
         dset = pads.dataset(path, format="parquet")
         files = list(dset.files)
         if not files:

@@ -158,9 +158,11 @@ class CheckpointedBuild:
         input_path: str,
         max_shards: int | None = None,
         parallelism: int | None = None,
-        batch_rows: int = 16384,
+        batch_rows: int | None = None,
     ) -> int:
         """Sketch pending shards into the checkpoint; returns #shards done now."""
+        if batch_rows is None:
+            batch_rows = self.agg._default_batch_rows()
         pending = self.pending_shards(spark, input_path)
         if max_shards is not None:
             pending = pending[:max_shards]
