@@ -206,10 +206,24 @@ class SketchAggregator:
         update_grouped = self._update_grouped
         to_blob = lambda s: s.to_bytes()  # noqa: E731
 
+        # token-array rows carry ~10^2 values each: slice big Arrow batches
+        # (Spark's default is 10k rows) down to cache-resident chunks before
+        # the kernels — zero-copy, same fix as _default_batch_rows for the
+        # task-local reader (measured ~1.5x at 32 cores)
+        rows_cap = 1024 if kind == "tokens" else None
+
+        def sliced(batches):
+            for batch in batches:
+                if rows_cap is None or batch.num_rows <= rows_cap:
+                    yield batch
+                else:
+                    for off in range(0, batch.num_rows, rows_cap):
+                        yield batch.slice(off, rows_cap)
+
         def build(batches):
             acc: dict[tuple, list] = {}
             key_types = None
-            for batch in batches:
+            for batch in sliced(batches):
                 if batch.num_rows == 0:
                     continue
                 if key_types is None:
