@@ -118,6 +118,27 @@ def test_kll_compaction_parity_is_content_seeded():
     assert a.to_bytes() == b.to_bytes()
 
 
+def test_hll_merged_bytes_invariant_to_batch_size(spark, tmp_path):
+    """The cache-sizing knobs (reader batch_rows, Arrow batch slicing) must
+    never change HLL results: register max is batching-independent, so the
+    merged bytes are identical at any chunking."""
+    from sketchlib.agg import HllAggregator
+    from sketchlib.data import SEQUENCES_SCHEMA, gen_sequences_pandas
+
+    path = str(tmp_path / "seqs.parquet")
+    spark.createDataFrame(gen_sequences_pandas(4_000), schema=SEQUENCES_SCHEMA).repartition(
+        4
+    ).write.parquet(path)
+    agg = HllAggregator(p=12, key_cols=["source"])
+    outs = []
+    for br in (256, 1024, 16384):
+        merged = agg.merged(
+            agg.partials_from_parquet(spark, path, batch_rows=br), is_partials=True
+        )
+        outs.append({r["source"]: bytes(r["sketch"]) for r in merged.collect()})
+    assert outs[0] == outs[1] == outs[2]
+
+
 @pytest.mark.parametrize("Agg", ["kll", "tdigest"])
 def test_per_shard_build_byte_identical_across_parallelism(spark, tmp_path, Agg):
     """merged() over per-row-group partials is byte-identical whether the
