@@ -627,6 +627,12 @@ class SketchAggregator:
             sets.extend(list(c) for c in combinations(self.key_cols, r))
         return self.grouping_sets(merged, sets)
 
+    def rollup(self, merged: DataFrame) -> DataFrame:
+        """Hierarchical ROLLUP (each key-prefix grouping set) from one scan —
+        Spark's rollup() semantics over sketches."""
+        sets = [self.key_cols[:i] for i in range(len(self.key_cols), -1, -1)]
+        return self.grouping_sets(merged, sets)
+
     def finalize_rows(
         self,
         merged: DataFrame,

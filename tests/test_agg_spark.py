@@ -216,6 +216,10 @@ def test_cube_grouping_sets_from_one_scan(spark):
     # grouping_id uses Spark's bitmask convention (bit set = aggregated out)
     gids = {(r["a"] is None, r["b"] is None): r["grouping_id"] for r in rows}
     assert gids == {(False, False): 0, (False, True): 1, (True, False): 2, (True, True): 3}
+    # rollup = the prefix subset of the cube's grouping sets (no (None, b) set)
+    roll = agg.rollup(merged).collect()
+    assert {r["grouping_id"] for r in roll} == {0, 1, 3}
+    assert len(roll) == 6 + 2 + 1
 
 
 def test_cube_grouping_id_disambiguates_genuine_null_keys(spark):
