@@ -210,15 +210,10 @@ class SketchAggregator:
         # (Spark's default is 10k rows) down to cache-resident chunks before
         # the kernels — zero-copy, same fix as _default_batch_rows for the
         # task-local reader (measured ~1.5x at 32 cores)
-        rows_cap = 1024 if kind == "tokens" else None
+        from .kernels import rechunk_record_batches
 
         def sliced(batches):
-            for batch in batches:
-                if rows_cap is None or batch.num_rows <= rows_cap:
-                    yield batch
-                else:
-                    for off in range(0, batch.num_rows, rows_cap):
-                        yield batch.slice(off, rows_cap)
+            return rechunk_record_batches(batches) if kind == "tokens" else batches
 
         def build(batches):
             acc: dict[tuple, list] = {}

@@ -47,18 +47,7 @@ def exact_dedup(df: DataFrame, content_cols: list[str], keep_col: str = "doc_id"
     return w.join(keep, ["__fp", keep_col], "left_semi").drop("__fp")
 
 
-def _sliced(batches, rows_cap: int = 1024):
-    """Zero-copy re-chunking of big Arrow batches (Spark defaults to 10k
-    rows) into cache-resident pieces: the shingle/MinHash/SimHash kernels
-    make multiple passes over the flattened token buffer, and per-batch
-    scratch beyond ~1MB spills to DRAM (same measured effect as
-    agg._default_batch_rows)."""
-    for batch in batches:
-        if batch.num_rows <= rows_cap:
-            yield batch
-        else:
-            for off in range(0, batch.num_rows, rows_cap):
-                yield batch.slice(off, rows_cap)
+from .kernels import rechunk_record_batches as _sliced  # cache-resident chunks
 
 
 def _shingle_batch(batch: pa.RecordBatch, tokens_col: str, shingle_n: int):

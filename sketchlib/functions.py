@@ -58,35 +58,50 @@ def register(spark: SparkSession, prefix: str = "") -> None:
     def bloom_fpp(blobs: pd.Series) -> pd.Series:
         return blobs.map(lambda b: BloomFilter.from_bytes(bytes(b)).fpp_estimate())
 
+    # two-argument set-algebra UDFs NULL-guard both sides: the natural
+    # consumer is a FULL OUTER JOIN of two per-key sketch tables, where a
+    # key present on one side only yields a NULL blob — the result is then
+    # SQL NULL, same convention as built-in binary functions. A one-sided
+    # NULL union degrades to the present side's estimate (union with the
+    # empty set), matching hll_merge_pair.
+
     @F.pandas_udf(T.LongType())
     def hll_union_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                HllSketch.from_bytes(bytes(x))
-                .merge(HllSketch.from_bytes(bytes(y)))
-                .cardinality()
-                for x, y in zip(a, b)
-            ]
-        ).astype("int64")
+        def one(x, y):
+            if x is None and y is None:
+                return None
+            if x is None:
+                return HllSketch.from_bytes(bytes(y)).cardinality()
+            if y is None:
+                return HllSketch.from_bytes(bytes(x)).cardinality()
+            return HllSketch.union_estimate(
+                HllSketch.from_bytes(bytes(x)), HllSketch.from_bytes(bytes(y))
+            )
+
+        return pd.Series([one(x, y) for x, y in zip(a, b)], dtype="Int64")
 
     @F.pandas_udf(T.LongType())
     def hll_intersection_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
         def one(x, y):
+            if x is None or y is None:
+                # intersection with an absent key's (empty) set is 0; both
+                # NULL stays NULL
+                return None if (x is None and y is None) else 0
             sa, sb = HllSketch.from_bytes(bytes(x)), HllSketch.from_bytes(bytes(y))
             return HllSketch.intersection_estimate(sa, sb)
 
-        return pd.Series([one(x, y) for x, y in zip(a, b)]).astype("int64")
+        return pd.Series([one(x, y) for x, y in zip(a, b)], dtype="Int64")
 
     @F.pandas_udf(T.LongType())
     def cms_inner_product(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                CountMinSketch.inner_product(
-                    CountMinSketch.from_bytes(bytes(x)), CountMinSketch.from_bytes(bytes(y))
-                )
-                for x, y in zip(a, b)
-            ]
-        ).astype("int64")
+        def one(x, y):
+            if x is None or y is None:
+                return None
+            return CountMinSketch.inner_product(
+                CountMinSketch.from_bytes(bytes(x)), CountMinSketch.from_bytes(bytes(y))
+            )
+
+        return pd.Series([one(x, y) for x, y in zip(a, b)], dtype="Int64")
 
     @F.pandas_udf(T.DoubleType())
     def kll_quantile(blobs: pd.Series, qs: pd.Series) -> pd.Series:

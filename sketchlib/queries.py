@@ -336,7 +336,7 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact_join = li.join(pt, "k").count()
     n_li, n_pt = li.count(), pt.count()
-    eps = 2.718281828459045 / (1 << 18)
+    eps = cms_li.epsilon  # e / width, from the ACTUAL sketch config
     return spark.createDataFrame(
         [
             (
@@ -846,23 +846,28 @@ def hll_source_jaccard_matrix(spark: SparkSession, sf_dir: str, p: int = DEFAULT
 
 
 def near_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The end-to-end GREEDY near-dedup (the C4/RefinedWeb survivor-set
-    recipe) through the driver: tokenize -> MinHash -> capped LSH buckets ->
-    signature verify -> drop every doc with a lower-id near-dup partner.
-    Provable facts emitted as booleans: every EXACT-duplicate text group
-    collapses to exactly its min-doc_id survivor (identical texts share all
-    band keys, so the pair always surfaces and the greedy rule keeps the
-    min), and the survivor count can never exceed the distinct-text count.
-    n_docs is SQL-exact."""
+    """The end-to-end two-stage dedup recipe (the C4/RefinedWeb shape)
+    through the driver: EXACT dedup first (hash-groupBy keeps each text
+    group's min doc_id — provable regardless of any LSH capping), then the
+    GREEDY near-dedup (tokenize -> MinHash -> capped LSH buckets ->
+    signature verify -> drop every doc with a lower-id near-dup partner).
+    Running exact first is the documented discipline that makes the
+    hot-bucket cap safe: a >cap cluster of IDENTICAL texts is already
+    collapsed before LSH sees it. Provable booleans: no non-min member of
+    any exact-duplicate text group survives, and the survivor count can
+    never exceed the distinct-text count. n_docs is SQL-exact."""
     from .data import tokenize_documents
-    from .dedup import near_dedup
+    from .dedup import exact_dedup, near_dedup
 
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "doc_id", F.col("doc_id").cast("string")
     )
-    seqs = tokenize_documents(docs)
+    uniq = exact_dedup(docs, ["text"], keep_col="doc_id")
+    seqs = tokenize_documents(uniq)
     kept = near_dedup(seqs, threshold=0.8, k=128, bands=32)
-    kept_ids = kept.select("doc_id")
+    # kept drives two actions (count + the law join): cache so the LSH
+    # candidate/verify/anti-join pipeline runs once
+    kept_ids = kept.select("doc_id").cache()
 
     n_docs = docs.count()
     n_survivors = kept_ids.count()
@@ -875,15 +880,12 @@ def near_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"), F.count("*").alias("g")
     )
     survivors_tagged = grp.join(kept_ids, "doc_id").join(min_per_group, "fp")
-    # any survivor in a multi-member group that is NOT the group min breaks the law
+    # any survivor in a multi-member group that is NOT the group min breaks
+    # the law (the exact stage keeps only the min; the near stage can drop
+    # it further but can never resurrect another member)
     bad_survivors = survivors_tagged.where(
         (F.col("g") > 1) & (F.col("doc_id") != F.col("min_id"))
     ).count()
-    # and every group's min must survive only if it has no other near-dup
-    # partner — exact-dup partners never beat the min, so the min of each
-    # group survives unless near-dup'd to a DIFFERENT lower-id text; at the
-    # planted fixtures this does not happen, but the provable law is only
-    # the two checks above
     return spark.createDataFrame(
         [
             (

@@ -106,6 +106,36 @@ def test_hll_sql_functions_still_work(sql):
     assert abs(r["i"] - 500) <= 3 * bound * 1500  # inclusion-exclusion error
 
 
+def test_two_arg_sketch_functions_null_safe(sql):
+    """FULL OUTER JOIN of per-key sketch tables yields NULL blobs for keys
+    present on one side only — the set-algebra UDFs must degrade gracefully
+    (union -> the present side; intersection -> 0; inner product -> NULL),
+    never crash the task."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    h = HllSketch.empty(12)
+    h.update_batch(np.arange(300, dtype=np.int32))
+    schema = T.StructType(
+        [
+            T.StructField("a", T.BinaryType(), True),
+            T.StructField("b", T.BinaryType(), True),
+        ]
+    )
+    sql.createDataFrame(
+        [(bytearray(h.to_bytes()), None), (None, None)], schema
+    ).createOrReplaceTempView("nullview")
+    rows = sql.sql(
+        "SELECT hll_union_estimate(a, b) AS u, hll_intersection_estimate(a, b) AS i, "
+        "cms_inner_product(a, b) AS ip FROM nullview"
+    ).collect()
+    one_side = next(r for r in rows if r["u"] is not None)
+    both_null = next(r for r in rows if r is not one_side)
+    assert abs(one_side["u"] - 300) <= 3 * 1.04 / 2**6 * 300
+    assert one_side["i"] == 0 and one_side["ip"] is None
+    assert both_null["u"] is None and both_null["i"] is None and both_null["ip"] is None
+
+
 def test_cms_inner_product_sql(sql):
     c1 = CountMinSketch.empty(width_log2=16, depth=5)
     c1.update_batch(np.array([1, 1, 2, 3], dtype=np.int64), kind="int64")
