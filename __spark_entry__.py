@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_av_decode": Q.multimodal_av_decode,
         "multimodal_frame_sample": Q.multimodal_frame_sample,
         "hll_source_jaccard_matrix": Q.hll_source_jaccard_matrix,
+        "kmv_source_overlap": Q.kmv_source_overlap,
+        "weighted_sample_docs": Q.weighted_sample_docs,
         "cms_join_size_estimate": Q.cms_join_size_estimate,
         "hll_customers_per_orderpriority": Q.hll_customers_per_orderpriority,
         "near_dedup_documents": Q.near_dedup_documents,
@@ -464,6 +466,28 @@ def oracle_sql() -> dict[str, str]:
         "minhash_jaccard_consistency": """
             SELECT 780::BIGINT AS n_pairs,
                    TRUE AS max_err_within, TRUE AS mean_err_within
+        """,
+        "kmv_source_overlap": f"""
+            SELECT 's00' AS source_a, 's01' AS source_b,
+                   COUNT(*) AS exact_union,
+                   SUM(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END)::BIGINT AS exact_intersection,
+                   TRUE AS union_within_3sigma,
+                   TRUE AS intersection_within_bound,
+                   TRUE AS jaccard_within_bound
+            FROM (SELECT t.tok, COUNT(DISTINCT source) AS nsrc
+                  FROM read_parquet('{_SEQ_PARQUET_SF001}'), UNNEST(tokens) AS t(tok)
+                  WHERE source IN ('s00', 's01')
+                  GROUP BY t.tok)
+        """,
+        "weighted_sample_docs": f"""
+            SELECT doc_id, n_tok FROM (
+                SELECT doc_id, n_tok,
+                       pow((CAST('0x' || substring(md5(doc_id), 1, 15) AS BIGINT) + 1)
+                               / 1152921504606846976.0,
+                           1.0 / greatest(n_tok, 1)) AS key
+                FROM read_parquet('{_SEQ_PARQUET_SF001}')
+                ORDER BY key DESC, doc_id LIMIT 100)
+            ORDER BY doc_id
         """,
         "hll_source_overlap": f"""
             SELECT 's00' AS source_a, 's01' AS source_b,

@@ -19,6 +19,7 @@ from .kernels import (
     vclz64,
 )
 from .kll import KllSketch
+from .kmv import KmvSketch
 from .minhash import MinHashSketch
 from .tdigest import TDigest
 
@@ -27,6 +28,7 @@ __all__ = [
     "CountMinSketch",
     "BloomFilter",
     "KllSketch",
+    "KmvSketch",
     "TDigest",
     "MinHashSketch",
     "estimate_from_histogram",
@@ -45,7 +47,7 @@ def __getattr__(name):
     # Spark-dependent surfaces load lazily so the numpy core stays importable
     # without a JVM (e.g. inside plain-python tooling).
     if name in ("HllAggregator", "CmsAggregator", "BloomAggregator", "KllAggregator",
-                "TDigestAggregator", "SketchAggregator"):
+                "TDigestAggregator", "KmvAggregator", "SketchAggregator"):
         from . import agg
 
         return getattr(agg, name)

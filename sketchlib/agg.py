@@ -38,6 +38,7 @@ from .cms import CountMinSketch
 from .hll import HllSketch
 from .kernels import DEFAULT_SEED, murmur64a_int32, murmur64a_str_array
 from .kll import KllSketch
+from .kmv import KmvSketch
 from .tdigest import TDigest
 
 _COUNT_FIELDS = [
@@ -1140,6 +1141,57 @@ class KllAggregator(SketchAggregator):
             T.StructField("value", T.DoubleType(), False),
         ]
         return self.finalize_rows(self.merged(source, salt=salt, spark=spark), row_fn, fields)
+
+
+class KmvAggregator(SketchAggregator):
+    """Distributed KMV/theta sketch: distinct counts with native set
+    intersection/Jaccard (no inclusion–exclusion), order-exact merge."""
+
+    def __init__(
+        self,
+        k: int = 4096,
+        seed: int = DEFAULT_SEED,
+        key_cols: Sequence[str] = ("source",),
+        value_col: str = "tokens",
+        value_kind: str = "tokens",
+    ):
+        super().__init__(key_cols, value_col, value_kind)
+        self.k, self.seed = int(k), int(seed)
+        KmvSketch.empty(self.k, self.seed)  # validate
+
+    def _empty(self) -> KmvSketch:
+        return KmvSketch.empty(self.k, self.seed)
+
+    def _update(self, sketch: KmvSketch, values) -> None:
+        sketch.update_batch(values, kind=self.value_kind)
+
+    def _merge_blobs(self, blobs) -> KmvSketch:
+        return KmvSketch.merge_blobs(blobs, self.k, self.seed)
+
+    def estimate_udf(self) -> Callable:
+        @F.pandas_udf(T.LongType())
+        def est(blobs: pd.Series) -> pd.Series:
+            return blobs.map(
+                lambda b: KmvSketch.from_bytes(bytes(b)).estimate()
+            ).astype("int64")
+
+        return est
+
+    def estimates(
+        self,
+        source: DataFrame | str,
+        salt: int | None = None,
+        *,
+        is_partials: bool = False,
+        spark=None,
+    ) -> DataFrame:
+        merged = self.merged(source, salt=salt, is_partials=is_partials, spark=spark)
+        return merged.select(
+            *self.key_cols,
+            self.estimate_udf()(F.col("sketch")).alias("est_distinct"),
+            "n_rows",
+            "n_items",
+        )
 
 
 class TDigestAggregator(SketchAggregator):

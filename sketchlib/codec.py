@@ -22,6 +22,7 @@ KIND_CMS = 2
 KIND_BLOOM = 3
 KIND_KLL = 4
 KIND_TDIGEST = 5
+KIND_KMV = 6
 
 _HEADER = struct.Struct("<IHBBq")  # magic, version, kind, p, seed
 HEADER_LEN = _HEADER.size

@@ -21,6 +21,7 @@ from .bloom import BloomFilter
 from .cms import CountMinSketch
 from .hll import HllSketch
 from .kll import KllSketch
+from .kmv import KmvSketch
 from .tdigest import TDigest
 
 
@@ -124,6 +125,52 @@ def register(spark: SparkSession, prefix: str = "") -> None:
             ]
         ).astype("int64")
 
+    @F.pandas_udf(T.LongType())
+    def kmv_estimate(blobs: pd.Series) -> pd.Series:
+        return blobs.map(lambda b: KmvSketch.from_bytes(bytes(b)).estimate()).astype("int64")
+
+    # KMV set algebra carries the same NULL convention as the HLL pair UDFs
+    # above: one-sided NULL = algebra with the empty set, both NULL = NULL.
+
+    @F.pandas_udf(T.DoubleType())
+    def kmv_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+        def one(x, y):
+            if x is None and y is None:
+                return None
+            if x is None or y is None:
+                return 0.0
+            return KmvSketch.jaccard(
+                KmvSketch.from_bytes(bytes(x)), KmvSketch.from_bytes(bytes(y))
+            )
+
+        return pd.Series([one(x, y) for x, y in zip(a, b)], dtype="float64")
+
+    @F.pandas_udf(T.LongType())
+    def kmv_intersection_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
+        def one(x, y):
+            if x is None or y is None:
+                return None if (x is None and y is None) else 0
+            return KmvSketch.intersection_estimate(
+                KmvSketch.from_bytes(bytes(x)), KmvSketch.from_bytes(bytes(y))
+            )
+
+        return pd.Series([one(x, y) for x, y in zip(a, b)], dtype="Int64")
+
+    @F.pandas_udf(T.LongType())
+    def kmv_union_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
+        def one(x, y):
+            if x is None and y is None:
+                return None
+            if x is None:
+                return KmvSketch.from_bytes(bytes(y)).estimate()
+            if y is None:
+                return KmvSketch.from_bytes(bytes(x)).estimate()
+            return KmvSketch.union(
+                KmvSketch.from_bytes(bytes(x)), KmvSketch.from_bytes(bytes(y))
+            ).estimate()
+
+        return pd.Series([one(x, y) for x, y in zip(a, b)], dtype="Int64")
+
     @F.pandas_udf(T.DoubleType())
     def minhash_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
         import numpy as np
@@ -159,6 +206,10 @@ def register(spark: SparkSession, prefix: str = "") -> None:
         ("cms_total", cms_total),
         ("cms_point", cms_point),
         ("bloom_fpp", bloom_fpp),
+        ("kmv_estimate", kmv_estimate),
+        ("kmv_jaccard", kmv_jaccard),
+        ("kmv_intersection_estimate", kmv_intersection_estimate),
+        ("kmv_union_estimate", kmv_union_estimate),
         ("minhash_jaccard", minhash_jaccard),
         ("simhash_hamming", simhash_hamming),
     ]:

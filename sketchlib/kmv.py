@@ -1,0 +1,167 @@
+"""KMV (k-minimum-values / theta) sketch — order-exact distinct counting
+with NATIVE set algebra: union, intersection, and Jaccard without
+inclusion–exclusion.
+
+Complements the HLL core (reference semantics, src/hll.c:776-815, whose
+merge is union-ONLY — README.md:138-148 documents that intersections must
+go through inclusion–exclusion with compounded error): a KMV sketch keeps
+the k smallest distinct 64-bit MurmurHash64A values seen. The k smallest
+elements of a set are a pure function of the set, so the sketch is
+order-exact — byte-identical at any partitioning/merge order, the same
+distributed-safety property the HLL register array has.
+
+Estimator (Beyer et al., "On Synopses for Distinct Value Estimation Under
+Multiset Operations", SIGMOD 2007; Bar-Yossef et al. 2002):
+
+- fewer than k distinct hashes seen -> the count is EXACT (the sketch IS
+  the distinct hash set);
+- otherwise ``E[D] = (k-1)/theta`` with ``theta`` = the kth smallest hash
+  mapped to (0,1]; relative std error ~ 1/sqrt(k-2).
+
+Set operations on two sketches with equal (k, seed):
+
+- union sketch = k smallest of the value-set union (lossless merge);
+- K_cap = |{v in union sketch : v in A and v in B}|; then
+  ``jaccard ~= K_cap / |union sketch|`` and
+  ``|A n B| ~= jaccard * union_estimate`` (ratio estimator from the paper).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .codec import KIND_KMV, pack_header, unpack_header
+from .kernels import (
+    DEFAULT_SEED,
+    murmur64a_int32,
+    murmur64a_int64,
+    murmur64a_str_array,
+)
+
+_TWO64 = float(1 << 64)
+
+
+def _hash_kind(values, kind: str, seed: int) -> np.ndarray:
+    if kind in ("tokens", "int32"):
+        return murmur64a_int32(values, seed)
+    if kind == "int64":
+        return murmur64a_int64(values, seed)
+    if kind == "string":
+        return murmur64a_str_array(values, seed)
+    raise ValueError(f"unsupported kind {kind!r}")
+
+
+@dataclass
+class KmvSketch:
+    k: int = 1024
+    seed: int = DEFAULT_SEED
+    # sorted ascending, distinct, len <= k
+    values: np.ndarray = field(default=None, repr=False)  # type: ignore[assignment]
+
+    def __post_init__(self) -> None:
+        if not (8 <= int(self.k) <= 1 << 22):
+            raise ValueError(f"k={self.k} out of range [8, 2^22]")
+        self.k = int(self.k)
+        self.seed = int(self.seed)
+        if self.values is None:
+            self.values = np.zeros(0, dtype=np.uint64)
+        else:
+            self.values = np.asarray(self.values, dtype=np.uint64)
+
+    @classmethod
+    def empty(cls, k: int = 1024, seed: int = DEFAULT_SEED) -> "KmvSketch":
+        return cls(k=k, seed=seed)
+
+    @staticmethod
+    def std_error(k: int) -> float:
+        """Published relative standard error ~ 1/sqrt(k-2) (Beyer 2007)."""
+        return 1.0 / np.sqrt(max(k - 2, 1))
+
+    # -- update / merge ---------------------------------------------------------
+
+    def _absorb(self, hashes: np.ndarray) -> None:
+        if len(hashes) == 0:
+            return
+        if len(self.values) == self.k:
+            # steady state: one vectorized compare rejects almost everything
+            hashes = hashes[hashes < self.values[-1]]
+            if len(hashes) == 0:
+                return
+        merged = np.union1d(self.values, hashes)  # sorted + distinct
+        self.values = merged[: self.k]
+
+    def update_batch(self, values, kind: str = "tokens") -> None:
+        if len(values) == 0:
+            return
+        self._absorb(_hash_kind(values, kind, self.seed))
+
+    def _check(self, other: "KmvSketch") -> None:
+        if (self.k, self.seed) != (other.k, other.seed):
+            raise ValueError("cannot merge KMV sketches with different (k, seed)")
+
+    def merge(self, other: "KmvSketch") -> "KmvSketch":
+        self._check(other)
+        self._absorb(other.values)
+        return self
+
+    # -- estimates --------------------------------------------------------------
+
+    def estimate(self) -> int:
+        n = len(self.values)
+        if n < self.k:
+            return n  # exact: we have every distinct hash
+        theta = (float(self.values[self.k - 1]) + 1.0) / _TWO64
+        return int(round((self.k - 1) / theta))
+
+    @staticmethod
+    def union(a: "KmvSketch", b: "KmvSketch") -> "KmvSketch":
+        a._check(b)
+        out = KmvSketch.empty(a.k, a.seed)
+        out._absorb(a.values)
+        out._absorb(b.values)
+        return out
+
+    @staticmethod
+    def jaccard(a: "KmvSketch", b: "KmvSketch") -> float:
+        """K_cap / k' ratio estimator over the union sketch's value set."""
+        u = KmvSketch.union(a, b)
+        if len(u.values) == 0:
+            return 1.0  # both empty: identical sets
+        both = np.isin(u.values, a.values, assume_unique=True) & np.isin(
+            u.values, b.values, assume_unique=True
+        )
+        return float(both.sum()) / float(len(u.values))
+
+    @staticmethod
+    def intersection_estimate(a: "KmvSketch", b: "KmvSketch") -> int:
+        u = KmvSketch.union(a, b)
+        return int(round(KmvSketch.jaccard(a, b) * u.estimate()))
+
+    # -- codec ------------------------------------------------------------------
+    # header 'p' field is log2-shaped elsewhere; k need not be a power of two,
+    # so p carries 0 and k rides the payload.
+
+    def to_bytes(self) -> bytes:
+        return (
+            pack_header(KIND_KMV, 0, self.seed)
+            + struct.pack("<II", self.k, len(self.values))
+            + self.values.tobytes()
+        )
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "KmvSketch":
+        _, seed, payload = unpack_header(blob, KIND_KMV)
+        k, n = struct.unpack_from("<II", payload, 0)
+        values = np.frombuffer(payload, dtype=np.uint64, count=n, offset=8).copy()
+        return cls(k=k, seed=seed, values=values)
+
+    @staticmethod
+    def merge_blobs(blobs, k: int, seed: int = DEFAULT_SEED) -> "KmvSketch":
+        out = KmvSketch.empty(k, seed)
+        for b in blobs:
+            if b is not None:
+                out.merge(KmvSketch.from_bytes(bytes(b)))
+        return out

@@ -752,6 +752,100 @@ def hll_source_overlap(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> 
     )
 
 
+def kmv_source_overlap(spark: SparkSession, sf_dir: str, k: int = 4096) -> DataFrame:
+    """Token-set overlap between the two hottest sources via the KMV/theta
+    sketch's NATIVE set algebra (sketchlib/kmv.py): intersection and Jaccard
+    are first-class estimators (Beyer et al. SIGMOD 2007 ratio estimator over
+    the union sketch), not HLL-style inclusion–exclusion — the estimand the
+    reference's union-only merge (src/hll.c:776-815, README.md:138-148)
+    cannot express. Exact counts + within-bound booleans are oracle-checked.
+
+    Scale shape: one partial-build scan (KB-sized KMV rows shuffled, never
+    tokens), per-source merge, then set algebra over two KB blobs.
+    """
+    from .agg import KmvAggregator
+    from .kmv import KmvSketch
+
+    a_src, b_src = "s00", "s01"
+    agg = KmvAggregator(k=k, key_cols=["source"], value_col="tokens", value_kind="tokens")
+    merged = (
+        agg.merged(sequences_path(spark, sf_dir), spark=spark)
+        .where(F.col("source").isin(a_src, b_src))
+    )
+    blobs = {r["source"]: bytes(r["sketch"]) for r in merged.collect()}
+    sa, sb = KmvSketch.from_bytes(blobs[a_src]), KmvSketch.from_bytes(blobs[b_src])
+    est_union = KmvSketch.union(sa, sb).estimate()
+    est_inter = KmvSketch.intersection_estimate(sa, sb)
+    est_j = KmvSketch.jaccard(sa, sb)
+
+    seqs = sequences_for(spark, sf_dir)
+    per_tok = (
+        seqs.where(F.col("source").isin(a_src, b_src))
+        .select("source", F.explode("tokens").alias("tok"))
+        .groupBy("tok")
+        .agg(F.countDistinct("source").alias("nsrc"))
+    )
+    row = per_tok.agg(
+        F.count("*").alias("exact_union"),
+        F.sum((F.col("nsrc") == 2).cast("long")).alias("exact_intersection"),
+    ).collect()[0]
+    exact_union, exact_inter = row["exact_union"], row["exact_intersection"]
+    true_j = exact_inter / exact_union if exact_union else 1.0
+    sigma = KmvSketch.std_error(k)
+    import math
+
+    j_bound = 4 * math.sqrt(max(true_j * (1 - true_j), 1.0 / k) / k)
+    union_ok = abs(est_union / exact_union - 1.0) <= 3 * sigma
+    jaccard_ok = abs(est_j - true_j) <= j_bound
+    inter_ok = abs(est_inter - exact_inter) <= j_bound * exact_union + 3 * sigma * exact_inter
+    return spark.createDataFrame(
+        [
+            (
+                a_src,
+                b_src,
+                int(exact_union),
+                int(exact_inter),
+                bool(union_ok),
+                bool(inter_ok),
+                bool(jaccard_ok),
+            )
+        ],
+        "source_a string, source_b string, exact_union long, exact_intersection long, "
+        "union_within_3sigma boolean, intersection_within_bound boolean, "
+        "jaccard_within_bound boolean",
+    )
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
+    """Deterministic weighted sampling without replacement over the corpus —
+    the reproducible subsample primitive of a training-data pipeline.
+
+    Efraimidis–Spirakis A-Res: each doc draws u in (0,1] DETERMINISTICALLY
+    from md5(doc_id) (no RNG state — reruns, resumes, and any partitioning
+    pick the identical sample) and is ranked by u^(1/weight), weight =
+    n_tok; the global top-k IS a weighted sample without replacement.
+
+    Scale shape: pure projection + distributed top-k — Spark executes
+    orderBy().limit(k) as TakeOrderedAndProject (per-partition heap, driver
+    merge of k rows), so no full sort and no shuffle of the corpus. The
+    oracle recomputes the identical sample in DuckDB from the same md5
+    bits — exact row-set equality, not a statistical check.
+    """
+    seqs = sequences_for(spark, sf_dir).select("doc_id", "n_tok")
+    # 15 hex chars = 60 bits: exact in int64, identically rounded to double
+    # in both engines
+    u = (
+        F.conv(F.substring(F.md5("doc_id"), 1, 15), 16, 10).cast("double") + F.lit(1.0)
+    ) / F.lit(float(1 << 60))
+    key = F.pow(u, F.lit(1.0) / F.greatest(F.col("n_tok"), F.lit(1)).cast("double"))
+    picked = (
+        seqs.withColumn("__key", key)
+        .orderBy(F.col("__key").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+    return picked.select("doc_id", "n_tok").orderBy("doc_id")
+
+
 def hll_source_jaccard_matrix(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> DataFrame:
     """FULL pairwise source-similarity matrix via sketch set algebra: every
     (source_a < source_b) pair's union (register-max merge) and intersection

@@ -43,6 +43,8 @@ _SEQ_ORACLE_QUERIES = {
     "hll_tokens_rollup",
     "salted_merge_identity",
     "hll_source_overlap",
+    "kmv_source_overlap",
+    "weighted_sample_docs",
     "hll_source_jaccard_matrix",
     "checkpointed_resume_identity",
     "cms_token_freq_topk",

@@ -1,0 +1,151 @@
+"""KMV/theta sketch: exactness below k, published error bound above it,
+order-exact (byte-identical) merges, native intersection/Jaccard accuracy,
+codec round-trip, and distributed byte-determinism across parallelism."""
+
+import numpy as np
+import pytest
+
+from sketchlib.kmv import KmvSketch
+
+
+def _sketch_of(values, k=1024, seed=314):
+    s = KmvSketch.empty(k, seed)
+    s.update_batch(np.asarray(values, dtype=np.int32))
+    return s
+
+
+def test_exact_below_k():
+    vals = np.arange(700, dtype=np.int32)
+    s = _sketch_of(vals, k=1024)
+    assert s.estimate() == 700
+
+
+def test_duplicates_do_not_inflate():
+    vals = np.tile(np.arange(500, dtype=np.int32), 40)
+    s = _sketch_of(vals, k=1024)
+    assert s.estimate() == 500
+
+
+def test_estimate_within_published_bound():
+    k = 1024
+    n = 200_000
+    s = _sketch_of(np.arange(n, dtype=np.int32), k=k)
+    rel = abs(s.estimate() / n - 1.0)
+    assert rel <= 3 * KmvSketch.std_error(k), rel
+
+
+def test_merge_equals_single_build_bytes():
+    a = _sketch_of(np.arange(0, 60_000, dtype=np.int32))
+    b = _sketch_of(np.arange(30_000, 90_000, dtype=np.int32))
+    whole = _sketch_of(np.arange(0, 90_000, dtype=np.int32))
+    a.merge(b)
+    assert a.to_bytes() == whole.to_bytes()
+
+
+def test_merge_laws():
+    xs = [
+        _sketch_of(np.arange(i * 7_000, (i + 2) * 7_000, dtype=np.int32), k=256)
+        for i in range(4)
+    ]
+
+    def merged(order):
+        out = KmvSketch.empty(256, 314)
+        for i in order:
+            out.merge(xs[i])
+        return out.to_bytes()
+
+    assert merged([0, 1, 2, 3]) == merged([3, 1, 0, 2])  # commutative/associative
+    twice = KmvSketch.empty(256, 314)
+    twice.merge(xs[0]).merge(xs[0])
+    assert twice.to_bytes() == xs[0].to_bytes()  # idempotent
+    with_empty = KmvSketch.empty(256, 314)
+    with_empty.merge(xs[0]).merge(KmvSketch.empty(256, 314))
+    assert with_empty.to_bytes() == xs[0].to_bytes()  # identity
+
+
+def test_merge_rejects_config_mismatch():
+    with pytest.raises(ValueError):
+        KmvSketch.empty(256, 314).merge(KmvSketch.empty(512, 314))
+    with pytest.raises(ValueError):
+        KmvSketch.empty(256, 314).merge(KmvSketch.empty(256, 999))
+
+
+def test_roundtrip_bytes():
+    s = _sketch_of(np.arange(50_000, dtype=np.int32), k=777)
+    r = KmvSketch.from_bytes(s.to_bytes())
+    assert (r.k, r.seed) == (s.k, s.seed)
+    assert np.array_equal(r.values, s.values)
+    assert r.estimate() == s.estimate()
+    assert r.to_bytes() == s.to_bytes()
+
+
+def test_jaccard_and_intersection_accuracy():
+    k = 2048
+    n = 120_000
+    overlap = 40_000  # true jaccard = 40k / 200k = 0.2
+    a = _sketch_of(np.arange(0, n, dtype=np.int32), k=k)
+    b = _sketch_of(np.arange(n - overlap, 2 * n - overlap, dtype=np.int32), k=k)
+    true_union = 2 * n - overlap
+    true_j = overlap / true_union
+    j = KmvSketch.jaccard(a, b)
+    # binomial std of the K_cap/k ratio + union-estimate error
+    assert abs(j - true_j) <= 4 * np.sqrt(true_j * (1 - true_j) / k) + 1e-9, (j, true_j)
+    inter = KmvSketch.intersection_estimate(a, b)
+    bound = 4 * np.sqrt(true_j * (1 - true_j) / k) * true_union + 3 * KmvSketch.std_error(
+        k
+    ) * overlap
+    assert abs(inter - overlap) <= bound, (inter, overlap, bound)
+    u = KmvSketch.union(a, b)
+    assert abs(u.estimate() / true_union - 1.0) <= 3 * KmvSketch.std_error(k)
+
+
+def test_disjoint_and_identical_sets():
+    a = _sketch_of(np.arange(0, 50_000, dtype=np.int32), k=512)
+    b = _sketch_of(np.arange(50_000, 100_000, dtype=np.int32), k=512)
+    assert KmvSketch.jaccard(a, a) == 1.0
+    # disjoint sets: hash collisions aside, no shared minima
+    assert KmvSketch.jaccard(a, b) <= 0.02
+    empty = KmvSketch.empty(512, 314)
+    assert KmvSketch.jaccard(empty, empty) == 1.0
+    assert KmvSketch.union(a, empty).to_bytes() == a.to_bytes()
+
+
+def test_string_and_int64_kinds():
+    s = KmvSketch.empty(256, 314)
+    s.update_batch([f"doc{i}" for i in range(5000)], kind="string")
+    assert abs(s.estimate() / 5000 - 1.0) <= 3 * KmvSketch.std_error(256)
+    t = KmvSketch.empty(256, 314)
+    t.update_batch(np.arange(5000, dtype=np.int64) << 33, kind="int64")
+    assert abs(t.estimate() / 5000 - 1.0) <= 3 * KmvSketch.std_error(256)
+
+
+# -- distributed -----------------------------------------------------------------
+
+
+def test_spark_kmv_matches_exact_and_is_parallelism_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from sketchlib.agg import KmvAggregator
+    from sketchlib.data import SEQUENCES_SCHEMA, gen_sequences_pandas
+
+    pdf = gen_sequences_pandas(3000)
+    df = spark.createDataFrame(pdf, schema=SEQUENCES_SCHEMA)
+    agg = KmvAggregator(k=2048, key_cols=["source"])
+    blobs = {}
+    for parts in (3, 17):
+        rows = agg.merged(df.repartition(parts)).collect()
+        blobs[parts] = {r["source"]: bytes(r["sketch"]) for r in rows}
+    # byte-identical sketches at both partitionings (order-exact algebra)
+    assert blobs[3] == blobs[17]
+    exact = {
+        r["source"]: r["exact"]
+        for r in df.select("source", F.explode("tokens").alias("t"))
+        .groupBy("source")
+        .agg(F.countDistinct("t").alias("exact"))
+        .collect()
+    }
+    from sketchlib.kmv import KmvSketch as S
+
+    for src, blob in blobs[3].items():
+        est = S.from_bytes(blob).estimate()
+        assert abs(est / exact[src] - 1.0) <= 3 * S.std_error(2048), (src, est, exact[src])

@@ -104,3 +104,22 @@ def test_cube_grouping_sets_never_rescan_the_data(spark):
     assert "Scan parquet" not in plan
     # the derived total row re-merges via the distributed merge stage
     assert "MapInArrow" in plan
+
+
+def test_weighted_sample_is_distributed_topk(spark):
+    """weighted_sample_docs must execute as scan -> projection ->
+    TakeOrderedAndProject: per-partition top-k heaps + a driver merge of k
+    rows. A full global Sort/Exchange of the corpus would be the wrong plan
+    at 10^12 docs."""
+    from sketchlib import queries as Q
+
+    df = Q.weighted_sample_docs(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # the only data movement is the k-row result (the final orderBy of 100
+    # rows); the corpus itself never shuffles
+    assert "Exchange hashpartitioning" not in plan
+    scan = plan[plan.index("Scan parquet") :]
+    read_schema = scan[scan.index("ReadSchema") : scan.index("\n", scan.index("ReadSchema"))]
+    assert "doc_id" in read_schema and "n_tok" in read_schema
+    assert "tokens" not in read_schema  # pruned: weights need no payload

@@ -144,3 +144,49 @@ def test_cms_inner_product_sql(sql):
     _one_row_view(sql, "ipview", {"a": c1.to_bytes(), "b": c2.to_bytes()})
     r = sql.sql("SELECT cms_inner_product(a, b) AS ip FROM ipview").collect()[0]
     assert r["ip"] >= 2 * 1 + 1 * 2  # f1: {1:2,2:1,3:1} x f2: {1:1,2:2,9:1} = 4
+
+
+def test_kmv_set_algebra_functions(sql):
+    from sketchlib.kmv import KmvSketch
+
+    k = 2048
+    a = KmvSketch.empty(k)
+    a.update_batch(np.arange(0, 60_000, dtype=np.int32))
+    b = KmvSketch.empty(k)
+    b.update_batch(np.arange(40_000, 100_000, dtype=np.int32))
+    _one_row_view(sql, "kmvview", {"a": a.to_bytes(), "b": b.to_bytes()})
+    r = sql.sql(
+        "SELECT kmv_estimate(a) AS ea, kmv_union_estimate(a, b) AS u, "
+        "kmv_intersection_estimate(a, b) AS i, kmv_jaccard(a, b) AS j FROM kmvview"
+    ).collect()[0]
+    se = KmvSketch.std_error(k)
+    assert abs(r["ea"] / 60_000 - 1.0) <= 3 * se
+    assert abs(r["u"] / 100_000 - 1.0) <= 3 * se
+    true_j = 20_000 / 100_000
+    assert abs(r["j"] - true_j) <= 4 * np.sqrt(true_j * (1 - true_j) / k)
+    assert abs(r["i"] - 20_000) <= 4 * np.sqrt(true_j * (1 - true_j) / k) * 100_000 + 3 * se * 20_000
+
+
+def test_kmv_functions_null_convention(sql):
+    from pyspark.sql import types as T
+
+    from sketchlib.kmv import KmvSketch
+
+    # 1000 distinct < k=1024: the estimate is exact, so the one-sided union
+    # must equal exactly 1000
+    s = KmvSketch.empty(1024)
+    s.update_batch(np.arange(1000, dtype=np.int32))
+    schema = T.StructType(
+        [T.StructField("a", T.BinaryType(), True), T.StructField("b", T.BinaryType(), True)]
+    )
+    sql.createDataFrame(
+        [(bytearray(s.to_bytes()), None), (None, None)], schema
+    ).createOrReplaceTempView("kmvnulls")
+    rows = sql.sql(
+        "SELECT kmv_union_estimate(a, b) AS u, kmv_intersection_estimate(a, b) AS i, "
+        "kmv_jaccard(a, b) AS j FROM kmvnulls"
+    ).collect()
+    one_sided = next(r for r in rows if r["u"] is not None)
+    assert one_sided["u"] == 1000 and one_sided["i"] == 0 and one_sided["j"] == 0.0
+    both_null = next(r for r in rows if r["u"] is None)
+    assert both_null["i"] is None and both_null["j"] is None
