@@ -8,6 +8,7 @@ oracles. Column aliases here are load-bearing: they must match the oracle SQL.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -892,32 +893,39 @@ def hll_source_jaccard_matrix(spark: SparkSession, sf_dir: str, p: int = DEFAULT
         .select("source_a", "source_b", "est_union", "est_inter")
     )
 
-    seqs = sequences_for(spark, sf_dir)
-    per = seqs.select("source", F.explode("tokens").alias("tok")).distinct()
-    a = per.select(F.col("source").alias("source_a"), "tok")
-    b = per.select(F.col("source").alias("source_b"), "tok")
-    inter = (
-        a.join(b, "tok")
-        .where(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count("*").alias("exact_inter"))
+    # exact companion via ONE bitmask aggregation instead of a distinct +
+    # token self-join (which exploded each shared token into |sources|^2
+    # rows): groupBy(tok) bit_or's a per-source bit, then the <= 2^K mask
+    # histogram collapses to K^2/2 pair counts in numpy on the driver. One
+    # token-keyed shuffle total, payload (tok, mask) — scale-safe for any
+    # corpus size as long as K (#sources) stays modest.
+    srcs = sorted(r["source"] for r in merged.select("source").collect())
+    src_bit = {s: 1 << i for i, s in enumerate(srcs)}
+    bit_map = F.create_map(
+        *[F.lit(x) for s in srcs for x in (s, src_bit[s])]
     )
-    counts = per.groupBy("source").agg(F.count("*").alias("n"))
-    exact = (
-        counts.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
-        .join(
-            counts.select(F.col("source").alias("source_b"), F.col("n").alias("nb")),
-            F.col("source_a") < F.col("source_b"),
-        )
-        .join(inter, ["source_a", "source_b"], "left")
-        .select(
-            "source_a",
-            "source_b",
-            (F.col("na") + F.col("nb") - F.coalesce("exact_inter", F.lit(0))).alias(
-                "exact_union"
-            ),
-            F.coalesce("exact_inter", F.lit(0)).alias("exact_intersection"),
-        )
+    seqs = sequences_for(spark, sf_dir)
+    mask_hist = (
+        seqs.select(bit_map[F.col("source")].alias("bit"), F.explode("tokens").alias("tok"))
+        .groupBy("tok")
+        .agg(F.bit_or("bit").alias("mask"))
+        .groupBy("mask")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    masks = np.array([r["mask"] for r in mask_hist], dtype=np.int64)
+    cnts = np.array([r["cnt"] for r in mask_hist], dtype=np.int64)
+    pair_rows = []
+    for ia, sa in enumerate(srcs):
+        for sb in srcs[ia + 1 :]:
+            ba, bb = src_bit[sa], src_bit[sb]
+            n_a = int(cnts[(masks & ba) != 0].sum())
+            n_b = int(cnts[(masks & bb) != 0].sum())
+            n_i = int(cnts[((masks & ba) != 0) & ((masks & bb) != 0)].sum())
+            pair_rows.append((sa, sb, n_a + n_b - n_i, n_i))
+    exact = spark.createDataFrame(
+        pair_rows,
+        "source_a string, source_b string, exact_union long, exact_intersection long",
     )
     sigma = HllSketch.std_error(p)
     return (
@@ -1104,36 +1112,53 @@ def simhash_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def per_doc_sketch_storage(spark: SparkSession, sf_dir: str, p: int = 16) -> DataFrame:
     """Per-DOCUMENT sketches (high-cardinality grouping, one sketch per row
-    key): at p=16 the grouped update takes the dense scatter path at
-    oracle scale (500 docs/task x 2^16 fits the scratch budget) and the
-    packed sort-based path at bench scale (5000 docs/task exceeds it), so
-    both kernels stay exercised. Every per-doc blob must be sparse-encoded
+    key), built in parallel across doc_id partitions. Every per-doc blob
+    must be sparse-encoded
     at rest (mode byte 1, ~5 bytes per distinct token vs 2^16 raw),
     byte-stable through a decode/encode round-trip, and estimate-accurate
-    against the exact per-doc distinct count. Collecting blobs is
-    oracle-scale-only; at 10^9 docs they'd land in a checkpoint table
-    (io.append_partials)."""
+    against the exact per-doc distinct count. Verification is DISTRIBUTED:
+    per-doc sketch rows join their exact distinct counts on doc_id and a
+    mapInPandas pass checks every blob where it lives (round 2 collected all
+    blobs and looped on the driver — a bottleneck past ~10^5 docs); only
+    four rollup counters reach the driver. At 10^9 docs the same join runs
+    against a checkpoint table (io.append_partials)."""
     from .codec import HEADER_LEN
 
-    seqs = _tokenized_docs(spark, sf_dir)
+    # the documents file at test scales is one small parquet -> ONE scan
+    # partition; spread the per-doc build over the cluster (the kernel-path
+    # split — dense scatter vs packed sort — is pinned by
+    # tests/test_agg_spark.py's forced-budget test, not by task sizing here)
+    seqs = _tokenized_docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     agg = HllAggregator(p=p, key_cols=["doc_id"], value_col="tokens", value_kind="tokens")
-    blobs = {r["doc_id"]: bytes(r["sketch"]) for r in agg.merged(seqs).collect()}
-    exact = {
-        r["doc_id"]: r["d"]
-        for r in seqs.select(
-            "doc_id", F.size(F.array_distinct("tokens")).alias("d")
-        ).collect()
-    }
+    sk = agg.merged(seqs).select("doc_id", "sketch")
+    ex = seqs.select("doc_id", F.size(F.array_distinct("tokens")).alias("exact_d"))
+    joined = sk.join(ex, "doc_id")
     bound = 3.0 * HllSketch.std_error(p)
-    all_sparse = all_roundtrip = all_est_close = True
-    for d, b in blobs.items():
-        all_sparse &= b[HEADER_LEN] == 1
-        s = HllSketch.from_bytes(b)
-        all_roundtrip &= s.to_bytes() == b
-        all_est_close &= abs(s.cardinality() - exact[d]) <= max(2.0, bound * exact[d])
-    return spark.createDataFrame(
-        [(len(blobs), bool(all_sparse), bool(all_roundtrip), bool(all_est_close))],
-        "docs long, all_sparse boolean, all_roundtrip boolean, all_est_close boolean",
+
+    def check(pdfs):
+        for pdf in pdfs:
+            n = len(pdf)
+            sparse = roundtrip = close = 0
+            for b, d in zip(pdf["sketch"], pdf["exact_d"]):
+                b = bytes(b)
+                s = HllSketch.from_bytes(b)
+                sparse += b[HEADER_LEN] == 1
+                roundtrip += s.to_bytes() == b
+                close += abs(s.cardinality() - d) <= max(2.0, bound * d)
+            yield pd.DataFrame(
+                {"docs": [n], "sparse": [sparse], "roundtrip": [roundtrip], "close": [close]}
+            )
+
+    part = joined.mapInPandas(
+        check, "docs long, sparse long, roundtrip long, close long"
+    )
+    return part.agg(
+        F.sum("docs").alias("docs"),
+        (F.sum("sparse") == F.sum("docs")).alias("all_sparse"),
+        (F.sum("roundtrip") == F.sum("docs")).alias("all_roundtrip"),
+        (F.sum("close") == F.sum("docs")).alias("all_est_close"),
     )
 
 
@@ -1546,12 +1571,13 @@ def streaming_hll_parity(spark: SparkSession, sf_dir: str, p: int = 12) -> DataF
 
     path = sequences_path(spark, sf_dir)
     schema = spark.read.parquet(path).schema
-    # ~4 micro-batches at any scale: enough to exercise cross-batch state
-    # accumulation without paying per-batch overhead 16x at big SFs
+    # 2 micro-batches at any scale: the minimum that exercises cross-batch
+    # state accumulation (same pattern as the windowed queries) without
+    # paying per-batch state-store overhead 16x at big SFs
     n_files = max(1, len(_glob.glob(f"{path}/*.parquet")))
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max(1, n_files // 4))
+        .option("maxFilesPerTrigger", max(1, (n_files + 1) // 2))
         .parquet(path)
     )
     name = f"hll_stream_{uuid.uuid4().hex[:8]}"
