@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_source_jaccard_matrix": Q.hll_source_jaccard_matrix,
         "kmv_source_overlap": Q.kmv_source_overlap,
         "weighted_sample_docs": Q.weighted_sample_docs,
+        "stratified_sample_docs": Q.stratified_sample_docs,
         "cms_join_size_estimate": Q.cms_join_size_estimate,
         "hll_customers_per_orderpriority": Q.hll_customers_per_orderpriority,
         "near_dedup_documents": Q.near_dedup_documents,
@@ -488,6 +489,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM read_parquet('{_SEQ_PARQUET_SF001}')
                 ORDER BY key DESC, doc_id LIMIT 100)
             ORDER BY doc_id
+        """,
+        "stratified_sample_docs": f"""
+            SELECT source, doc_id, n_tok FROM (
+                SELECT source, doc_id, n_tok,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY pow((CAST('0x' || substring(md5(doc_id), 1, 15)
+                                              AS BIGINT) + 1)
+                                            / 1152921504606846976.0,
+                                        1.0 / greatest(n_tok, 1)) DESC,
+                                    doc_id) AS rk
+                FROM read_parquet('{_SEQ_PARQUET_SF001}'))
+            WHERE rk <= 10
+            ORDER BY source, doc_id
         """,
         "hll_source_overlap": f"""
             SELECT 's00' AS source_a, 's01' AS source_b,

@@ -713,9 +713,13 @@ def hll_source_overlap(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> 
     # (agg.rollup_total); intersection = inclusion-exclusion over the three
     # estimates. Only integers reach the driver — same shape as
     # union/intersection over arbitrarily many sources (VERDICT r02 #3).
+    # The source predicate rides the Spark scan (partition/row-group pruning
+    # on a source-partitioned production table) instead of sketching every
+    # source and filtering the per-key rows afterwards.
     merged = (
-        agg.merged(sequences_path(spark, sf_dir), spark=spark)
-        .where(F.col("source").isin(a_src, b_src))
+        agg.merged(
+            sequences_for(spark, sf_dir).where(F.col("source").isin(a_src, b_src))
+        )
         .localCheckpoint(eager=True)
     )
     est_udf = agg.estimate_udf()
@@ -769,9 +773,9 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str, k: int = 4096) -> DataF
 
     a_src, b_src = "s00", "s01"
     agg = KmvAggregator(k=k, key_cols=["source"], value_col="tokens", value_kind="tokens")
-    merged = (
-        agg.merged(sequences_path(spark, sf_dir), spark=spark)
-        .where(F.col("source").isin(a_src, b_src))
+    # filter pushed to the scan — see hll_source_overlap
+    merged = agg.merged(
+        sequences_for(spark, sf_dir).where(F.col("source").isin(a_src, b_src))
     )
     blobs = {r["source"]: bytes(r["sketch"]) for r in merged.collect()}
     sa, sb = KmvSketch.from_bytes(blobs[a_src]), KmvSketch.from_bytes(blobs[b_src])
@@ -845,6 +849,43 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str, k: int = 100) -> Data
         .limit(k)
     )
     return picked.select("doc_id", "n_tok").orderBy("doc_id")
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str, per_source: int = 10) -> DataFrame:
+    """Deterministic weighted sample of ``per_source`` docs PER STRATUM
+    (source) — the per-domain quota subsample every corpus-mixing pipeline
+    runs. Same Efraimidis–Spirakis key as weighted_sample_docs (u from
+    md5(doc_id), ranked by u^(1/n_tok)), so the sample is reproducible at
+    any partitioning with no RNG state.
+
+    Skew-safe two-stage top-k: stage 1 takes each (source, input-partition)
+    group's local top-k — the shuffle fans every source over all its scan
+    partitions, so a hot source never lands on one reducer with all its
+    rows — stage 2 ranks the surviving <= k x P rows per source. Both
+    stages move candidate rows only. The DuckDB oracle reproduces the
+    IDENTICAL row set from the same md5 bits.
+    """
+    from pyspark.sql import Window
+
+    seqs = sequences_for(spark, sf_dir).select("doc_id", "source", "n_tok")
+    u = (
+        F.conv(F.substring(F.md5("doc_id"), 1, 15), 16, 10).cast("double") + F.lit(1.0)
+    ) / F.lit(float(1 << 60))
+    key = F.pow(u, F.lit(1.0) / F.greatest(F.col("n_tok"), F.lit(1)).cast("double"))
+    keyed = seqs.withColumn("__key", key).withColumn("__pid", F.spark_partition_id())
+    w1 = Window.partitionBy("source", "__pid").orderBy(F.desc("__key"), "doc_id")
+    local = (
+        keyed.withColumn("__rk", F.row_number().over(w1))
+        .where(F.col("__rk") <= per_source)
+        .drop("__rk", "__pid")
+    )
+    w2 = Window.partitionBy("source").orderBy(F.desc("__key"), "doc_id")
+    return (
+        local.withColumn("__rk", F.row_number().over(w2))
+        .where(F.col("__rk") <= per_source)
+        .select("source", "doc_id", "n_tok")
+        .orderBy("source", "doc_id")
+    )
 
 
 def hll_source_jaccard_matrix(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> DataFrame:
