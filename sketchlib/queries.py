@@ -593,9 +593,12 @@ def hll_tokens_rollup(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> D
     """Grouping-sets/rollup surface: per-source AND grand-total distinct
     tokens in one result, the sketch way — the per-source sketches MERGE
     into the global one (no second scan; the exact path needs
-    ROLLUP/GROUPING SETS). Exact counts come from Spark's native rollup()
-    and reproduce in DuckDB GROUP BY ROLLUP; each sketch estimate is
-    asserted within 3 sigma. The total row carries source='ALL'."""
+    ROLLUP/GROUPING SETS). Exact counts come from one bitmask aggregation
+    (_source_mask_histogram: per-source = masks containing the source's
+    bit, ALL = every mask — no grouping-set row duplication) and reproduce
+    in DuckDB GROUP BY ROLLUP; each sketch estimate is asserted within 3
+    sigma. The total row carries source='ALL'. Spark's NATIVE
+    rollup()/cube() over raw values is exercised by hll_users_cube."""
     path = sequences_path(spark, sf_dir)
     agg = HllAggregator(p=p, key_cols=["source"], value_col="tokens", value_kind="tokens")
     # per-source merged rows feed both the per-key estimates and the ALL row;
@@ -613,24 +616,18 @@ def hll_tokens_rollup(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> D
         for r in rolled.select("source", est_udf(F.col("sketch")).alias("est")).collect()
     }
 
-    seqs = sequences_for(spark, sf_dir)
-    exact = (
-        seqs.select("source", F.explode("tokens").alias("tok"))
-        .rollup("source")
-        .agg(F.countDistinct("tok").alias("distinct_tokens"))
-        .select(
-            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"), "distinct_tokens"
-        )
-        .collect()
-    )
+    srcs = sorted(s for s in est if s != "ALL")
+    masks, cnts = _source_mask_histogram(sequences_for(spark, sf_dir), srcs)
+    exact = {s: int(cnts[(masks & (1 << i)) != 0].sum()) for i, s in enumerate(srcs)}
+    exact["ALL"] = int(cnts.sum())
     bound = 3.0 * HllSketch.std_error(p)
     rows = [
         (
-            r["source"],
-            int(r["distinct_tokens"]),
-            bool(abs(est[r["source"]] / r["distinct_tokens"] - 1.0) <= bound),
+            s,
+            exact[s],
+            bool(abs(est[s] / exact[s] - 1.0) <= bound),
         )
-        for r in exact
+        for s in sorted(exact)
     ]
     return spark.createDataFrame(
         rows, "source string, distinct_tokens long, within_3sigma boolean"
@@ -851,6 +848,33 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str, k: int = 100) -> Data
     return picked.select("doc_id", "n_tok").orderBy("doc_id")
 
 
+def _source_mask_histogram(seqs: DataFrame, srcs: list) -> tuple:
+    """(masks, counts) of distinct tokens by source-membership bitmask.
+
+    ONE token-keyed aggregation — groupBy(tok) bit_or's a per-source bit,
+    then the <= 2^K mask histogram (K = #sources, must be <= 63 for the
+    long bit_or) collapses to per-source / pairwise / total distinct counts
+    in numpy. Exact set cardinalities over any subset algebra without a
+    distinct + self-join. Map-side partial bit_or keeps the shuffle at
+    (tok, bit) rows.
+    """
+    if len(srcs) > 63:
+        raise ValueError(f"{len(srcs)} sources exceed the 63-bit mask budget")
+    src_bit = {s: 1 << i for i, s in enumerate(srcs)}
+    bit_map = F.create_map(*[F.lit(x) for s in srcs for x in (s, src_bit[s])])
+    hist = (
+        seqs.select(bit_map[F.col("source")].alias("bit"), F.explode("tokens").alias("tok"))
+        .groupBy("tok")
+        .agg(F.bit_or("bit").alias("mask"))
+        .groupBy("mask")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    masks = np.array([r["mask"] for r in hist], dtype=np.int64)
+    cnts = np.array([r["cnt"] for r in hist], dtype=np.int64)
+    return masks, cnts
+
+
 def stratified_sample_docs(spark: SparkSession, sf_dir: str, per_source: int = 10) -> DataFrame:
     """Deterministic weighted sample of ``per_source`` docs PER STRATUM
     (source) — the per-domain quota subsample every corpus-mixing pipeline
@@ -942,20 +966,7 @@ def hll_source_jaccard_matrix(spark: SparkSession, sf_dir: str, p: int = DEFAULT
     # corpus size as long as K (#sources) stays modest.
     srcs = sorted(r["source"] for r in merged.select("source").collect())
     src_bit = {s: 1 << i for i, s in enumerate(srcs)}
-    bit_map = F.create_map(
-        *[F.lit(x) for s in srcs for x in (s, src_bit[s])]
-    )
-    seqs = sequences_for(spark, sf_dir)
-    mask_hist = (
-        seqs.select(bit_map[F.col("source")].alias("bit"), F.explode("tokens").alias("tok"))
-        .groupBy("tok")
-        .agg(F.bit_or("bit").alias("mask"))
-        .groupBy("mask")
-        .agg(F.count("*").alias("cnt"))
-        .collect()
-    )
-    masks = np.array([r["mask"] for r in mask_hist], dtype=np.int64)
-    cnts = np.array([r["cnt"] for r in mask_hist], dtype=np.int64)
+    masks, cnts = _source_mask_histogram(sequences_for(spark, sf_dir), srcs)
     pair_rows = []
     for ia, sa in enumerate(srcs):
         for sb in srcs[ia + 1 :]:
