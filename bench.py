@@ -59,6 +59,17 @@ def main() -> None:
     # one-time whole-stage-codegen compilation and scan-cache warmup; the
     # second measures the steady-state pipeline. Reporting both keeps
     # regressions visible instead of hidden in cross-query cache effects.
+    def release_leaked_blocks() -> None:
+        # several queries pin eager localCheckpoint blocks (merged sketch
+        # rows reused within the query); the DataFrames go out of scope but
+        # the RDD blocks stay in the block manager — 100+ query executions
+        # later the accumulated storage inflates GC pressure and skews the
+        # warm pass. Release them between queries so each measurement starts
+        # from clean executor storage.
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+
     timings: dict[str, float] = {}
     timings_warm: dict[str, float] = {}
     n_items_flagship = 0
@@ -69,11 +80,13 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         if name == "hll_tokens_per_source":
             n_items_flagship = sum(r["n_items"] for r in rows)
+        release_leaked_blocks()
     total = round(time.perf_counter() - total0, 3)
     for name, fn in E.queries().items():
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         timings_warm[name] = round(time.perf_counter() - t0, 3)
+        release_leaked_blocks()
     total_warm = round(sum(timings_warm.values()), 3)
 
     # head-to-head on the flagship workload: our HLL pipeline vs Spark's

@@ -430,3 +430,66 @@ def test_generic_windowed_streaming_tdigest(spark, tmp_path):
             assert got["n_rows"] == len(grp)
     finally:
         q.stop()
+
+def test_generic_streaming_kmv_byte_parity(spark, tmp_path):
+    """KMV through the generic streaming wrapper: the final per-key state
+    must be BYTE-identical to the batch sketch (order-exact k-smallest-hash
+    algebra — the same law the batch parallelism-invariance test pins)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from sketchlib.agg import KmvAggregator
+    from sketchlib.kmv import KmvSketch
+    from sketchlib.streaming import sketch_streaming
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b"], 4_000),
+            "v": rng.integers(0, 50_000, 4_000).astype("int64"),
+        }
+    )
+    schema = T.StructType(
+        [T.StructField("k", T.StringType(), False), T.StructField("v", T.LongType(), False)]
+    )
+    in_dir = str(tmp_path / "kmv_in")
+    os.makedirs(in_dir)
+    half = len(pdf) // 2
+    for part in (pdf.iloc[:half], pdf.iloc[half:]):
+        spark.createDataFrame(part, schema=schema).coalesce(1).write.mode("append").parquet(
+            in_dir
+        )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    agg = KmvAggregator(k=512, key_cols=[], value_col="v", value_kind="int64")
+    est = sketch_streaming(
+        stream,
+        agg,
+        key_col="k",
+        finalize_fields=[
+            T.StructField("est_distinct", T.LongType(), False),
+            T.StructField("blob", T.BinaryType(), False),
+        ],
+        finalize_fn=lambda s: {"est_distinct": s.estimate(), "blob": s.to_bytes()},
+    )
+    q = (
+        est.writeStream.format("memory")
+        .queryName("kmv_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "kmv_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from kmv_stream").collect()
+    finally:
+        q.stop()
+    latest = {}
+    for r in rows:
+        if r["k"] not in latest or r["n_rows"] > latest[r["k"]]["n_rows"]:
+            latest[r["k"]] = r
+    for key, grp in pdf.groupby("k"):
+        batch = KmvSketch.empty(512)
+        batch.update_batch(grp["v"].to_numpy(), kind="int64")
+        assert bytes(latest[key]["blob"]) == batch.to_bytes(), key
+        assert latest[key]["est_distinct"] == batch.estimate()
+        assert latest[key]["n_rows"] == len(grp)
