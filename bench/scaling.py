@@ -66,11 +66,22 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=8, help="small parallelism; big = 4n")
     ap.add_argument("--rows", type=int, default=4_000_000)
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument(
+        "--curve",
+        action="store_true",
+        help="also measure local[1,2,4,16] and record EVERY N->4N quadrupling",
+    )
     args = ap.parse_args()
 
     zpath = make_zip()
-    small = run_leg(args.n, args.rows, zpath, args.repeats)
-    big = run_leg(args.n * 4, args.rows, zpath, args.repeats)
+    curve: dict[int, dict] = {}
+    if args.curve:
+        for cores in (1, 2, 4, 8, 16, 32):
+            curve[cores] = run_leg(cores, args.rows, zpath, args.repeats)
+        small, big = curve[args.n], curve[args.n * 4]
+    else:
+        small = run_leg(args.n, args.rows, zpath, args.repeats)
+        big = run_leg(args.n * 4, args.rows, zpath, args.repeats)
 
     eff = big["tokens_per_sec"] / (4.0 * small["tokens_per_sec"])
     identical = small["sketch_sha256"] == big["sketch_sha256"] and small.get(
@@ -94,6 +105,18 @@ def main() -> None:
         "small": small,
         "big": big,
     }
+    if curve:
+        assert len({c["sketch_sha256"] for c in curve.values()}) == 1, "sha drift"
+        result["curve"] = {
+            str(k): {"wall_sec": v["wall_sec"], "tokens_per_sec": v["tokens_per_sec"]}
+            for k, v in curve.items()
+        }
+        result["quadrupling_efficiencies"] = {
+            f"{n}->{4*n}": round(
+                curve[4 * n]["tokens_per_sec"] / (4.0 * curve[n]["tokens_per_sec"]), 3
+            )
+            for n in (1, 2, 4, 8)
+        }
     print(json.dumps(result))
 
     md = f"""# BENCH_SCALING — N vs 4N parallelism evidence
