@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": Q.multimodal_frame_sample,
         "hll_source_jaccard_matrix": Q.hll_source_jaccard_matrix,
         "kmv_source_overlap": Q.kmv_source_overlap,
+        "kmv_source_jaccard_matrix": Q.kmv_source_jaccard_matrix,
         "weighted_sample_docs": Q.weighted_sample_docs,
         "stratified_sample_docs": Q.stratified_sample_docs,
         "cms_join_size_estimate": Q.cms_join_size_estimate,
@@ -467,6 +468,27 @@ def oracle_sql() -> dict[str, str]:
         "minhash_jaccard_consistency": """
             SELECT 780::BIGINT AS n_pairs,
                    TRUE AS max_err_within, TRUE AS mean_err_within
+        """,
+        "kmv_source_jaccard_matrix": f"""
+            WITH per AS (
+                SELECT DISTINCT source, t.tok AS tok
+                FROM read_parquet('{_SEQ_PARQUET_SF001}'), UNNEST(tokens) AS t(tok)
+            ),
+            cnt AS (SELECT source, COUNT(*) AS n FROM per GROUP BY source),
+            inter AS (
+                SELECT a.source AS sa, b.source AS sb, COUNT(*) AS i
+                FROM per a JOIN per b ON a.tok = b.tok AND a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT ca.source AS source_a, cb.source AS source_b,
+                   ca.n + cb.n - COALESCE(i.i, 0) AS exact_union,
+                   COALESCE(i.i, 0) AS exact_intersection,
+                   TRUE AS union_within_3sigma,
+                   TRUE AS jaccard_within_bound,
+                   TRUE AS intersection_within_bound
+            FROM cnt ca JOIN cnt cb ON ca.source < cb.source
+            LEFT JOIN inter i ON i.sa = ca.source AND i.sb = cb.source
+            ORDER BY source_a, source_b
         """,
         "kmv_source_overlap": f"""
             SELECT 's00' AS source_a, 's01' AS source_b,

@@ -999,6 +999,75 @@ def hll_source_jaccard_matrix(spark: SparkSession, sf_dir: str, p: int = DEFAULT
     )
 
 
+def kmv_source_jaccard_matrix(spark: SparkSession, sf_dir: str, k: int = 4096) -> DataFrame:
+    """FULL pairwise source-similarity matrix via the KMV sketch's NATIVE
+    set algebra, computed IN SQL with the registered kmv_* functions over a
+    cross join of KB-sized sketch rows. Unlike the HLL matrix (inclusion–
+    exclusion, bound ~ 9 sigma x union), each pair's Jaccard here is a
+    direct ratio estimator with binomial error ~ 1/sqrt(k) — the bounds
+    asserted are ~3x tighter. Exact counts come from the shared bitmask
+    histogram and reproduce in DuckDB."""
+    from .agg import KmvAggregator
+    from .functions import register
+    from .kmv import KmvSketch
+
+    register(spark)
+    agg = KmvAggregator(k=k, key_cols=["source"], value_col="tokens", value_kind="tokens")
+    merged = (
+        agg.merged(sequences_path(spark, sf_dir), spark=spark)
+        .select("source", "sketch")
+        .localCheckpoint(eager=True)
+    )
+    left = merged.select(F.col("source").alias("source_a"), F.col("sketch").alias("sk_a"))
+    right = merged.select(F.col("source").alias("source_b"), F.col("sketch").alias("sk_b"))
+    est = (
+        left.join(right, F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.expr("kmv_union_estimate(sk_a, sk_b)").alias("est_union"),
+            F.expr("kmv_intersection_estimate(sk_a, sk_b)").alias("est_inter"),
+            F.expr("kmv_jaccard(sk_a, sk_b)").alias("est_j"),
+        )
+    )
+    srcs = sorted(r["source"] for r in merged.select("source").collect())
+    src_bit = {s: 1 << i for i, s in enumerate(srcs)}
+    masks, cnts = _source_mask_histogram(sequences_for(spark, sf_dir), srcs)
+    pair_rows = []
+    for ia, sa in enumerate(srcs):
+        for sb in srcs[ia + 1 :]:
+            ba, bb = src_bit[sa], src_bit[sb]
+            n_a = int(cnts[(masks & ba) != 0].sum())
+            n_b = int(cnts[(masks & bb) != 0].sum())
+            n_i = int(cnts[((masks & ba) != 0) & ((masks & bb) != 0)].sum())
+            pair_rows.append((sa, sb, n_a + n_b - n_i, n_i))
+    exact = spark.createDataFrame(
+        pair_rows,
+        "source_a string, source_b string, exact_union long, exact_intersection long",
+    )
+    sigma = KmvSketch.std_error(k)
+    true_j = F.col("exact_intersection") / F.col("exact_union")
+    j_bound = 4 * F.sqrt(F.greatest(true_j * (1 - true_j), F.lit(1.0 / k)) / F.lit(float(k)))
+    return (
+        exact.join(est, ["source_a", "source_b"])
+        .select(
+            "source_a",
+            "source_b",
+            "exact_union",
+            "exact_intersection",
+            (F.abs(F.col("est_union") / F.col("exact_union") - 1.0) <= 3 * sigma).alias(
+                "union_within_3sigma"
+            ),
+            (F.abs(F.col("est_j") - true_j) <= j_bound).alias("jaccard_within_bound"),
+            (
+                F.abs(F.col("est_inter") - F.col("exact_intersection"))
+                <= j_bound * F.col("exact_union") + 3 * sigma * F.col("exact_intersection")
+            ).alias("intersection_within_bound"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 def near_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end two-stage dedup recipe (the C4/RefinedWeb shape)
     through the driver: EXACT dedup first (hash-groupBy keeps each text

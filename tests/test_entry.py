@@ -44,6 +44,7 @@ _SEQ_ORACLE_QUERIES = {
     "salted_merge_identity",
     "hll_source_overlap",
     "kmv_source_overlap",
+    "kmv_source_jaccard_matrix",
     "weighted_sample_docs",
     "stratified_sample_docs",
     "hll_source_jaccard_matrix",
