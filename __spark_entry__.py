@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_source_jaccard_matrix": Q.hll_source_jaccard_matrix,
         "kmv_source_overlap": Q.kmv_source_overlap,
         "kmv_source_jaccard_matrix": Q.kmv_source_jaccard_matrix,
+        "corpus_profile_per_source": Q.corpus_profile_per_source,
         "weighted_sample_docs": Q.weighted_sample_docs,
         "stratified_sample_docs": Q.stratified_sample_docs,
         "cms_join_size_estimate": Q.cms_join_size_estimate,
@@ -468,6 +469,19 @@ def oracle_sql() -> dict[str, str]:
         "minhash_jaccard_consistency": """
             SELECT 780::BIGINT AS n_pairs,
                    TRUE AS max_err_within, TRUE AS mean_err_within
+        """,
+        "corpus_profile_per_source": f"""
+            SELECT source, b.n_rows, b.n_items, d.exact_distinct,
+                   TRUE AS distinct_within_3sigma,
+                   TRUE AS p50_within_rank_bound,
+                   TRUE AS p90_within_rank_bound
+            FROM (SELECT source, COUNT(*) AS n_rows,
+                         SUM(n_tok)::BIGINT AS n_items
+                  FROM read_parquet('{_SEQ_PARQUET_SF001}') GROUP BY source) b
+            JOIN (SELECT source, COUNT(DISTINCT t.tok) AS exact_distinct
+                  FROM read_parquet('{_SEQ_PARQUET_SF001}'), UNNEST(tokens) AS t(tok)
+                  GROUP BY source) d USING (source)
+            ORDER BY source
         """,
         "kmv_source_jaccard_matrix": f"""
             WITH per AS (

@@ -47,7 +47,8 @@ def __getattr__(name):
     # Spark-dependent surfaces load lazily so the numpy core stays importable
     # without a JVM (e.g. inside plain-python tooling).
     if name in ("HllAggregator", "CmsAggregator", "BloomAggregator", "KllAggregator",
-                "TDigestAggregator", "KmvAggregator", "SketchAggregator"):
+                "TDigestAggregator", "KmvAggregator", "ProfileAggregator",
+                "SketchAggregator"):
         from . import agg
 
         return getattr(agg, name)

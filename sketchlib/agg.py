@@ -39,6 +39,7 @@ from .hll import HllSketch
 from .kernels import DEFAULT_SEED, murmur64a_int32, murmur64a_str_array
 from .kll import KllSketch
 from .kmv import KmvSketch
+from .profile import ProfileSketch
 from .tdigest import TDigest
 
 _COUNT_FIELDS = [
@@ -205,6 +206,10 @@ class SketchAggregator:
         key_cols, value_col, kind = self.key_cols, self.value_col, self.value_kind
         empty = self._empty
         update_grouped = self._update_grouped
+        # optional composite-sketch hook: aggregators that also sketch the
+        # per-ROW shape (e.g. ProfileAggregator's token-count quantiles) get
+        # the row-grain (counts, codes) the flat value batch can't carry
+        update_rows_grouped = getattr(self, "_update_rows_grouped", None)
         to_blob = lambda s: s.to_bytes()  # noqa: E731
 
         # token-array rows carry ~10^2 values each: slice big Arrow batches
@@ -245,6 +250,10 @@ class SketchAggregator:
                 update_grouped(
                     [s[0] for s in slots], values, value_codes, len(uniq_tuples)
                 )
+                if update_rows_grouped is not None:
+                    update_rows_grouped(
+                        [s[0] for s in slots], counts, codes, len(uniq_tuples)
+                    )
                 for gi, slot in enumerate(slots):
                     slot[1] += int(row_counts[gi])
                     slot[2] += int(item_counts[gi])
@@ -1192,6 +1201,76 @@ class KmvAggregator(SketchAggregator):
             "n_rows",
             "n_items",
         )
+
+
+class ProfileAggregator(SketchAggregator):
+    """ONE-scan corpus profile: HLL distinct values + KLL row-length
+    quantiles per key from a single pass over a token-array column.
+
+    At 100 TB the scan dominates; separate distinct/quantile queries pay it
+    twice. The composite ProfileSketch rides the exact same partial/merge
+    machinery (one blob column), and the optional ``_update_rows_grouped``
+    hook feeds the per-ROW token counts that the flattened value batch
+    can't carry.
+    """
+
+    def __init__(
+        self,
+        p: int = 14,
+        kll_k: int = 200,
+        seed: int = DEFAULT_SEED,
+        key_cols: Sequence[str] = ("source",),
+        value_col: str = "tokens",
+    ):
+        super().__init__(key_cols, value_col, "tokens")
+        self.p, self.kll_k, self.seed = int(p), int(kll_k), int(seed)
+        ProfileSketch.empty(self.p, self.kll_k, self.seed)  # validate
+
+    def _empty(self) -> ProfileSketch:
+        return ProfileSketch.empty(self.p, self.kll_k, self.seed)
+
+    def _update(self, sketch: ProfileSketch, values) -> None:
+        if len(values):
+            sketch.update_values(values)
+
+    def _update_rows_grouped(self, sketches, counts, codes, n_groups: int) -> None:
+        if n_groups == 1:
+            sketches[0].update_row_lengths(counts)
+            return
+        order = np.argsort(codes, kind="stable")
+        sorted_codes = codes[order]
+        sorted_counts = counts[order]
+        starts = np.searchsorted(sorted_codes, np.arange(n_groups + 1))
+        for g, s in enumerate(sketches):
+            lo, hi = starts[g], starts[g + 1]
+            if lo < hi:
+                s.update_row_lengths(sorted_counts[lo:hi])
+
+    def _merge_blobs(self, blobs) -> ProfileSketch:
+        return ProfileSketch.merge_blobs(blobs, self.p, self.kll_k, self.seed)
+
+    def profile(
+        self, source, qs=(0.5, 0.9), *, salt: int | None = None, spark=None
+    ) -> DataFrame:
+        """key cols + distinct estimate + length quantiles + exact counts."""
+        qs = [float(q) for q in qs]
+
+        def row_fn(blob: bytes) -> pd.DataFrame:
+            s = ProfileSketch.from_bytes(blob)
+            out = {"est_distinct": [s.distinct_values()]}
+            for q in qs:
+                out[f"len_p{int(q * 100)}"] = [s.length_quantile(q)]
+            return pd.DataFrame(out)
+
+        fields = [T.StructField("est_distinct", T.LongType(), False)] + [
+            T.StructField(f"len_p{int(q * 100)}", T.DoubleType(), False) for q in qs
+        ]
+        # materialize: the per-key sketch rows feed BOTH the finalize pass
+        # and the counts join — without it the second reference would
+        # re-scan and re-sketch the whole input
+        merged = self.merged(source, salt=salt, spark=spark).localCheckpoint(eager=True)
+        prof = self.finalize_rows(merged, row_fn, fields)
+        return prof.join(merged.select(*self.key_cols, "n_rows", "n_items"), self.key_cols)
 
 
 class TDigestAggregator(SketchAggregator):

@@ -23,6 +23,7 @@ KIND_BLOOM = 3
 KIND_KLL = 4
 KIND_TDIGEST = 5
 KIND_KMV = 6
+KIND_PROFILE = 7
 
 _HEADER = struct.Struct("<IHBBq")  # magic, version, kind, p, seed
 HEADER_LEN = _HEADER.size

@@ -999,6 +999,77 @@ def hll_source_jaccard_matrix(spark: SparkSession, sf_dir: str, p: int = DEFAULT
     )
 
 
+def corpus_profile_per_source(
+    spark: SparkSession, sf_dir: str, p: int = DEFAULT_P
+) -> DataFrame:
+    """ONE-scan corpus profile: distinct tokens (HLL) AND token-count
+    quantiles (KLL) per source from a single pass (agg.ProfileAggregator's
+    composite sketch) — at 100 TB the scan dominates, so profiling stats
+    that each pay their own scan double the job. Emits SQL-exact
+    n_rows/n_items plus provable booleans: the HLL estimate within 3 sigma
+    of the exact distinct count, and each KLL quantile an eps-approximate
+    q-quantile in the standard tie-aware sense — its exact rank interval
+    [P(n_tok < v), P(n_tok <= v)] must intersect [q-eps, q+eps] (n_tok is
+    integer-valued, so tied masses make the naive point-rank criterion
+    unsatisfiable at small scales)."""
+    from .agg import ProfileAggregator
+
+    agg = ProfileAggregator(p=p, kll_k=200, key_cols=["source"])
+    prof = agg.profile(
+        sequences_path(spark, sf_dir), qs=(0.5, 0.9), spark=spark
+    ).localCheckpoint(eager=True)
+
+    seqs = sequences_for(spark, sf_dir)
+    exact_distinct = (
+        seqs.select("source", F.explode("tokens").alias("tok"))
+        .groupBy("source")
+        .agg(F.countDistinct("tok").alias("exact_distinct"))
+    )
+    # exact rank of each estimated quantile value, computed per source in
+    # one aggregation over the n_tok column
+    j = prof.select("source", "len_p50", "len_p90").join(
+        seqs.select("source", "n_tok"), "source"
+    )
+    ranks = j.groupBy("source").agg(
+        (F.sum((F.col("n_tok") <= F.col("len_p50")).cast("long")) / F.count("*")).alias(
+            "rank_le_p50"
+        ),
+        (F.sum((F.col("n_tok") < F.col("len_p50")).cast("long")) / F.count("*")).alias(
+            "rank_lt_p50"
+        ),
+        (F.sum((F.col("n_tok") <= F.col("len_p90")).cast("long")) / F.count("*")).alias(
+            "rank_le_p90"
+        ),
+        (F.sum((F.col("n_tok") < F.col("len_p90")).cast("long")) / F.count("*")).alias(
+            "rank_lt_p90"
+        ),
+    )
+    sigma = HllSketch.std_error(p)
+    # published KLL rank error ~1.65% at k=200; 3% tolerance matches the
+    # library's other KLL bound assertions (kll_ntok_quantiles et al.)
+    eps = 0.03
+    return (
+        prof.join(exact_distinct, "source")
+        .join(ranks, "source")
+        .select(
+            "source",
+            "n_rows",
+            "n_items",
+            "exact_distinct",
+            (F.abs(F.col("est_distinct") / F.col("exact_distinct") - 1.0) <= sigma * 3).alias(
+                "distinct_within_3sigma"
+            ),
+            (
+                (F.col("rank_le_p50") >= 0.5 - eps) & (F.col("rank_lt_p50") <= 0.5 + eps)
+            ).alias("p50_within_rank_bound"),
+            (
+                (F.col("rank_le_p90") >= 0.9 - eps) & (F.col("rank_lt_p90") <= 0.9 + eps)
+            ).alias("p90_within_rank_bound"),
+        )
+        .orderBy("source")
+    )
+
+
 def kmv_source_jaccard_matrix(spark: SparkSession, sf_dir: str, k: int = 4096) -> DataFrame:
     """FULL pairwise source-similarity matrix via the KMV sketch's NATIVE
     set algebra, computed IN SQL with the registered kmv_* functions over a

@@ -45,6 +45,7 @@ _SEQ_ORACLE_QUERIES = {
     "hll_source_overlap",
     "kmv_source_overlap",
     "kmv_source_jaccard_matrix",
+    "corpus_profile_per_source",
     "weighted_sample_docs",
     "stratified_sample_docs",
     "hll_source_jaccard_matrix",
