@@ -69,6 +69,11 @@ def main() -> None:
         it = spark.sparkContext._jsc.sc().getPersistentRDDs().values().iterator()
         while it.hasNext():
             it.next().unpersist(False)
+        # nudge the driver GC so ContextCleaner actually releases dead
+        # broadcasts/shuffles — with a large heap the JVM may not collect
+        # for dozens of queries, and the accumulated state bleeds into
+        # later measurements
+        spark.sparkContext._jvm.System.gc()
 
     timings: dict[str, float] = {}
     timings_warm: dict[str, float] = {}
