@@ -185,3 +185,61 @@ def test_kll_merge_permutation_invariant_any_data(parts):
         blobs.append(s.to_bytes())
     ref = KllSketch.merge_blobs(blobs, 64).to_bytes()
     assert KllSketch.merge_blobs(list(reversed(blobs)), 64).to_bytes() == ref
+
+
+@given(token_lists, token_lists, token_lists)
+@settings(max_examples=30, deadline=None)
+def test_kmv_merge_laws(a, b, c):
+    from sketchlib.kmv import KmvSketch
+
+    def sk(toks):
+        s = KmvSketch.empty(64)
+        s.update_batch(np.array(toks, dtype=np.int32))
+        return s
+
+    ab_c = sk(a).merge(sk(b)).merge(sk(c))
+    a_bc = sk(a).merge(sk(b).merge(sk(c)))
+    c_ba = sk(c).merge(sk(b)).merge(sk(a))
+    assert ab_c.to_bytes() == a_bc.to_bytes() == c_ba.to_bytes()  # assoc + comm
+    # the sketch is a pure function of the SET: duplicates and order free
+    whole = sk(list(a) + list(b) + list(c))
+    assert whole.to_bytes() == ab_c.to_bytes()
+    # idempotence + exactness below k
+    aa = sk(a).merge(sk(a))
+    assert aa.to_bytes() == sk(a).to_bytes()
+    distinct = len(set(np.array(a, dtype=np.int32).tolist()))
+    if distinct < 64:
+        assert sk(a).estimate() == distinct
+
+
+@given(token_lists)
+@settings(max_examples=30, deadline=None)
+def test_kmv_roundtrip_property(a):
+    from sketchlib.kmv import KmvSketch
+
+    s = KmvSketch.empty(32, seed=7)
+    s.update_batch(np.array(a, dtype=np.int32))
+    r = KmvSketch.from_bytes(s.to_bytes())
+    assert r.to_bytes() == s.to_bytes()
+    assert r.estimate() == s.estimate()
+
+
+@given(token_lists, token_lists)
+@settings(max_examples=30, deadline=None)
+def test_profile_merge_hll_component_exact(a, b):
+    from sketchlib.profile import ProfileSketch
+
+    def sk(toks):
+        s = ProfileSketch.empty(p=8, k=64)
+        s.update_values(np.array(toks, dtype=np.int32))
+        s.update_row_lengths(np.array([len(toks)], dtype=np.int64))
+        return s
+
+    m = sk(a).merge(sk(b))
+    whole = ProfileSketch.empty(p=8, k=64)
+    whole.update_values(np.array(list(a) + list(b), dtype=np.int32))
+    assert np.array_equal(m.hll.registers, whole.hll.registers)
+    assert m.kll.n == 2
+    r = ProfileSketch.from_bytes(m.to_bytes())
+    assert np.array_equal(r.hll.registers, m.hll.registers)
+    assert r.kll.n == m.kll.n
