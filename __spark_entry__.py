@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_source_overlap": Q.kmv_source_overlap,
         "kmv_source_jaccard_matrix": Q.kmv_source_jaccard_matrix,
         "corpus_profile_per_source": Q.corpus_profile_per_source,
+        "sessionized_events": Q.sessionized_events,
         "weighted_sample_docs": Q.weighted_sample_docs,
         "stratified_sample_docs": Q.stratified_sample_docs,
         "cms_join_size_estimate": Q.cms_join_size_estimate,
@@ -469,6 +470,31 @@ def oracle_sql() -> dict[str, str]:
         "minhash_jaccard_consistency": """
             SELECT 780::BIGINT AS n_pairs,
                    TRUE AS max_err_within, TRUE AS mean_err_within
+        """,
+        "sessionized_events": """
+            WITH flagged AS (
+                SELECT user_id, event_type, ts,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                                (PARTITION BY user_id ORDER BY ts) > 1800
+                            OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                IS NULL
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events),
+            sess AS (
+                SELECT user_id, event_type,
+                       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sess_id
+                FROM flagged),
+            per_session AS (
+                SELECT user_id, sess_id, COUNT(*) AS events_in_session,
+                       COUNT(DISTINCT event_type) AS types_in_session
+                FROM sess GROUP BY user_id, sess_id)
+            SELECT COUNT(*) AS n_sessions,
+                   SUM(events_in_session)::BIGINT AS total_events,
+                   MAX(events_in_session)::BIGINT AS max_session_events,
+                   SUM(CASE WHEN types_in_session > 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS multi_type_sessions
+            FROM per_session
         """,
         "corpus_profile_per_source": f"""
             SELECT source, b.n_rows, b.n_items, d.exact_distinct,

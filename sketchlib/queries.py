@@ -999,6 +999,46 @@ def hll_source_jaccard_matrix(spark: SparkSession, sf_dir: str, p: int = DEFAULT
     )
 
 
+def sessionized_events(spark: SparkSession, sf_dir: str, gap_secs: int = 1800) -> DataFrame:
+    """Gap-based sessionization of the event stream — the standard
+    lag + conditional-cumsum window recipe: a new session starts when a
+    user's inter-event gap exceeds ``gap_secs``. Emits per-event_type
+    session stats (all integers — SQL-exact, full DuckDB oracle).
+
+    Scale shape: ONE shuffle on user_id (the window partition key, high
+    cardinality — no hot reducer), then a map-side-combinable aggregation;
+    events within a user sort inside their partition. Session flags depend
+    only on the sorted ts values, so same-ts ties cannot flip assignments
+    — the result is deterministic at any partitioning.
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # parquet ts is TIMESTAMP_NTZ: go through timestamp to epoch seconds —
+    # the session-TZ interpretation cancels in the difference
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    sess = events.withColumn(
+        "new_sess", (gap.isNull() | (gap > gap_secs)).cast("long")
+    ).withColumn("sess_id", F.sum("new_sess").over(w))
+    per_session = sess.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("events_in_session"),
+        F.countDistinct("event_type").alias("types_in_session"),
+    )
+    return (
+        per_session.groupBy()
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("events_in_session").alias("total_events"),
+            F.max("events_in_session").alias("max_session_events"),
+            F.sum((F.col("types_in_session") > 1).cast("long")).alias(
+                "multi_type_sessions"
+            ),
+        )
+    )
+
+
 def corpus_profile_per_source(
     spark: SparkSession, sf_dir: str, p: int = DEFAULT_P
 ) -> DataFrame:
