@@ -148,3 +148,40 @@ def test_zero_payload_rank_pinned():
         assert rank[0] == 64 - p + 1
         assert rank[1] == 64 - p + 1
         assert idx.tolist() == [0, 1]
+
+
+def test_kmv_nulls_match_exact_distinct(spark, null_df):
+    from sketchlib.agg import KmvAggregator
+
+    agg = KmvAggregator(k=2048, key_cols=["k"], value_col="v", value_kind="int64")
+    rows = {r["k"]: r for r in agg.merged(null_df).collect()}
+    exact = {
+        r["k"]: r["d"]
+        for r in null_df.groupBy("k").agg(F.countDistinct("v").alias("d")).collect()
+    }
+    from sketchlib.kmv import KmvSketch
+
+    assert set(rows) == set(exact) and None in rows
+    for k, r in rows.items():
+        # <=200 distinct < k: KMV is EXACT; null values are skipped like
+        # Spark's countDistinct
+        assert KmvSketch.from_bytes(bytes(r["sketch"])).estimate() == exact[k], k
+
+
+def test_profile_null_token_lists_count_as_empty(spark, null_df):
+    from sketchlib.agg import ProfileAggregator
+    from sketchlib.profile import ProfileSketch
+
+    agg = ProfileAggregator(p=14, key_cols=[], value_col="tokens")
+    row = agg.merged(null_df).collect()[0]
+    s = ProfileSketch.from_bytes(bytes(row["sketch"]))
+    n_rows = null_df.count()
+    # every row (null lists included, as length 0) lands in the KLL
+    assert s.kll.n == n_rows
+    # rank of 0 equals the null fraction: null token lists ARE the zeros
+    null_frac = null_df.where(F.col("tokens").isNull()).count() / n_rows
+    assert abs(s.kll.rank(0.0) - null_frac) < 0.03
+    exact_distinct = (
+        null_df.select(F.explode("tokens").alias("t")).distinct().count()
+    )
+    assert abs(s.distinct_values() - exact_distinct) <= max(2, 0.03 * exact_distinct)
