@@ -112,6 +112,20 @@ def main() -> None:
     ).collect()
     exact_sec = round(time.perf_counter() - t0, 3)
 
+    # quantile head-to-head: KLL aggregator vs Spark's native
+    # percentile_approx over the same per-source n_tok column
+    from sketchlib.agg import KllAggregator
+
+    kagg = KllAggregator(k=200, key_cols=["source"], value_col="n_tok", value_kind="double")
+    t0 = time.perf_counter()
+    kagg.quantiles(seq, (0.5, 0.9, 0.99)).collect()
+    kll_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    seq.groupBy("source").agg(
+        SF.percentile_approx("n_tok", [0.5, 0.9, 0.99])
+    ).collect()
+    native_pct_sec = round(time.perf_counter() - t0, 3)
+
     sf = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -139,6 +153,8 @@ def main() -> None:
             "sketchlib_hll": flag_t,
             "spark_approx_count_distinct": native_approx_sec,
             "spark_exact_count_distinct": exact_sec,
+            "sketchlib_kll_quantiles": kll_sec,
+            "spark_percentile_approx": native_pct_sec,
         },
     }
     # summarize the latest N-vs-4N scaling evidence (written by
