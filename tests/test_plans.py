@@ -123,3 +123,22 @@ def test_weighted_sample_is_distributed_topk(spark):
     read_schema = scan[scan.index("ReadSchema") : scan.index("\n", scan.index("ReadSchema"))]
     assert "doc_id" in read_schema and "n_tok" in read_schema
     assert "tokens" not in read_schema  # pruned: weights need no payload
+
+
+def test_partitioned_table_prunes_partitions(spark, tmp_path):
+    """The production layout (SURVEY §1.2: table partitioned by source) must
+    prune unselected partitions AT PLANNING — a source-filtered sketch build
+    then reads only that source's files, the property the overlap queries'
+    scan-side filters rely on at 100 TB."""
+    from sketchlib.agg import HllAggregator
+    from sketchlib.data import SEQUENCES_SCHEMA, gen_sequences_pandas
+
+    path = str(tmp_path / "seq_by_source")
+    df = spark.createDataFrame(gen_sequences_pandas(2_000), schema=SEQUENCES_SCHEMA)
+    df.write.partitionBy("source").mode("overwrite").parquet(path)
+    part = spark.read.parquet(path)
+    agg = HllAggregator(p=10, key_cols=["source"])
+    plan = _plan(agg.partials(part.where("source = 's00'")))
+    scan = plan[plan.index("Scan parquet") :]
+    pf_line = scan[scan.index("PartitionFilters") : scan.index("\n", scan.index("PartitionFilters"))]
+    assert "s00" in pf_line, pf_line
