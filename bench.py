@@ -111,6 +111,14 @@ def main() -> None:
         SF.countDistinct("t")
     ).collect()
     exact_sec = round(time.perf_counter() - t0, 3)
+    # Spark's own mergeable HLL aggregate (Datasketches, 3.5+): the closest
+    # native analogue — still needs the explode, and exposes no seed control
+    # or register access (no reference parity, no cross-job byte contract)
+    t0 = time.perf_counter()
+    seq.select("source", SF.explode("tokens").alias("t")).groupBy("source").agg(
+        SF.hll_sketch_estimate(SF.hll_sketch_agg("t"))
+    ).collect()
+    native_hll_sketch_sec = round(time.perf_counter() - t0, 3)
 
     # quantile head-to-head: KLL aggregator vs Spark's native
     # percentile_approx over the same per-source n_tok column
@@ -153,6 +161,7 @@ def main() -> None:
             "sketchlib_hll": flag_t,
             "spark_approx_count_distinct": native_approx_sec,
             "spark_exact_count_distinct": exact_sec,
+            "spark_hll_sketch_agg": native_hll_sketch_sec,
             "sketchlib_kll_quantiles": kll_sec,
             "spark_percentile_approx": native_pct_sec,
         },
