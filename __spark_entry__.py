@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_source_jaccard_matrix": Q.kmv_source_jaccard_matrix,
         "corpus_profile_per_source": Q.corpus_profile_per_source,
         "sessionized_events": Q.sessionized_events,
+        "decontamination_check": Q.decontamination_check,
         "weighted_sample_docs": Q.weighted_sample_docs,
         "stratified_sample_docs": Q.stratified_sample_docs,
         "cms_join_size_estimate": Q.cms_join_size_estimate,
@@ -470,6 +471,20 @@ def oracle_sql() -> dict[str, str]:
         "minhash_jaccard_consistency": """
             SELECT 780::BIGINT AS n_pairs,
                    TRUE AS max_err_within, TRUE AS mean_err_within
+        """,
+        "decontamination_check": """
+            WITH split AS (
+                SELECT doc_id, text,
+                       CAST('0x' || substring(md5(doc_id::VARCHAR), 1, 8) AS BIGINT)
+                           % 5 = 0 AS bench
+                FROM documents)
+            SELECT (SELECT COUNT(*) FROM split WHERE bench) AS n_benchmark,
+                   (SELECT COUNT(*) FROM split b
+                    WHERE b.bench AND b.text IN
+                          (SELECT text FROM split WHERE NOT bench))
+                       AS n_contaminated_exact,
+                   TRUE AS flagged_ge_exact,
+                   TRUE AS all_exact_contaminated_flagged
         """,
         "sessionized_events": """
             WITH flagged AS (

@@ -999,6 +999,126 @@ def hll_source_jaccard_matrix(spark: SparkSession, sf_dir: str, p: int = DEFAULT
     )
 
 
+def decontamination_check(
+    spark: SparkSession, sf_dir: str, shingle_n: int = 3, threshold: float = 0.99
+) -> DataFrame:
+    """Benchmark-leak detection — the standard training-data decontamination
+    pass: split the corpus into a deterministic ~20% "benchmark" set (md5
+    of doc_id, reproducible in SQL by both engines) and a "train" set,
+    build ONE Bloom filter over every train shingle fingerprint, then flag
+    each benchmark doc whose shingle-presence fraction >= threshold.
+
+    Provable law (Bloom has NO false negatives): a benchmark doc whose
+    exact text also appears in train shares ALL its shingles, so its
+    presence fraction is exactly 1 and it MUST be flagged —
+    ``all_exact_contaminated_flagged`` is deterministic, not statistical,
+    and ``flagged >= exact`` always (false positives can only add).
+
+    Scale shape: the train side streams through one keyless Bloom build
+    (vectorized shingles_flat inside mapInArrow — fingerprints never
+    materialize as a shuffled table, only KB bitmap partials move); the
+    probe side broadcasts the merged filter and aggregates per-doc
+    presence fractions map-side. No join of train against benchmark.
+    """
+    import pyarrow as pa
+
+    from .agg import BloomAggregator
+    from .minhash import shingles_flat
+
+    raw = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    docs = _tokenized_docs(spark, sf_dir).select("doc_id", "tokens").join(raw, "doc_id")
+    # deterministic split, SQL-reproducible: first 8 md5 hex chars mod 5
+    # (doc_id is BIGINT in the driver table — cast to string identically in
+    # both engines before hashing)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % 5
+    )
+    docs = docs.withColumn("__bench", bucket == 0)
+    train = docs.where(~F.col("__bench"))
+    bench = docs.where(F.col("__bench"))
+
+    fp_schema = T.StructType([T.StructField("fp", T.LongType(), False)])
+
+    import pyarrow.compute as pc
+
+    def _doc_lengths(col) -> np.ndarray:
+        return (
+            pc.fill_null(pc.list_value_length(col), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+
+    def explode_fps(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            col = batch.column("tokens")
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int32)
+            fps, _ = shingles_flat(flat, _doc_lengths(col), n=shingle_n)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(fps.view(np.int64), type=pa.int64())], names=["fp"]
+            )
+
+    train_fps = train.select("tokens").mapInArrow(explode_fps, fp_schema)
+    bagg = BloomAggregator(m_log2=22, k=7, key_cols=[], value_col="fp", value_kind="int64")
+    blob = bytes(bagg.merged(train_fps).collect()[0]["sketch"])
+
+    bench_fps_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("fp", T.LongType(), False),
+        ]
+    )
+
+    def explode_bench(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            col = batch.column("tokens")
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int32)
+            fps, owner = shingles_flat(flat, _doc_lengths(col), n=shingle_n)
+            ids = batch.column("doc_id").take(pa.array(owner))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(fps.view(np.int64), type=pa.int64())],
+                names=["doc_id", "fp"],
+            )
+
+    present = bagg.filter_column_udf()(blob)
+    frac = (
+        bench.select("doc_id", "tokens")
+        .mapInArrow(explode_bench, bench_fps_schema)
+        .withColumn("hit", present(F.col("fp")).cast("long"))
+        .groupBy("doc_id")
+        .agg((F.sum("hit") / F.count("*")).alias("frac"))
+        .localCheckpoint(eager=True)  # one bench row per doc; reused twice
+    )
+    flagged = frac.where(F.col("frac") >= threshold).count()
+    exact_ids = bench.join(
+        train.select(F.col("text").alias("t_text")).distinct(),
+        F.col("text") == F.col("t_text"),
+        "left_semi",
+    ).select("doc_id").localCheckpoint(eager=True)
+    exact = exact_ids.count()
+    n_bench = bench.count()
+    # verify the no-false-negative law doc-by-doc: every benchmark doc whose
+    # text appears in train must have frac >= threshold
+    missed = (
+        exact_ids.join(frac, "doc_id", "left")
+        .where((F.col("frac") < threshold) | F.col("frac").isNull())
+        .count()
+    )
+    return spark.createDataFrame(
+        [(int(n_bench), int(exact), bool(flagged >= exact), bool(missed == 0))],
+        "n_benchmark long, n_contaminated_exact long, flagged_ge_exact boolean, "
+        "all_exact_contaminated_flagged boolean",
+    )
+
+
 def sessionized_events(spark: SparkSession, sf_dir: str, gap_secs: int = 1800) -> DataFrame:
     """Gap-based sessionization of the event stream — the standard
     lag + conditional-cumsum window recipe: a new session starts when a
