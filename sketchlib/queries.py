@@ -1028,7 +1028,15 @@ def decontamination_check(
     raw = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
-    docs = _tokenized_docs(spark, sf_dir).select("doc_id", "tokens").join(raw, "doc_id")
+    # materialize the tokenized split once: five downstream actions (bloom
+    # build, probe, exact semi-join, counts) would otherwise re-tokenize
+    # the corpus each
+    docs = (
+        _tokenized_docs(spark, sf_dir)
+        .select("doc_id", "tokens")
+        .join(raw, "doc_id")
+        .localCheckpoint(eager=True)
+    )
     # deterministic split, SQL-reproducible: first 8 md5 hex chars mod 5
     # (doc_id is BIGINT in the driver table — cast to string identically in
     # both engines before hashing)
