@@ -1898,12 +1898,13 @@ from contextlib import contextmanager
 
 
 @contextmanager
-def _streaming_conf(spark: SparkSession, shuffle_partitions: str = "8"):
+def _streaming_conf(spark: SparkSession, shuffle_partitions: str = "4"):
     """Pin shuffle partitions low for the stateful streaming queries: every
     micro-batch pays a state-store commit + shuffle task PER PARTITION, and
     the keyed state here is a few hundred rows — 32 partitions is pure
-    overhead at test scale. On a real cluster the session value (sized to
-    executors) applies as usual; this only scopes the toy-SF driver queries.
+    overhead at test scale (measured: 4 beats 8 beats 32 on every streaming
+    query). On a real cluster the session value (sized to executors)
+    applies as usual; this only scopes the toy-SF driver queries.
     """
     before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", shuffle_partitions)
