@@ -85,8 +85,12 @@ class ProfileSketch:
     def merge_blobs(
         blobs, p: int = 14, k: int = 200, seed: int = DEFAULT_SEED
     ) -> "ProfileSketch":
+        """Merge in CANONICAL (bytewise-sorted) order, like KllSketch
+        .merge_blobs: the HLL component is order-exact anyway, and with the
+        KLL's content-seeded compaction parity the composite becomes a pure
+        function of the blob multiset — byte-identical at any
+        partitioning when partials are per-shard."""
         out = ProfileSketch.empty(p, k, seed)
-        for b in blobs:
-            if b is not None:
-                out.merge(ProfileSketch.from_bytes(bytes(b)))
+        for b in sorted(bytes(b) for b in blobs if b is not None):
+            out.merge(ProfileSketch.from_bytes(b))
         return out

@@ -91,3 +91,20 @@ def test_spark_profile_one_scan_one_shuffle(spark, tmp_path):
             (F.sum((F.col("n_tok") <= r["len_p50"]).cast("long")) / F.count("*")).alias("r50")
         ).collect()[0]
         assert abs(ranks["r50"] - 0.5) < 0.05, src
+
+
+def test_profile_byte_identical_across_parallelism(spark, tmp_path):
+    """With per-shard partials and the canonical sorted-blob merge, the
+    merged composite sketch is a pure function of the input file layout —
+    byte-identical at any task parallelism (KLL component included)."""
+    from sketchlib.agg import ProfileAggregator
+    from sketchlib.data import sequences_parquet
+
+    path = sequences_parquet(spark, 2_000, cache_root=str(tmp_path))
+    agg = ProfileAggregator(p=12, key_cols=["source"])
+    blobs = {}
+    for par in (2, 7):
+        parts = agg.partials_from_parquet(spark, path, parallelism=par, per_shard=True)
+        rows = agg.merged(parts, is_partials=True).collect()
+        blobs[par] = {r["source"]: bytes(r["sketch"]) for r in rows}
+    assert blobs[2] == blobs[7]
