@@ -310,7 +310,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cms_heavy_hitters_per_source": f"""
             SELECT source, token, exact_cnt,
-                   TRUE AS in_cms_topk, TRUE AS never_undercounts
+                   TRUE AS never_undercounts, TRUE AS within_eps,
+                   TRUE AS hh_topk_complete
             FROM (
                 SELECT source, t.tok AS token, COUNT(*) AS exact_cnt,
                        ROW_NUMBER() OVER (

@@ -202,8 +202,30 @@ class CountMinSketch:
 
     @staticmethod
     def merge_blobs(blobs, width_log2: int, depth: int, seed: int = DEFAULT_SEED) -> "CountMinSketch":
+        """Accumulate partials; SPARSE blobs scatter-add their (idx, count)
+        pairs straight into the accumulator instead of densifying first —
+        a task-local partial is ~3-5% filled at a wide CMS, so this skips
+        both the 10 MB zero-fill and the full-width add per partial (the
+        dominant merge cost at depth 5 x 2^18; counts are identical either
+        way — addition is the same arithmetic in any order)."""
         out = CountMinSketch.empty(width_log2, depth, seed)
+        flat = out.counters.reshape(-1)
         for b in blobs:
-            if b is not None:
-                out.merge(CountMinSketch.from_bytes(bytes(b)))
+            if b is None:
+                continue
+            b = bytes(b)
+            b_width, b_seed, payload = unpack_header(b, KIND_CMS)
+            (dfield,) = struct.unpack_from("<H", payload, 0)
+            b_depth = dfield & ~CountMinSketch._SPARSE_FLAG
+            if (b_width, b_depth, b_seed) != (width_log2, depth, seed):
+                raise ValueError("cannot merge count-min sketches with different configs")
+            if dfield & CountMinSketch._SPARSE_FLAG:
+                (nnz,) = struct.unpack_from("<I", payload, 2)
+                idx = np.frombuffer(payload, dtype=np.uint64, count=nnz, offset=6)
+                vals = np.frombuffer(
+                    payload, dtype=np.uint64, count=nnz, offset=6 + 8 * nnz
+                )
+                np.add.at(flat, idx.astype(np.int64), vals)
+            else:
+                out.merge(CountMinSketch.from_bytes(b))
         return out

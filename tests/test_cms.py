@@ -131,3 +131,28 @@ def test_inner_product_guarantees():
     assert true_self <= est_self <= true_self + eps * len(a_vals) ** 2
     with _pytest.raises(ValueError):
         CountMinSketch.inner_product(ca, CountMinSketch.empty(width_log2=14, depth=5))
+
+
+def test_merge_blobs_sparse_scatter_equals_dense_path():
+    """The sparse scatter-add fast path in merge_blobs must produce counters
+    byte-identical to decode-then-merge, and reject config mismatches."""
+    import pytest
+
+    rng = np.random.default_rng(17)
+    parts = []
+    for i in range(6):
+        c = CountMinSketch.empty(width_log2=14, depth=5)
+        c.update_batch(rng.integers(0, 3000, 5000).astype(np.int64), kind="int64")
+        blob = c.to_bytes()
+        parts.append((blob, c))
+    # mix sparse and dense encodings: force one dense by saturating it
+    dense = CountMinSketch.empty(width_log2=14, depth=5)
+    dense.update_batch(rng.integers(0, 100_000, 200_000).astype(np.int64), kind="int64")
+    parts.append((dense.to_bytes(), dense))
+    fast = CountMinSketch.merge_blobs([b for b, _ in parts], 14, 5)
+    slow = CountMinSketch.empty(14, 5)
+    for _, c in parts:
+        slow.merge(c)
+    assert np.array_equal(fast.counters, slow.counters)
+    with pytest.raises(ValueError):
+        CountMinSketch.merge_blobs([parts[0][0]], 13, 5)
