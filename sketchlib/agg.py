@@ -833,7 +833,13 @@ class CmsAggregator(SketchAggregator):
         return CountMinSketch.merge_blobs(blobs, self.width_log2, self.depth, self.seed)
 
     def heavy_hitters(
-        self, source, topk: int = 20, candidates_per_task: int = 200, *, spark=None
+        self,
+        source,
+        topk: int = 20,
+        candidates_per_task: int = 200,
+        *,
+        spark=None,
+        merged_df: DataFrame | None = None,
     ) -> DataFrame:
         """Scalable approximate top-k: (value, est_freq) rows.
 
@@ -965,7 +971,10 @@ class CmsAggregator(SketchAggregator):
         # nothing funnels through the driver. The keyless case runs the same
         # shape under a constant __g key (one candidate list, one sketch).
         group_cols = key_cols if key_cols else ["__g"]
-        merged = self.merged(source, spark=spark)
+        # callers that already hold the merged sketch rows (e.g. a query
+        # also doing point estimates) pass them in — skips a second full
+        # partial build over the input
+        merged = merged_df if merged_df is not None else self.merged(source, spark=spark)
         if not key_cols:
             merged = merged.withColumn("__g", F.lit(0))
             cands = cands.withColumn("__g", F.lit(0))

@@ -268,7 +268,12 @@ def cms_heavy_hitters_per_source(spark: SparkSession, sf_dir: str, k: int = 3) -
         exact_top.join(merged.select("source", "sketch", "n_items"), "source")
         .withColumn("est", point_est(F.col("sketch"), F.col("token")))
     )
-    hh = agg.heavy_hitters(path, topk=k + 2, candidates_per_task=4000, spark=spark)
+    # candidate budget sized for the shape check (the old 4000/task budget
+    # existed only to make near-tie CONTAINMENT deterministic — the
+    # contract this query no longer claims)
+    hh = agg.heavy_hitters(
+        path, topk=k + 2, candidates_per_task=64, spark=spark, merged_df=merged
+    )
     hh_ok = (
         hh.groupBy(F.col(hh.columns[0]).alias("source"))
         .agg(F.count("*").alias("hh_rows"))
