@@ -76,7 +76,10 @@ def main() -> None:
     zpath = make_zip()
     curve: dict[int, dict] = {}
     if args.curve:
-        for cores in (1, 2, 4, 8, 16, 32):
+        # ensure the protocol legs (--n and 4n) are measured even when they
+        # fall outside the standard curve levels
+        levels = sorted({1, 2, 4, 8, 16, 32} | {args.n, args.n * 4})
+        for cores in levels:
             curve[cores] = run_leg(cores, args.rows, zpath, args.repeats)
         small, big = curve[args.n], curve[args.n * 4]
     else:

@@ -1264,15 +1264,19 @@ class ProfileAggregator(SketchAggregator):
         """key cols + distinct estimate + length quantiles + exact counts."""
         qs = [float(q) for q in qs]
 
+        # round, don't truncate: float literals like 0.29 sit just below
+        # their decimal value, so int(q*100) would mislabel the column
+        names = [f"len_p{int(round(q * 100))}" for q in qs]
+
         def row_fn(blob: bytes) -> pd.DataFrame:
             s = ProfileSketch.from_bytes(blob)
             out = {"est_distinct": [s.distinct_values()]}
-            for q in qs:
-                out[f"len_p{int(q * 100)}"] = [s.length_quantile(q)]
+            for name, q in zip(names, qs):
+                out[name] = [s.length_quantile(q)]
             return pd.DataFrame(out)
 
         fields = [T.StructField("est_distinct", T.LongType(), False)] + [
-            T.StructField(f"len_p{int(q * 100)}", T.DoubleType(), False) for q in qs
+            T.StructField(name, T.DoubleType(), False) for name in names
         ]
         # materialize: the per-key sketch rows feed BOTH the finalize pass
         # and the counts join — without it the second reference would

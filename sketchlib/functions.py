@@ -138,7 +138,11 @@ def register(spark: SparkSession, prefix: str = "") -> None:
             if x is None and y is None:
                 return None
             if x is None or y is None:
-                return 0.0
+                # one-sided NULL = jaccard against the EMPTY set, computed
+                # literally so an empty non-null sketch still gives 1.0
+                # (two empty sets are identical), matching blob-vs-blob
+                s = KmvSketch.from_bytes(bytes(x if x is not None else y))
+                return KmvSketch.jaccard(s, KmvSketch.empty(s.k, s.seed))
             return KmvSketch.jaccard(
                 KmvSketch.from_bytes(bytes(x)), KmvSketch.from_bytes(bytes(y))
             )

@@ -256,17 +256,39 @@ def cms_heavy_hitters_per_source(spark: SparkSession, sf_dir: str, k: int = 3) -
     merged = agg.merged(path, spark=spark).localCheckpoint(eager=True)
     eps = float(np.e) / (1 << 18)
 
-    @F.pandas_udf(T.LongType())
-    def point_est(blobs: pd.Series, tokens: pd.Series) -> pd.Series:
+    # group the k probe tokens per source BEFORE the sketch join: one blob
+    # copy and one from_bytes per source (the per-row variant replicated
+    # the ~10 MB dense merged blob through the join and decoded it once
+    # per token — k x #sources redundant decodes)
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def point_ests(blobs: pd.Series, tok_lists: pd.Series) -> pd.Series:
         out = []
-        for b, t in zip(blobs, tokens):
+        for b, toks in zip(blobs, tok_lists):
             s = CountMinSketch.from_bytes(bytes(b))
-            out.append(int(s.query_batch(np.array([t], dtype=np.int32))[0]))
-        return pd.Series(out, dtype="int64")
+            out.append(
+                [int(x) for x in s.query_batch(np.asarray(toks, dtype=np.int32))]
+            )
+        return pd.Series(out)
 
+    grouped = exact_top.groupBy("source").agg(
+        F.collect_list("token").alias("toks"),
+        F.collect_list("exact_cnt").alias("cnts"),
+    )
     scored = (
-        exact_top.join(merged.select("source", "sketch", "n_items"), "source")
-        .withColumn("est", point_est(F.col("sketch"), F.col("token")))
+        grouped.join(merged.select("source", "sketch", "n_items"), "source")
+        .withColumn("ests", point_ests(F.col("sketch"), F.col("toks")))
+        .select(
+            "source",
+            "n_items",
+            F.explode(F.arrays_zip("toks", "cnts", "ests")).alias("z"),
+        )
+        .select(
+            "source",
+            F.col("z.toks").alias("token"),
+            F.col("z.cnts").alias("exact_cnt"),
+            F.col("z.ests").alias("est"),
+            "n_items",
+        )
     )
     # candidate budget sized for the shape check (the old 4000/task budget
     # existed only to make near-tie CONTAINMENT deterministic — the
@@ -861,10 +883,14 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str, k: int = 100) -> Data
     bits — exact row-set equality, not a statistical check.
     """
     seqs = sequences_for(spark, sf_dir).select("doc_id", "n_tok")
-    # 15 hex chars = 60 bits: exact in int64, identically rounded to double
-    # in both engines
+    # 15 hex chars = 60 bits: add 1 in INT64 first, THEN round to double —
+    # double(v)+1.0 and double(v+1) differ for ~2.6% of 60-bit values, so
+    # the integer-domain add is what makes the oracle's (v+1)::DOUBLE
+    # arithmetic bit-identical in both engines
     u = (
-        F.conv(F.substring(F.md5("doc_id"), 1, 15), 16, 10).cast("double") + F.lit(1.0)
+        (F.conv(F.substring(F.md5("doc_id"), 1, 15), 16, 10).cast("long") + F.lit(1)).cast(
+            "double"
+        )
     ) / F.lit(float(1 << 60))
     key = F.pow(u, F.lit(1.0) / F.greatest(F.col("n_tok"), F.lit(1)).cast("double"))
     picked = (
@@ -902,6 +928,25 @@ def _source_mask_histogram(seqs: DataFrame, srcs: list) -> tuple:
     return masks, cnts
 
 
+def _exact_pair_counts(spark: SparkSession, seqs: DataFrame, srcs: list) -> DataFrame:
+    """Exact (union, intersection) distinct-token counts for every source
+    pair, derived from one _source_mask_histogram aggregation."""
+    src_bit = {s: 1 << i for i, s in enumerate(srcs)}
+    masks, cnts = _source_mask_histogram(seqs, srcs)
+    pair_rows = []
+    for ia, sa in enumerate(srcs):
+        for sb in srcs[ia + 1 :]:
+            ba, bb = src_bit[sa], src_bit[sb]
+            n_a = int(cnts[(masks & ba) != 0].sum())
+            n_b = int(cnts[(masks & bb) != 0].sum())
+            n_i = int(cnts[((masks & ba) != 0) & ((masks & bb) != 0)].sum())
+            pair_rows.append((sa, sb, n_a + n_b - n_i, n_i))
+    return spark.createDataFrame(
+        pair_rows,
+        "source_a string, source_b string, exact_union long, exact_intersection long",
+    )
+
+
 def stratified_sample_docs(spark: SparkSession, sf_dir: str, per_source: int = 10) -> DataFrame:
     """Deterministic weighted sample of ``per_source`` docs PER STRATUM
     (source) — the per-domain quota subsample every corpus-mixing pipeline
@@ -919,8 +964,11 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str, per_source: int = 1
     from pyspark.sql import Window
 
     seqs = sequences_for(spark, sf_dir).select("doc_id", "source", "n_tok")
+    # int64 add BEFORE the double cast — see weighted_sample_docs
     u = (
-        F.conv(F.substring(F.md5("doc_id"), 1, 15), 16, 10).cast("double") + F.lit(1.0)
+        (F.conv(F.substring(F.md5("doc_id"), 1, 15), 16, 10).cast("long") + F.lit(1)).cast(
+            "double"
+        )
     ) / F.lit(float(1 << 60))
     key = F.pow(u, F.lit(1.0) / F.greatest(F.col("n_tok"), F.lit(1)).cast("double"))
     keyed = seqs.withColumn("__key", key).withColumn("__pid", F.spark_partition_id())
@@ -987,25 +1035,12 @@ def hll_source_jaccard_matrix(spark: SparkSession, sf_dir: str, p: int = DEFAULT
 
     # exact companion via ONE bitmask aggregation instead of a distinct +
     # token self-join (which exploded each shared token into |sources|^2
-    # rows): groupBy(tok) bit_or's a per-source bit, then the <= 2^K mask
-    # histogram collapses to K^2/2 pair counts in numpy on the driver. One
-    # token-keyed shuffle total, payload (tok, mask) — scale-safe for any
-    # corpus size as long as K (#sources) stays modest.
+    # rows): _exact_pair_counts folds the <= 2^K mask histogram into
+    # K^2/2 pair counts. One token-keyed shuffle total, payload
+    # (tok, mask) — scale-safe for any corpus size as long as K (#sources)
+    # stays modest.
     srcs = sorted(r["source"] for r in merged.select("source").collect())
-    src_bit = {s: 1 << i for i, s in enumerate(srcs)}
-    masks, cnts = _source_mask_histogram(sequences_for(spark, sf_dir), srcs)
-    pair_rows = []
-    for ia, sa in enumerate(srcs):
-        for sb in srcs[ia + 1 :]:
-            ba, bb = src_bit[sa], src_bit[sb]
-            n_a = int(cnts[(masks & ba) != 0].sum())
-            n_b = int(cnts[(masks & bb) != 0].sum())
-            n_i = int(cnts[((masks & ba) != 0) & ((masks & bb) != 0)].sum())
-            pair_rows.append((sa, sb, n_a + n_b - n_i, n_i))
-    exact = spark.createDataFrame(
-        pair_rows,
-        "source_a string, source_b string, exact_union long, exact_intersection long",
-    )
+    exact = _exact_pair_counts(spark, sequences_for(spark, sf_dir), srcs)
     sigma = HllSketch.std_error(p)
     return (
         exact.join(est, ["source_a", "source_b"])
@@ -1297,20 +1332,7 @@ def kmv_source_jaccard_matrix(spark: SparkSession, sf_dir: str, k: int = 4096) -
         )
     )
     srcs = sorted(r["source"] for r in merged.select("source").collect())
-    src_bit = {s: 1 << i for i, s in enumerate(srcs)}
-    masks, cnts = _source_mask_histogram(sequences_for(spark, sf_dir), srcs)
-    pair_rows = []
-    for ia, sa in enumerate(srcs):
-        for sb in srcs[ia + 1 :]:
-            ba, bb = src_bit[sa], src_bit[sb]
-            n_a = int(cnts[(masks & ba) != 0].sum())
-            n_b = int(cnts[(masks & bb) != 0].sum())
-            n_i = int(cnts[((masks & ba) != 0) & ((masks & bb) != 0)].sum())
-            pair_rows.append((sa, sb, n_a + n_b - n_i, n_i))
-    exact = spark.createDataFrame(
-        pair_rows,
-        "source_a string, source_b string, exact_union long, exact_intersection long",
-    )
+    exact = _exact_pair_counts(spark, sequences_for(spark, sf_dir), srcs)
     sigma = KmvSketch.std_error(k)
     true_j = F.col("exact_intersection") / F.col("exact_union")
     j_bound = 4 * F.sqrt(F.greatest(true_j * (1 - true_j), F.lit(1.0 / k)) / F.lit(float(k)))
