@@ -88,3 +88,35 @@ def test_table_target_without_catalog_raises(spark):
     df = spark.range(3).selectExpr("cast(id as string) AS shard_id", "id AS n")
     with _pytest.raises(ValueError, match="catalog"):
         append_partials(df, "db.ckpt_no_catalog", spark)
+
+
+def test_checkpoint_is_aggregator_generic_kmv_and_profile(spark, seq_path, tmp_path):
+    """The resume machinery is sketch-agnostic: a KMV build interrupted
+    after one shard resumes to BYTE-identical per-source sketches
+    (order-exact algebra), and a composite ProfileSketch build checkpoints
+    and answers through the same path."""
+    from sketchlib.agg import KmvAggregator, ProfileAggregator
+    from sketchlib.kmv import KmvSketch
+    from sketchlib.profile import ProfileSketch
+
+    kagg = KmvAggregator(k=1024, key_cols=["source"])
+    direct = {
+        r["source"]: bytes(r["sketch"]) for r in kagg.merged(seq_path, spark=spark).collect()
+    }
+    ckpt = CheckpointedBuild(kagg, str(tmp_path / "kmv"), run_id="k1")
+    assert ckpt.run(spark, seq_path, max_shards=1) == 1
+    ckpt.run_to_completion(spark, seq_path)
+    resumed = {r["source"]: bytes(r["sketch"]) for r in ckpt.merged(spark).collect()}
+    assert resumed == direct
+    # sanity: the resumed sketch answers
+    est = KmvSketch.from_bytes(next(iter(resumed.values()))).estimate()
+    assert est > 0
+
+    pagg = ProfileAggregator(p=12, key_cols=["source"])
+    pck = CheckpointedBuild(pagg, str(tmp_path / "prof"), run_id="p1")
+    pck.run_to_completion(spark, seq_path)
+    rows = {r["source"]: r for r in pck.merged(spark).collect()}
+    for src, r in rows.items():
+        s = ProfileSketch.from_bytes(bytes(r["sketch"]))
+        assert s.distinct_values() > 0
+        assert s.kll.n == r["n_rows"]  # every row's length landed in the KLL
