@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile_per_source": Q.corpus_profile_per_source,
         "sessionized_events": Q.sessionized_events,
         "decontamination_check": Q.decontamination_check,
+        "doc_rarity_mass": Q.doc_rarity_mass,
         "weighted_sample_docs": Q.weighted_sample_docs,
         "stratified_sample_docs": Q.stratified_sample_docs,
         "cms_join_size_estimate": Q.cms_join_size_estimate,
@@ -472,6 +473,23 @@ def oracle_sql() -> dict[str, str]:
         "minhash_jaccard_consistency": """
             SELECT 780::BIGINT AS n_pairs,
                    TRUE AS max_err_within, TRUE AS mean_err_within
+        """,
+        "doc_rarity_mass": f"""
+            WITH freq AS (
+                SELECT t.tok, COUNT(*) AS c
+                FROM read_parquet('{_SEQ_PARQUET_SF001}'), UNNEST(tokens) AS t(tok)
+                GROUP BY t.tok),
+            per_doc AS (
+                SELECT doc_id, n_tok, SUM(c)::BIGINT AS exact_mass
+                FROM (SELECT doc_id, n_tok, UNNEST(tokens) AS tok
+                      FROM read_parquet('{_SEQ_PARQUET_SF001}')) j
+                JOIN freq ON j.tok = freq.tok
+                GROUP BY doc_id, n_tok)
+            SELECT doc_id, n_tok, exact_mass,
+                   TRUE AS never_undercounts, TRUE AS within_eps
+            FROM (SELECT * FROM per_doc
+                  ORDER BY exact_mass ASC, doc_id LIMIT 10)
+            ORDER BY doc_id
         """,
         "decontamination_check": """
             WITH split AS (

@@ -1061,6 +1061,105 @@ def hll_source_jaccard_matrix(spark: SparkSession, sf_dir: str, p: int = DEFAULT
     )
 
 
+def doc_rarity_mass(spark: SparkSession, sf_dir: str, bottom_k: int = 10) -> DataFrame:
+    """Document rarity scoring with the CMS as a broadcast frequency model —
+    the mean-corpus-frequency quality heuristic: a doc whose tokens are
+    globally rare (low total corpus-frequency mass) is surfaced for review.
+
+    Two passes, both scan-shaped: (1) ONE global CMS over all tokens (KB
+    partials shuffle, merged blob broadcast), (2) a mapInArrow scoring pass
+    that per doc sums the CMS point estimates of its tokens — vectorized
+    query_batch over the flattened batch + segment-sum, no join of the
+    corpus against the frequency table (the exact companion pays that
+    join). Emits the bottom-k docs by EXACT mass (SQL-reproducible
+    integers) with provable booleans: the CMS mass never undercounts the
+    exact mass (structural, per-token), and stays within n_tok x eps*N.
+    """
+    import pyarrow as pa
+
+    from .agg import CmsAggregator
+    from .cms import CountMinSketch
+
+    path = sequences_path(spark, sf_dir)
+    seqs = sequences_for(spark, sf_dir)
+    agg = CmsAggregator(
+        width_log2=18, depth=5, key_cols=[], value_col="tokens", value_kind="tokens"
+    )
+    blob = bytes(agg.merged(path, spark=spark).collect()[0]["sketch"])
+    eps = float(np.e) / (1 << 18)
+    n_total = seqs.agg(F.sum("n_tok")).collect()[0][0]
+    per_tok_bound = int(np.ceil(eps * n_total))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("est_mass", T.LongType(), False),
+        ]
+    )
+
+    def score(batches):
+        sketch = CountMinSketch.from_bytes(blob)
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            col = batch.column("tokens")
+            lengths = (
+                pc.fill_null(pc.list_value_length(col), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int32)
+            ests = sketch.query_batch(flat).astype(np.int64)
+            if len(ests):
+                # reduceat needs indices < len; empty docs (index == next
+                # bound, or == len for trailing empties) are masked to 0
+                bounds = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+                mass = np.add.reduceat(ests, np.minimum(bounds, len(ests) - 1))
+                mass = np.where(lengths > 0, mass, 0)
+            else:
+                mass = np.zeros(len(lengths), dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), pa.array(mass, type=pa.int64())],
+                names=["doc_id", "est_mass"],
+            )
+
+    est = seqs.select("doc_id", "tokens").mapInArrow(score, out_schema)
+    freq = (
+        seqs.select(F.explode("tokens").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    # broadcast the vocabulary-sized frequency table: the exploded corpus
+    # (the big side) then never shuffles for the join — only the per-doc
+    # partial sums move
+    exact = (
+        seqs.select("doc_id", "n_tok", F.explode("tokens").alias("tok"))
+        .join(F.broadcast(freq), "tok")
+        .groupBy("doc_id", "n_tok")
+        .agg(F.sum("c").alias("exact_mass"))
+    )
+    rare = (
+        exact.orderBy(F.asc("exact_mass"), F.asc("doc_id"))
+        .limit(bottom_k)
+        .join(est, "doc_id")
+    )
+    return (
+        rare.select(
+            "doc_id",
+            "n_tok",
+            "exact_mass",
+            (F.col("est_mass") >= F.col("exact_mass")).alias("never_undercounts"),
+            (
+                F.col("est_mass")
+                <= F.col("exact_mass") + F.col("n_tok").cast("long") * F.lit(per_tok_bound)
+            ).alias("within_eps"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def decontamination_check(
     spark: SparkSession, sf_dir: str, shingle_n: int = 3, threshold: float = 0.99
 ) -> DataFrame:

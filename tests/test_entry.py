@@ -46,6 +46,7 @@ _SEQ_ORACLE_QUERIES = {
     "kmv_source_overlap",
     "kmv_source_jaccard_matrix",
     "corpus_profile_per_source",
+    "doc_rarity_mass",
     "weighted_sample_docs",
     "stratified_sample_docs",
     "hll_source_jaccard_matrix",
