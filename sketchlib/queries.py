@@ -1074,6 +1074,9 @@ def doc_rarity_mass(spark: SparkSession, sf_dir: str, bottom_k: int = 10) -> Dat
     join). Emits the bottom-k docs by EXACT mass (SQL-reproducible
     integers) with provable booleans: the CMS mass never undercounts the
     exact mass (structural, per-token), and stays within n_tok x eps*N.
+    Token-less docs carry no frequency mass and are EXCLUDED from the
+    ranking (explode and UNNEST agree on this; emptiness is a
+    quality-filter concern, not a rarity signal).
     """
     import pyarrow as pa
 

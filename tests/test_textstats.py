@@ -81,3 +81,63 @@ def test_lang_id_packed_equals_per_language_intersects(spark):
         ).collect()
     ]
     assert got == exp, (got, exp)
+
+
+def test_doc_rarity_mass_segment_sum_and_empty_docs(spark, tmp_path):
+    """The mapInArrow segment-sum must equal a per-doc loop, including
+    zero-length and null token lists (mass 0) and docs straddling batch
+    boundaries; never_undercounts is structural for every doc."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from sketchlib import queries as Q
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(300):
+        if i % 17 == 0:
+            toks = []  # empty doc
+        else:
+            toks = [int(t) for t in rng.integers(0, 400, int(rng.integers(1, 60)))]
+        rows.append((f"d{i:04d}", toks, len(toks), "s0"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "tokens", "n_tok", "source"])
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+            T.StructField("n_tok", T.IntegerType(), False),
+            T.StructField("source", T.StringType(), False),
+        ]
+    )
+    d = tmp_path / "rarity_sf"
+    spark.createDataFrame(pdf, schema=schema).write.parquet(
+        str(d / "x.parquet")
+    )
+    import sketchlib.queries as qq
+
+    # point sequences_path at the synthetic table for this call
+    orig = qq.sequences_path
+    qq.sequences_path = lambda s, sf: str(d / "x.parquet")
+    orig_for = qq.sequences_for
+    qq.sequences_for = lambda s, sf: s.read.parquet(str(d / "x.parquet"))
+    try:
+        out = {r["doc_id"]: r for r in Q.doc_rarity_mass(spark, "ignored", bottom_k=300).collect()}
+    finally:
+        qq.sequences_path = orig
+        qq.sequences_for = orig_for
+    # exact per-doc mass by hand
+    from collections import Counter
+
+    freq = Counter(t for _, toks, _, _ in rows for t in toks)
+    for doc_id, toks, _, _ in rows:
+        if not toks:
+            # documented contract: token-less docs carry no mass and are
+            # excluded from the ranking (explode/UNNEST semantics)
+            assert doc_id not in out
+            continue
+        exact = sum(freq[t] for t in toks)
+        r = out[doc_id]
+        assert r["exact_mass"] == exact, doc_id
+        assert r["never_undercounts"], doc_id
+        assert r["within_eps"], doc_id
