@@ -278,3 +278,14 @@ def test_file_granularity_shard_planning(spark, tmp_path):
     }
     assert a == b
     assert set(by_rg) == set(a)
+
+
+def test_source_mask_histogram_rejects_over_63_sources(spark):
+    """The long bit_or mask supports at most 63 sources — the helper must
+    fail fast on the driver, not overflow silently."""
+    import pytest
+
+    from sketchlib.queries import _source_mask_histogram
+
+    with pytest.raises(ValueError, match="63-bit"):
+        _source_mask_histogram(None, [f"s{i}" for i in range(64)])

@@ -243,3 +243,28 @@ def test_profile_merge_hll_component_exact(a, b):
     r = ProfileSketch.from_bytes(m.to_bytes())
     assert np.array_equal(r.hll.registers, m.hll.registers)
     assert r.kll.n == m.kll.n
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(-(2**31), 2**31 - 1), min_size=0, max_size=40),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_shingles_flat_equals_per_doc(docs):
+    from sketchlib.minhash import shingles_flat, token_shingles
+
+    flat = np.array([t for d in docs for t in d], dtype=np.int32)
+    lengths = np.array([len(d) for d in docs], dtype=np.int64)
+    fps, owner = shingles_flat(flat, lengths, n=3)
+    # must be byte-identical to the per-doc rolling hash, in doc order
+    expected = []
+    exp_owner = []
+    for i, d in enumerate(docs):
+        per = token_shingles(np.array(d, dtype=np.int32), n=3)
+        expected.extend(per.tolist())
+        exp_owner.extend([i] * len(per))
+    assert fps.tolist() == expected
+    assert owner.tolist() == exp_owner
