@@ -1072,10 +1072,12 @@ def doc_rarity_mass(spark: SparkSession, sf_dir: str, bottom_k: int = 10) -> Dat
     query_batch over the flattened batch + segment-sum, no join of the
     corpus against the frequency table (the exact companion pays that
     join). Emits the bottom-k docs by EXACT mass (SQL-reproducible
-    integers) with provable booleans: the CMS mass never undercounts the
-    exact mass (structural, per-token), and stays within n_tok x eps*N.
-    Token-less docs carry no frequency mass and are EXCLUDED from the
-    ranking (explode and UNNEST agree on this; emptiness is a
+    integers) with checked booleans: never_undercounts is STRUCTURAL
+    (per-token, always true); within_eps (mass <= exact + n_tok x eps*N)
+    is the published high-probability bound (>= 1 - e^-depth per token) —
+    on this deterministic corpus it is a fixed, verified fact rather than
+    a flaky draw. Token-less docs carry no frequency mass and are EXCLUDED
+    from the ranking (explode and UNNEST agree on this; emptiness is a
     quality-filter concern, not a rarity signal).
     """
     import pyarrow as pa
@@ -1089,9 +1091,10 @@ def doc_rarity_mass(spark: SparkSession, sf_dir: str, bottom_k: int = 10) -> Dat
         width_log2=18, depth=5, key_cols=[], value_col="tokens", value_kind="tokens"
     )
     blob = bytes(agg.merged(path, spark=spark).collect()[0]["sketch"])
-    eps = float(np.e) / (1 << 18)
-    n_total = seqs.agg(F.sum("n_tok")).collect()[0][0]
-    per_tok_bound = int(np.ceil(eps * n_total))
+    # the merged sketch already knows the stream length and its own eps —
+    # no second corpus scan, no duplicated width literal
+    _s = CountMinSketch.from_bytes(blob)
+    per_tok_bound = int(np.ceil(_s.epsilon * _s.total))
 
     out_schema = T.StructType(
         [
@@ -1115,14 +1118,16 @@ def doc_rarity_mass(spark: SparkSession, sf_dir: str, bottom_k: int = 10) -> Dat
             )
             flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int32)
             ests = sketch.query_batch(flat).astype(np.int64)
-            if len(ests):
-                # reduceat needs indices < len; empty docs (index == next
-                # bound, or == len for trailing empties) are masked to 0
-                bounds = np.concatenate(([0], np.cumsum(lengths)[:-1]))
-                mass = np.add.reduceat(ests, np.minimum(bounds, len(ests) - 1))
-                mass = np.where(lengths > 0, mass, 0)
-            else:
-                mass = np.zeros(len(lengths), dtype=np.int64)
+            # segment-sum over NON-empty docs only: clamping boundary
+            # indices for empty segments would silently truncate the
+            # preceding doc's segment (a trailing empty doc moved the last
+            # real doc's end bound — the round-3 review catch)
+            mass = np.zeros(len(lengths), dtype=np.int64)
+            nz = lengths > 0
+            if nz.any():
+                nz_len = lengths[nz]
+                starts = np.concatenate(([0], np.cumsum(nz_len)[:-1]))
+                mass[nz] = np.add.reduceat(ests, starts)
             yield pa.RecordBatch.from_arrays(
                 [batch.column("doc_id"), pa.array(mass, type=pa.int64())],
                 names=["doc_id", "est_mass"],

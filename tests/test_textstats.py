@@ -96,8 +96,11 @@ def test_doc_rarity_mass_segment_sum_and_empty_docs(spark, tmp_path):
     rng = np.random.default_rng(23)
     rows = []
     for i in range(300):
-        if i % 17 == 0:
-            toks = []  # empty doc
+        # i%7==6 puts empty docs at Arrow-batch ENDS under the
+        # maxRecordsPerBatch=7 override below — the layout where a clamped
+        # reduceat boundary silently truncated the preceding doc's segment
+        if i % 17 == 0 or i % 7 == 6 or i == 299:
+            toks = []  # empty doc (incl. the final row of the last batch)
         else:
             toks = [int(t) for t in rng.integers(0, 400, int(rng.integers(1, 60)))]
         rows.append((f"d{i:04d}", toks, len(toks), "s0"))
@@ -121,9 +124,12 @@ def test_doc_rarity_mass_segment_sum_and_empty_docs(spark, tmp_path):
     qq.sequences_path = lambda s, sf: str(d / "x.parquet")
     orig_for = qq.sequences_for
     qq.sequences_for = lambda s, sf: s.read.parquet(str(d / "x.parquet"))
+    batch_before = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
     try:
         out = {r["doc_id"]: r for r in Q.doc_rarity_mass(spark, "ignored", bottom_k=300).collect()}
     finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", batch_before)
         qq.sequences_path = orig
         qq.sequences_for = orig_for
     # exact per-doc mass by hand
