@@ -75,6 +75,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # dedup/similarity block FIRST (VERDICT r03 #1): these seven were
+        # rewritten in round 3 after their last driver check; if the driver's
+        # correctness pass is time- or count-capped they must land before the
+        # cap. They read documents/embeddings only — no dependency on the
+        # sequences-parquet materialization the later queries trigger.
+        "near_dup_topk_pairs": Q.near_dup_topk_pairs,
+        "minhash_jaccard_consistency": Q.minhash_jaccard_consistency,
+        "simhash_fingerprints_docs": Q.simhash_fingerprints_docs,
+        "exact_dedup_documents": Q.exact_dedup_documents,
+        "embedding_near_dup_pairs": Q.embedding_near_dup_pairs,
+        "fingerprint_distinct_docs": Q.fingerprint_distinct_docs,
+        "lang_id_distribution": Q.lang_id_distribution,
         # approximate sketch estimates (rows-only driver check by design:
         # the estimate integers have no SQL equivalent; their *_accuracy
         # companions below are fully oracle-checked)
@@ -129,13 +141,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": Q.ann_ivf_recall,
         "text_quality_per_source": Q.text_quality_per_source,
         "bpe_token_count_per_lang": Q.bpe_token_count_per_lang,
-        "fingerprint_distinct_docs": Q.fingerprint_distinct_docs,
-        "lang_id_distribution": Q.lang_id_distribution,
-        "exact_dedup_documents": Q.exact_dedup_documents,
-        "embedding_near_dup_pairs": Q.embedding_near_dup_pairs,
-        "minhash_jaccard_consistency": Q.minhash_jaccard_consistency,
-        "near_dup_topk_pairs": Q.near_dup_topk_pairs,
-        "simhash_fingerprints_docs": Q.simhash_fingerprints_docs,
     }
 
 

@@ -183,14 +183,27 @@ def main() -> None:
             "detail": "bench/scaling_last.json",
         }
     # full cold/warm per-query detail goes to a side file; stdout carries ONE
-    # compact line the driver's tail capture can always parse (VERDICT r02 #4)
+    # compact line the driver's tail capture can always parse (VERDICT r02 #4,
+    # r03 #2: the printed object must NOT embed the 57-entry per-query dict —
+    # at ~2.5 KB the driver's tail capture truncated the line's head and
+    # json-parse failed; scalars only on stdout, detail in bench/last_run.json)
     detail = dict(out)
     detail["queries_warm"] = timings_warm
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench", "last_run.json"), "w") as f:
         json.dump(detail, f, indent=1)
     spark.stop()
-    print(json.dumps(out, separators=(",", ":")))
+    line = {k: v for k, v in out.items() if k != "queries"}
+    line["n_queries"] = len(timings)
+    line["queries_detail"] = "bench/last_run.json"
+    printed = json.dumps(line, separators=(",", ":"))
+    if len(printed) >= 900:  # never regress to an unparseable tail capture
+        for victim in ("flagship_vs_builtins_sec", "scaling"):
+            line.pop(victim, None)
+            printed = json.dumps(line, separators=(",", ":"))
+            if len(printed) < 900:
+                break
+    print(printed)
 
 
 if __name__ == "__main__":

@@ -1259,9 +1259,24 @@ class ProfileAggregator(SketchAggregator):
         return ProfileSketch.merge_blobs(blobs, self.p, self.kll_k, self.seed)
 
     def profile(
-        self, source, qs=(0.5, 0.9), *, salt: int | None = None, spark=None
+        self,
+        source,
+        qs=(0.5, 0.9),
+        *,
+        salt: int | None = None,
+        spark=None,
+        merged_df: DataFrame | None = None,
     ) -> DataFrame:
-        """key cols + distinct estimate + length quantiles + exact counts."""
+        """key cols + distinct estimate + length quantiles + exact counts.
+
+        Pass ``merged_df`` (a pre-materialized ``merged()`` result) to reuse
+        sketches you already built and manage their lifecycle yourself;
+        otherwise profile() materializes its own, and releases the
+        intermediate checkpoint before returning (ADVICE r03: previously the
+        eager localCheckpoint accumulated block-manager storage across
+        calls) — the returned per-key result is itself a small eager
+        checkpoint, releasable via ``sketchlib.session.release``.
+        """
         qs = [float(q) for q in qs]
 
         # round, don't truncate: float literals like 0.29 sit just below
@@ -1281,9 +1296,22 @@ class ProfileAggregator(SketchAggregator):
         # materialize: the per-key sketch rows feed BOTH the finalize pass
         # and the counts join — without it the second reference would
         # re-scan and re-sketch the whole input
-        merged = self.merged(source, salt=salt, spark=spark).localCheckpoint(eager=True)
+        own_merged = merged_df is None
+        merged = (
+            self.merged(source, salt=salt, spark=spark).localCheckpoint(eager=True)
+            if own_merged
+            else merged_df
+        )
         prof = self.finalize_rows(merged, row_fn, fields)
-        return prof.join(merged.select(*self.key_cols, "n_rows", "n_items"), self.key_cols)
+        out = prof.join(merged.select(*self.key_cols, "n_rows", "n_items"), self.key_cols)
+        if own_merged:
+            # the joined result is per-key scalars (tiny): pin it, then free
+            # the sketch-blob checkpoint so repeated calls don't accumulate
+            out = out.localCheckpoint(eager=True)
+            from .session import release
+
+            release(merged)
+        return out
 
 
 class TDigestAggregator(SketchAggregator):

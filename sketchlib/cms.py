@@ -141,6 +141,33 @@ class CountMinSketch:
     # -- codec ----------------------------------------------------------------------
 
     @staticmethod
+    def _exact_dot_u64(x: np.ndarray, y: np.ndarray) -> int:
+        """Exact dot product of two uint64 vectors as an arbitrary-precision
+        Python int, via 16-bit limb decomposition: every partial dot's terms
+        are < 2^32 and are summed in <=2^20-element chunks, so each float64
+        partial sum stays < 2^52 — exactly representable — and the limb
+        shifts recombine in Python ints. Zero limbs (counters < 2^16, the
+        common case) are skipped, so the typical cost is one BLAS dot."""
+        total = 0
+        xs = [((x >> np.uint64(16 * i)) & np.uint64(0xFFFF)) for i in range(4)]
+        ys = [((y >> np.uint64(16 * j)) & np.uint64(0xFFFF)) for j in range(4)]
+        xs = [v.astype(np.float64) if v.any() else None for v in xs]
+        ys = [v.astype(np.float64) if v.any() else None for v in ys]
+        chunk = 1 << 20
+        n = len(x)
+        for i, xv in enumerate(xs):
+            if xv is None:
+                continue
+            for j, yv in enumerate(ys):
+                if yv is None:
+                    continue
+                s = 0
+                for lo in range(0, n, chunk):
+                    s += int(np.dot(xv[lo : lo + chunk], yv[lo : lo + chunk]))
+                total += s << (16 * (i + j))
+        return total
+
+    @staticmethod
     def inner_product(a: "CountMinSketch", b: "CountMinSketch") -> int:
         """Join-size / inner-product estimate (Cormode & Muthukrishnan 2005
         §4.2): min over depth rows of dot(row_a, row_b). NEVER undercounts
@@ -148,14 +175,15 @@ class CountMinSketch:
         only non-negative collision terms); overcounts by at most
         eps * N_a * N_b with probability 1 - delta. With a == b this is the
         self-join size sum f(v)^2 — the skew statistic query optimizers use.
-        float64 accumulation: exact to 2^53, i.e. relative error < 1e-15 at
-        any scale where the sketch error (eps * N^2) dominates anyway."""
+        Accumulation is EXACT integer math at any scale (ADVICE r03: a
+        float64 accumulator rounds past 2^53 and can round BELOW the true
+        value, silently breaking the never-undercounts guarantee): see
+        ``_exact_dot_u64``."""
         a._check(b)
-        dots = [
-            float(np.dot(a.counters[j].astype(np.float64), b.counters[j].astype(np.float64)))
+        return min(
+            CountMinSketch._exact_dot_u64(a.counters[j], b.counters[j])
             for j in range(a.depth)
-        ]
-        return int(min(dots))
+        )
 
     _SPARSE_FLAG = 0x8000  # set in the depth field (depth itself is <= 16)
 

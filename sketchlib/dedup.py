@@ -133,6 +133,7 @@ def lsh_candidate_pairs(
     bands: int = 16,
     seed: int = DEFAULT_SEED,
     max_bucket: int | None = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
     """(a, b) candidate pairs from banded LSH buckets (a < b).
 
@@ -150,21 +151,37 @@ def lsh_candidate_pairs(
     degenerate duplicate cluster instead of silently keeping all of them
     (ADVICE r02). Pairs are still signature-verified downstream, so a hot
     bucket of genuinely unrelated docs contributes nothing.
+
+    Lifecycle (VERDICT r03 #4): with ``materialize=True`` (default) the
+    banded rows are persisted ONCE for their consumers (count aggregate,
+    anti-join side, representative-pair join, and both sides of the bucket
+    self-join — previously each re-ran the banding mapInArrow), the
+    candidate set is materialized eagerly (it is duplicate-proportional,
+    far smaller than the banded rows), and both persists are released
+    before returning — no executor storage stays pinned after the call
+    beyond the returned result itself, an eager localCheckpoint whose
+    blocks long-lived sessions can release with ``sketchlib.session.release``
+    once consumed. ``materialize=False`` returns the pure lazy plan (no persist,
+    no job) for plan inspection or composition into a larger pipeline that
+    manages caching itself.
     """
     banded = banded_rows(sig_df, doc_col, bands)
+    banded_persisted = None
+    if materialize:
+        banded_persisted = banded = banded.persist()
     rep_pairs = None
+    hot_persisted = None
     if max_bucket is not None:
-        # persist: the over-cap key list (tiny — at most rows/max_bucket
-        # entries) feeds BOTH the anti-join and the representative-pair
-        # join; without it each broadcast recomputes the full count
-        # aggregate over the banded rows
+        # over-cap key list: tiny (at most rows/max_bucket entries), feeds
+        # BOTH the anti-join and the representative-pair join
         hot = (
             banded.groupBy("band_key")
             .agg(F.count("*").alias("__n"), F.min(doc_col).alias("__rep"))
             .where(F.col("__n") > max_bucket)
             .select("band_key", "__rep")
-            .persist()
         )
+        if materialize:
+            hot_persisted = hot = hot.persist()
         rep_pairs = (
             banded.join(F.broadcast(hot), "band_key")
             .where(F.col(doc_col) > F.col("__rep"))
@@ -180,7 +197,14 @@ def lsh_candidate_pairs(
     )
     if rep_pairs is not None:
         pairs = pairs.unionByName(rep_pairs)
-    return pairs.distinct()
+    pairs = pairs.distinct()
+    if not materialize:
+        return pairs
+    out = pairs.localCheckpoint(eager=True)
+    if hot_persisted is not None:
+        hot_persisted.unpersist()
+    banded_persisted.unpersist()
+    return out
 
 
 def near_dup_pairs(
@@ -197,9 +221,13 @@ def near_dup_pairs(
     """(a, b, est_jaccard >= threshold) via MinHash + LSH + signature verify.
 
     The signature table is cached for its three consumers (candidate
-    generation + both verify joins); retention is session-scoped and
-    sketch-sized (k x 8 bytes per doc), spilled/evicted by Spark's LRU under
-    pressure.
+    generation + both verify joins), the verified pair list (threshold
+    survivors only — tiny relative to the corpus) is materialized eagerly,
+    and the signature cache is released before returning (VERDICT r03 #4 /
+    ADVICE r03: no pinned executor storage outlives the call). The returned
+    DataFrame is an eager localCheckpoint; release with
+    ``sketchlib.session.release(df)`` once consumed if the session is
+    long-lived.
     """
     sigs = minhash_signatures(df, doc_col, tokens_col, k, shingle_n, seed).cache()
     cands = lsh_candidate_pairs(sigs, doc_col, bands, seed, max_bucket=max_bucket)
@@ -218,7 +246,12 @@ def near_dup_pairs(
         .withColumn("est_jaccard", jaccard_udf(F.col("sig_a"), F.col("sig_b")))
         .where(F.col("est_jaccard") >= threshold)
         .select("a", "b", "est_jaccard")
+        .localCheckpoint(eager=True)
     )
+    sigs.unpersist()
+    from .session import release
+
+    release(cands)  # checkpointed candidate blocks; DataFrame.unpersist is a no-op here
     return verified
 
 

@@ -12,6 +12,7 @@ beyond the blob decode itself, which is the payload).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -25,16 +26,105 @@ from .kmv import KmvSketch
 from .tdigest import TDigest
 
 
+def _hll_estimates_np(blobs: list) -> np.ndarray:
+    """Batch cardinality estimates for a list of non-null HLL blobs.
+
+    Groups rows by sketch config (a single column may legitimately mix p or
+    seed across tables), batch-decodes each group with one frombuffer
+    reshape, and runs the vectorized estimator once per group — the
+    K²-pairwise-matrix path previously paid a per-row Python
+    from_bytes + power-series (VERDICT r03 #5).
+    """
+    from .hll import (
+        estimates_from_histograms,
+        histograms_from_registers,
+        registers_from_blobs,
+    )
+
+    out = np.zeros(len(blobs), dtype=np.int64)
+    by_cfg: dict[bytes, list[int]] = {}
+    for i, b in enumerate(blobs):
+        by_cfg.setdefault(bytes(b[:16]), []).append(i)  # header = config key
+    for idx in by_cfg.values():
+        regs, p, _ = registers_from_blobs([blobs[i] for i in idx])
+        out[np.asarray(idx)] = estimates_from_histograms(
+            histograms_from_registers(regs), p
+        )
+    return out
+
+
+def _hll_pair_estimates(a: pd.Series, b: pd.Series, op: str) -> pd.Series:
+    """Vectorized union/intersection estimates over paired blob columns.
+
+    NULL convention (documented below at the registration site): both-NULL →
+    NULL; one-sided NULL → union degrades to the present side's estimate,
+    intersection to 0. Pairs must agree on (p, seed) — same contract as
+    ``merge`` (src/hll.c:781-788).
+    """
+    from .hll import (
+        estimates_from_histograms,
+        histograms_from_registers,
+        registers_from_blobs,
+    )
+
+    a_np = np.array([None if x is None else bytes(x) for x in a], dtype=object)
+    b_np = np.array([None if x is None else bytes(x) for x in b], dtype=object)
+    n = len(a_np)
+    a_null = np.array([x is None for x in a_np])
+    b_null = np.array([x is None for x in b_np])
+    res = np.zeros(n, dtype=np.int64)
+    valid = ~(a_null & b_null)
+    one_sided = valid & (a_null | b_null)
+    if one_sided.any():
+        if op == "union":
+            singles = [a_np[i] if a_np[i] is not None else b_np[i] for i in np.flatnonzero(one_sided)]
+            res[one_sided] = _hll_estimates_np(singles)
+        # intersection with the absent (empty) side is 0 — already zeros
+    both = valid & ~one_sided
+    if both.any():
+        idx = np.flatnonzero(both)
+        ra, p, seed = registers_from_blobs(a_np[idx])
+        rb, pb, seedb = registers_from_blobs(b_np[idx])
+        if (p, seed) != (pb, seedb):
+            raise ValueError(
+                f"cannot combine sketches of different config: p={p}/seed={seed} vs p={pb}/seed={seedb}"
+            )
+        u = np.maximum(ra, rb)
+        est_u = estimates_from_histograms(histograms_from_registers(u), p)
+        if op == "union":
+            res[idx] = est_u
+        else:
+            est_a = estimates_from_histograms(histograms_from_registers(ra), p)
+            est_b = estimates_from_histograms(histograms_from_registers(rb), p)
+            res[idx] = np.maximum(0, est_a + est_b - est_u)
+    out = pd.Series(res, dtype="Int64")
+    out[~valid] = pd.NA
+    return out
+
+
 def register(spark: SparkSession, prefix: str = "") -> None:
-    """Register sketch SQL functions (optionally name-prefixed)."""
+    """Register sketch SQL functions (optionally name-prefixed).
+
+    Every UDF is NULL-guarded (ADVICE r03): a NULL blob (e.g. from an outer
+    join) yields SQL NULL from single-blob functions, and the documented
+    empty-set algebra from pair functions — never an executor TypeError.
+    """
 
     @F.pandas_udf(T.LongType())
     def hll_estimate(blobs: pd.Series) -> pd.Series:
-        return blobs.map(lambda b: HllSketch.from_bytes(bytes(b)).cardinality()).astype("int64")
+        mask = blobs.notna().to_numpy()
+        res = np.zeros(len(blobs), dtype=np.int64)
+        if mask.any():
+            res[mask] = _hll_estimates_np([bytes(b) for b in blobs[mask]])
+        out = pd.Series(res, dtype="Int64")
+        out[~mask] = pd.NA
+        return out
 
     @F.pandas_udf(T.BinaryType())
     def hll_merge_pair(a: pd.Series, b: pd.Series) -> pd.Series:
         def m(x, y):
+            if x is None and y is None:
+                return None
             if x is None:
                 return bytes(y)
             if y is None:
@@ -45,19 +135,27 @@ def register(spark: SparkSession, prefix: str = "") -> None:
 
     @F.pandas_udf(T.DoubleType())
     def kll_median(blobs: pd.Series) -> pd.Series:
-        return blobs.map(lambda b: KllSketch.from_bytes(bytes(b)).quantile(0.5))
+        return blobs.map(
+            lambda b: KllSketch.from_bytes(bytes(b)).quantile(0.5), na_action="ignore"
+        )
 
     @F.pandas_udf(T.DoubleType())
     def tdigest_p99(blobs: pd.Series) -> pd.Series:
-        return blobs.map(lambda b: TDigest.from_bytes(bytes(b)).quantile(0.99))
+        return blobs.map(
+            lambda b: TDigest.from_bytes(bytes(b)).quantile(0.99), na_action="ignore"
+        )
 
     @F.pandas_udf(T.LongType())
     def cms_total(blobs: pd.Series) -> pd.Series:
-        return blobs.map(lambda b: CountMinSketch.from_bytes(bytes(b)).total).astype("int64")
+        return blobs.map(
+            lambda b: CountMinSketch.from_bytes(bytes(b)).total, na_action="ignore"
+        ).astype("Int64")
 
     @F.pandas_udf(T.DoubleType())
     def bloom_fpp(blobs: pd.Series) -> pd.Series:
-        return blobs.map(lambda b: BloomFilter.from_bytes(bytes(b)).fpp_estimate())
+        return blobs.map(
+            lambda b: BloomFilter.from_bytes(bytes(b)).fpp_estimate(), na_action="ignore"
+        )
 
     # two-argument set-algebra UDFs NULL-guard both sides: the natural
     # consumer is a FULL OUTER JOIN of two per-key sketch tables, where a
@@ -68,30 +166,11 @@ def register(spark: SparkSession, prefix: str = "") -> None:
 
     @F.pandas_udf(T.LongType())
     def hll_union_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
-        def one(x, y):
-            if x is None and y is None:
-                return None
-            if x is None:
-                return HllSketch.from_bytes(bytes(y)).cardinality()
-            if y is None:
-                return HllSketch.from_bytes(bytes(x)).cardinality()
-            return HllSketch.union_estimate(
-                HllSketch.from_bytes(bytes(x)), HllSketch.from_bytes(bytes(y))
-            )
-
-        return pd.Series([one(x, y) for x, y in zip(a, b)], dtype="Int64")
+        return _hll_pair_estimates(a, b, "union")
 
     @F.pandas_udf(T.LongType())
     def hll_intersection_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
-        def one(x, y):
-            if x is None or y is None:
-                # intersection with an absent key's (empty) set is 0; both
-                # NULL stays NULL
-                return None if (x is None and y is None) else 0
-            sa, sb = HllSketch.from_bytes(bytes(x)), HllSketch.from_bytes(bytes(y))
-            return HllSketch.intersection_estimate(sa, sb)
-
-        return pd.Series([one(x, y) for x, y in zip(a, b)], dtype="Int64")
+        return _hll_pair_estimates(a, b, "intersection")
 
     @F.pandas_udf(T.LongType())
     def cms_inner_product(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -107,95 +186,131 @@ def register(spark: SparkSession, prefix: str = "") -> None:
     @F.pandas_udf(T.DoubleType())
     def kll_quantile(blobs: pd.Series, qs: pd.Series) -> pd.Series:
         return pd.Series(
-            [KllSketch.from_bytes(bytes(b)).quantile(float(q)) for b, q in zip(blobs, qs)]
+            [
+                None
+                if b is None or q is None
+                else KllSketch.from_bytes(bytes(b)).quantile(float(q))
+                for b, q in zip(blobs, qs)
+            ],
+            dtype="float64",
         )
 
     @F.pandas_udf(T.DoubleType())
     def tdigest_quantile(blobs: pd.Series, qs: pd.Series) -> pd.Series:
         return pd.Series(
-            [TDigest.from_bytes(bytes(b)).quantile(float(q)) for b, q in zip(blobs, qs)]
+            [
+                None
+                if b is None or q is None
+                else TDigest.from_bytes(bytes(b)).quantile(float(q))
+                for b, q in zip(blobs, qs)
+            ],
+            dtype="float64",
         )
 
     @F.pandas_udf(T.LongType())
     def cms_point(blobs: pd.Series, values: pd.Series) -> pd.Series:
         return pd.Series(
             [
-                int(CountMinSketch.from_bytes(bytes(b)).query_batch([int(v)], kind="int64")[0])
+                None
+                if b is None or pd.isna(v)
+                else int(CountMinSketch.from_bytes(bytes(b)).query_batch([int(v)], kind="int64")[0])
                 for b, v in zip(blobs, values)
-            ]
-        ).astype("int64")
+            ],
+            dtype="Int64",
+        )
 
     @F.pandas_udf(T.LongType())
     def kmv_estimate(blobs: pd.Series) -> pd.Series:
-        return blobs.map(lambda b: KmvSketch.from_bytes(bytes(b)).estimate()).astype("int64")
+        return blobs.map(
+            lambda b: KmvSketch.from_bytes(bytes(b)).estimate(), na_action="ignore"
+        ).astype("Int64")
 
     # KMV set algebra carries the same NULL convention as the HLL pair UDFs
     # above: one-sided NULL = algebra with the empty set, both NULL = NULL.
+    # All three route through one batch decode (kmv.values_from_blobs) +
+    # kmv.pair_set_algebra over the pre-decoded value arrays — no per-row
+    # from_bytes on the K²-matrix path (VERDICT r03 #5).
+
+    def _kmv_pairs(a: pd.Series, b: pd.Series):
+        """Shared decode/alignment: returns (n, both_idx, (eu, ei, jac),
+        one-sided decode results dict)."""
+        from .kmv import pair_set_algebra, values_from_blobs
+
+        a_list = [None if x is None else bytes(x) for x in a]
+        b_list = [None if x is None else bytes(x) for x in b]
+        n = len(a_list)
+        both_idx = [i for i in range(n) if a_list[i] is not None and b_list[i] is not None]
+        algebra = (np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0))
+        if both_idx:
+            av, ka, sa = values_from_blobs([a_list[i] for i in both_idx])
+            bv, kb, sb = values_from_blobs([b_list[i] for i in both_idx])
+            if (ka, sa) != (kb, sb):
+                raise ValueError("cannot combine KMV sketches with different (k, seed)")
+            algebra = pair_set_algebra(av, bv, ka)
+        return a_list, b_list, both_idx, algebra
 
     @F.pandas_udf(T.DoubleType())
     def kmv_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
-        def one(x, y):
-            if x is None and y is None:
-                return None
-            if x is None or y is None:
+        a_list, b_list, both_idx, (_, _, jac) = _kmv_pairs(a, b)
+        out = [None] * len(a_list)
+        for pos, i in enumerate(both_idx):
+            out[i] = float(jac[pos])
+        for i in range(len(a_list)):
+            x, y = a_list[i], b_list[i]
+            if (x is None) != (y is None):
                 # one-sided NULL = jaccard against the EMPTY set, computed
                 # literally so an empty non-null sketch still gives 1.0
                 # (two empty sets are identical), matching blob-vs-blob
-                s = KmvSketch.from_bytes(bytes(x if x is not None else y))
-                return KmvSketch.jaccard(s, KmvSketch.empty(s.k, s.seed))
-            return KmvSketch.jaccard(
-                KmvSketch.from_bytes(bytes(x)), KmvSketch.from_bytes(bytes(y))
-            )
-
-        return pd.Series([one(x, y) for x, y in zip(a, b)], dtype="float64")
+                s = KmvSketch.from_bytes(x if x is not None else y)
+                out[i] = KmvSketch.jaccard(s, KmvSketch.empty(s.k, s.seed))
+        return pd.Series(out, dtype="float64")
 
     @F.pandas_udf(T.LongType())
     def kmv_intersection_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
-        def one(x, y):
-            if x is None or y is None:
-                return None if (x is None and y is None) else 0
-            return KmvSketch.intersection_estimate(
-                KmvSketch.from_bytes(bytes(x)), KmvSketch.from_bytes(bytes(y))
-            )
-
-        return pd.Series([one(x, y) for x, y in zip(a, b)], dtype="Int64")
+        a_list, b_list, both_idx, (_, ei, _) = _kmv_pairs(a, b)
+        out = [None] * len(a_list)
+        for pos, i in enumerate(both_idx):
+            out[i] = int(ei[pos])
+        for i in range(len(a_list)):
+            if (a_list[i] is None) != (b_list[i] is None):
+                out[i] = 0  # intersection with an absent (empty) set
+        return pd.Series(out, dtype="Int64")
 
     @F.pandas_udf(T.LongType())
     def kmv_union_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
-        def one(x, y):
-            if x is None and y is None:
-                return None
-            if x is None:
-                return KmvSketch.from_bytes(bytes(y)).estimate()
-            if y is None:
-                return KmvSketch.from_bytes(bytes(x)).estimate()
-            return KmvSketch.union(
-                KmvSketch.from_bytes(bytes(x)), KmvSketch.from_bytes(bytes(y))
-            ).estimate()
-
-        return pd.Series([one(x, y) for x, y in zip(a, b)], dtype="Int64")
+        a_list, b_list, both_idx, (eu, _, _) = _kmv_pairs(a, b)
+        out = [None] * len(a_list)
+        for pos, i in enumerate(both_idx):
+            out[i] = int(eu[pos])
+        for i in range(len(a_list)):
+            x, y = a_list[i], b_list[i]
+            if (x is None) != (y is None):
+                out[i] = KmvSketch.from_bytes(x if x is not None else y).estimate()
+        return pd.Series(out, dtype="Int64")
 
     @F.pandas_udf(T.DoubleType())
     def minhash_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
-        import numpy as np
-
         from .minhash import jaccard_from_blob_batches
 
-        if len(a) == 0:
-            return pd.Series(np.empty(0))
-        return pd.Series(jaccard_from_blob_batches(a, b))
+        valid = (a.notna() & b.notna()).to_numpy()
+        out = np.full(len(a), np.nan)
+        if valid.any():
+            out[valid] = jaccard_from_blob_batches(a[valid], b[valid])
+        return pd.Series(out)
 
     @F.pandas_udf(T.IntegerType())
     def simhash_hamming(a: pd.Series, b: pd.Series) -> pd.Series:
-        import numpy as np
-
-        x = a.to_numpy(dtype=np.int64).view(np.uint64) ^ b.to_numpy(
-            dtype=np.int64
-        ).view(np.uint64)
-        # vectorized popcount: sum the bit table of each byte
-        table = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
-        cnt = table[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
-        return pd.Series(cnt.astype("int32"))
+        valid = (a.notna() & b.notna()).to_numpy()
+        out = pd.Series([pd.NA] * len(a), dtype="Int32")
+        if valid.any():
+            x = a[valid].to_numpy(dtype=np.int64).view(np.uint64) ^ b[valid].to_numpy(
+                dtype=np.int64
+            ).view(np.uint64)
+            # vectorized popcount: sum the bit table of each byte
+            table = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+            cnt = table[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+            out[valid] = cnt.astype("int32")
+        return out
 
     for name, fn in [
         ("hll_estimate", hll_estimate),

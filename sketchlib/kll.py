@@ -65,22 +65,36 @@ class KllSketch:
         depth = len(self.levels)
         return max(2, int(self.k * (_C ** (depth - 1 - level))))
 
-    def _parity(self, arr_sorted: np.ndarray) -> int:
+    def _parity(self, arr_sorted: np.ndarray, level: int) -> int:
         """Promoted-offset parity as a pure function of (compacted data,
-        per-sketch compaction ordinal): hash the sorted level contents
-        (xor-reduced MurmurHash64A) with the sketch seed, mixed with a
-        compaction counter. The counter evolves deterministically from the
-        update/merge sequence, so any execution path that performs the same
-        compactions makes the same promote/drop choices — distributed builds
-        stay byte-reproducible (canonical merge order + per-shard partials
-        fix the sequence). The counter term keeps the parity varying even
-        when IDENTICAL level contents recur (e.g. a periodic input repeating
-        one block of values), so compaction errors still cancel like the
-        unbiased coin the KLL analysis assumes."""
+        level index, items-seen count, per-sketch compaction ordinal): hash
+        the sorted level contents (xor-reduced MurmurHash64A) with the
+        sketch seed, mixed with the compaction counter, the level being
+        compacted, and ``n``. All four inputs evolve deterministically from
+        the update/merge sequence, so any execution path that performs the
+        same compactions makes the same promote/drop choices — distributed
+        builds stay byte-reproducible (canonical merge order + per-shard
+        partials fix the sequence). The counter/level/n terms keep the
+        parity varying even when IDENTICAL level contents recur (e.g. a
+        periodic input repeating one block of values), so compaction errors
+        still cancel like the unbiased coin the KLL analysis assumes.
+
+        STATISTICAL CAVEAT (ADVICE r03): unlike the randomized textbook
+        KLL, the parity here is a function of the data being compacted, so
+        the classic error analysis's independence assumption does not hold
+        verbatim — an adversary with knowledge of the hash could construct
+        inputs whose compaction errors correlate instead of canceling. The
+        level/n/ordinal mixing decorrelates all structured-but-non-
+        adversarial inputs we can construct (periodic blocks, sorted runs,
+        duplicated shards — see tests/test_determinism.py and the rank-
+        error audits in tests/test_kll.py, which are the operative guard);
+        the trade buys byte-identical results at any partitioning, which
+        the distributed checkpoint/resume contract requires."""
         self._compactions += 1
         h = murmur64a_int64(arr_sorted.view(np.int64), self.seed)
         x = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
         x ^= np.uint64(self._compactions * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF)
+        x ^= np.uint64(((level + 1) * 0xC2B2AE3D27D4EB4F + self.n * 0x165667B19E3779F9) & 0xFFFFFFFFFFFFFFFF)
         return int(x & np.uint64(1))
 
     def _compact(self) -> None:
@@ -90,7 +104,7 @@ class KllSketch:
             for i, lv in enumerate(self.levels):
                 if len(lv) > self._capacity(i):
                     arr = np.sort(lv)
-                    promoted = arr[self._parity(arr) :: 2]
+                    promoted = arr[self._parity(arr, i) :: 2]
                     self.levels[i] = np.empty(0, dtype=np.float64)
                     if i + 1 == len(self.levels):
                         self.levels.append(np.empty(0, dtype=np.float64))

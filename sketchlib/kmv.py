@@ -165,3 +165,66 @@ class KmvSketch:
             if b is not None:
                 out.merge(KmvSketch.from_bytes(bytes(b)))
         return out
+
+
+def values_from_blobs(blobs) -> tuple[list[np.ndarray], int, int]:
+    """Batch-decode non-null KMV blobs -> (value arrays, k, seed).
+
+    One header parse + frombuffer slice per row, no dataclass construction
+    — the K²-pairwise-matrix path (VERDICT r03 #5). Mixed (k, seed) raises,
+    matching the ``merge`` contract.
+    """
+    import struct as _struct
+
+    vals: list[np.ndarray] = []
+    k0 = seed0 = None
+    for b in blobs:
+        b = bytes(b)
+        _, seed, payload = unpack_header(b, KIND_KMV)
+        k, n = _struct.unpack_from("<II", payload, 0)
+        if k0 is None:
+            k0, seed0 = k, seed
+        elif (k, seed) != (k0, seed0):
+            raise ValueError("cannot batch-decode KMV blobs with mixed (k, seed)")
+        vals.append(np.frombuffer(payload, dtype=np.uint64, count=n, offset=8))
+    return vals, (k0 if k0 is not None else 1024), (seed0 if seed0 is not None else DEFAULT_SEED)
+
+
+def _estimate_values(values: np.ndarray, k: int) -> int:
+    n = len(values)
+    if n < k:
+        return n
+    return int(round((k - 1) / ((float(values[k - 1]) + 1.0) / _TWO64)))
+
+
+def _union_values(a: np.ndarray, b: np.ndarray, k: int) -> np.ndarray:
+    return np.union1d(a, b)[:k]
+
+
+def pair_set_algebra(
+    a_vals: list[np.ndarray], b_vals: list[np.ndarray], k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(union_est, intersection_est, jaccard) arrays for pre-decoded pairs.
+
+    Per-pair work is pure numpy set ops over <=k-element arrays; the Python
+    loop only sequences them (no blob decode, no object construction).
+    Estimators identical to the KmvSketch methods (pinned by tests).
+    """
+    n = len(a_vals)
+    est_u = np.zeros(n, dtype=np.int64)
+    est_i = np.zeros(n, dtype=np.int64)
+    jac = np.zeros(n, dtype=np.float64)
+    for i in range(n):
+        u = _union_values(a_vals[i], b_vals[i], k)
+        eu = _estimate_values(u, k)
+        if len(u) == 0:
+            j = 1.0  # both empty: identical sets
+        else:
+            both = np.isin(u, a_vals[i], assume_unique=True) & np.isin(
+                u, b_vals[i], assume_unique=True
+            )
+            j = float(both.sum()) / float(len(u))
+        est_u[i] = eu
+        est_i[i] = int(round(j * eu))
+        jac[i] = j
+    return est_u, est_i, jac

@@ -905,14 +905,23 @@ def _source_mask_histogram(seqs: DataFrame, srcs: list) -> tuple:
     """(masks, counts) of distinct tokens by source-membership bitmask.
 
     ONE token-keyed aggregation — groupBy(tok) bit_or's a per-source bit,
-    then the <= 2^K mask histogram (K = #sources, must be <= 63 for the
-    long bit_or) collapses to per-source / pairwise / total distinct counts
-    in numpy. Exact set cardinalities over any subset algebra without a
-    distinct + self-join. Map-side partial bit_or keeps the shuffle at
-    (tok, bit) rows.
+    then the <= 2^K mask histogram (K = #sources) collapses to per-source /
+    pairwise / total distinct counts in numpy. Exact set cardinalities over
+    any subset algebra without a distinct + self-join. Map-side partial
+    bit_or keeps the shuffle at (tok, bit) rows.
+
+    The real bound is the DRIVER COLLECT of the mask histogram — up to 2^K
+    rows — not the 63-bit long (VERDICT r03 #6): K=20 is ~1M collected rows
+    (tens of MB), K=30 would be a billion. Exact-companion scale only; past
+    the cap, use the sketch path (kmv/hll jaccard matrices), which never
+    materializes the histogram.
     """
-    if len(srcs) > 63:
-        raise ValueError(f"{len(srcs)} sources exceed the 63-bit mask budget")
+    if len(srcs) > 20:
+        raise ValueError(
+            f"{len(srcs)} sources exceed the exact mask-histogram budget "
+            f"(2^K collected rows; K<=20). Use the KMV/HLL sketch matrices "
+            f"for larger source sets."
+        )
     src_bit = {s: 1 << i for i, s in enumerate(srcs)}
     bit_map = F.create_map(*[F.lit(x) for s in srcs for x in (s, src_bit[s])])
     hist = (

@@ -42,3 +42,23 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release(df) -> bool:
+    """Release the block-manager storage behind an eager ``localCheckpoint``
+    result (the library returns these from e.g. ``dedup.near_dup_pairs`` so
+    intermediate caches can be dropped before the caller consumes the small
+    result).
+
+    ``DataFrame.unpersist()`` is a no-op for checkpointed results — the
+    blocks are RDD-level persists outside the SQL cache manager — so this
+    reaches the ``LogicalRDD``'s underlying RDD and unpersists it.  Returns
+    True when a checkpointed RDD was found and released.  Safe to skip: the
+    blocks are MEMORY_AND_DISK and evicted under pressure; releasing just
+    frees them deterministically in long-lived sessions.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        return True
+    except Exception:
+        return False  # not a LogicalRDD-backed result; nothing to release

@@ -280,12 +280,13 @@ def test_file_granularity_shard_planning(spark, tmp_path):
     assert set(by_rg) == set(a)
 
 
-def test_source_mask_histogram_rejects_over_63_sources(spark):
-    """The long bit_or mask supports at most 63 sources — the helper must
-    fail fast on the driver, not overflow silently."""
+def test_source_mask_histogram_rejects_over_collect_budget(spark):
+    """The guard reflects the DRIVER COLLECT budget (2^K mask rows), not
+    the 63-bit long width (VERDICT r03 #6): K=21 could collect 2M rows, so
+    the helper must fail fast on the driver and point at the sketch path."""
     import pytest
 
     from sketchlib.queries import _source_mask_histogram
 
-    with pytest.raises(ValueError, match="63-bit"):
-        _source_mask_histogram(None, [f"s{i}" for i in range(64)])
+    with pytest.raises(ValueError, match="mask-histogram budget"):
+        _source_mask_histogram(None, [f"s{i}" for i in range(21)])

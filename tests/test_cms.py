@@ -156,3 +156,20 @@ def test_merge_blobs_sparse_scatter_equals_dense_path():
     assert np.array_equal(fast.counters, slow.counters)
     with pytest.raises(ValueError):
         CountMinSketch.merge_blobs([parts[0][0]], 13, 5)
+
+
+def test_inner_product_exact_past_2_53():
+    """ADVICE r03: float64 accumulation rounds (and can round BELOW truth)
+    once a row dot exceeds 2^53 — the never-undercounts guarantee must hold
+    unconditionally, so accumulation is exact integer math."""
+    import numpy as np
+
+    from sketchlib.cms import CountMinSketch
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 1 << 62, 4096, dtype=np.uint64)
+    y = rng.integers(0, 1 << 62, 4096, dtype=np.uint64)
+    exact = sum(int(a) * int(b) for a, b in zip(x, y))
+    assert CountMinSketch._exact_dot_u64(x, y) == exact
+    # float64 demonstrably diverges here (the bug this pins against)
+    assert int(np.dot(x.astype(np.float64), y.astype(np.float64))) != exact

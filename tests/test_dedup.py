@@ -278,3 +278,26 @@ def test_near_dedup_keeps_one_of_each_group(spark, corpus_df):
         assert f"d{i:04d}" in kept and f"nd{i:04d}" not in kept
     # random docs (no near-dup partner) all survive
     assert {f"d{i:04d}" for i in range(10, 60)} <= kept
+
+
+def test_dedup_releases_executor_storage(spark, corpus_df):
+    """VERDICT r03 #4 / ADVICE r03: the LSH pipeline must not pin executor
+    storage past the call — signatures, banded rows, and the over-cap key
+    list are all released; only the returned (tiny, checkpointed) results
+    remain, and sketchlib.session.release() frees those too."""
+    from sketchlib.session import release
+
+    sc = spark.sparkContext
+
+    def n_persistent():
+        return sc._jsc.sc().getPersistentRDDs().size()
+
+    base = n_persistent()
+    pairs = near_dup_pairs(corpus_df, threshold=0.5, k=64, bands=16)
+    got = pairs.count()
+    assert got > 0
+    # intermediates gone: only the returned verified-pairs checkpoint
+    # survives the call (the internal candidate checkpoint is released too)
+    assert n_persistent() <= base + 1
+    assert release(pairs)
+    assert n_persistent() <= base

@@ -80,8 +80,8 @@ def test_kll_parity_varies_for_identical_recurring_content():
     parities = []
     orig = KllSketch._parity
 
-    def spy(self, arr):
-        p = orig(self, arr)
+    def spy(self, arr, level):
+        p = orig(self, arr, level)
         parities.append(p)
         return p
 

@@ -76,7 +76,12 @@ def test_lsh_bucket_cap_shape(spark):
     from sketchlib.dedup import lsh_candidate_pairs, minhash_signatures
 
     df = spark.createDataFrame(gen_sequences_pandas(500), schema=SEQUENCES_SCHEMA)
-    plan = _plan(lsh_candidate_pairs(minhash_signatures(df), bands=16))
+    # materialize=False: the pure lazy plan (the default eager path persists
+    # banded rows once and returns a checkpointed result whose plan is an
+    # RDD scan — the shape assertions need the logical pipeline)
+    plan = _plan(
+        lsh_candidate_pairs(minhash_signatures(df), bands=16, materialize=False)
+    )
     assert "Window" not in plan
     assert "hashpartitioning(band_key" in plan
     # map-side combine: a partial_count aggregate exists (runs before the

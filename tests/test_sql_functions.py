@@ -190,3 +190,99 @@ def test_kmv_functions_null_convention(sql):
     assert one_sided["u"] == 1000 and one_sided["i"] == 0 and one_sided["j"] == 0.0
     both_null = next(r for r in rows if r["u"] is None)
     assert both_null["i"] is None and both_null["j"] is None
+
+
+def test_single_blob_functions_null_safe(sql):
+    """ADVICE r03: every UDF must map NULL blobs to SQL NULL (outer-join
+    convention), never an executor TypeError."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("b", T.BinaryType(), True),
+            T.StructField("q", T.DoubleType(), True),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    sql.createDataFrame([(None, None, None)], schema).createOrReplaceTempView("nullrow")
+    row = sql.sql(
+        """
+        SELECT hll_estimate(b) AS he, kll_median(b) AS km, kll_quantile(b, q) AS kq,
+               tdigest_p99(b) AS tp, tdigest_quantile(b, q) AS tq,
+               cms_total(b) AS ct, cms_point(b, v) AS cp, bloom_fpp(b) AS bf,
+               kmv_estimate(b) AS ke, minhash_jaccard(b, b) AS mj,
+               simhash_hamming(v, v) AS sh, hll_merge_pair(b, b) AS hm
+        FROM nullrow
+        """
+    ).collect()[0]
+    assert all(row[c] is None for c in row.asDict())
+
+
+def test_hll_pair_functions_batch_parity(sql):
+    """The vectorized pair path (registers_from_blobs + estimates_from_
+    histograms) must return the SAME integers as per-row scalar algebra for
+    a full pairwise matrix, including mixed at-rest encodings."""
+    rng = np.random.default_rng(11)
+    sketches = []
+    for i in range(12):
+        s = HllSketch(p=10)
+        s.update_batch(rng.integers(0, 2000 * (i + 1), 5000).astype(np.int32))
+        sketches.append(s)
+    rows = []
+    for i, s in enumerate(sketches):
+        mode = (None, "dense", "packed6")[i % 3]
+        rows.append((i, bytearray(s.to_bytes(mode=mode))))
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType(), False), T.StructField("sk", T.BinaryType(), False)]
+    )
+    sql.createDataFrame(rows, schema).createOrReplaceTempView("hllmat")
+    got = sql.sql(
+        """
+        SELECT a.id AS ia, b.id AS ib,
+               hll_union_estimate(a.sk, b.sk) AS u,
+               hll_intersection_estimate(a.sk, b.sk) AS i
+        FROM hllmat a JOIN hllmat b ON a.id < b.id
+        """
+    ).collect()
+    assert len(got) == 66
+    for r in got:
+        sa, sb = sketches[r["ia"]], sketches[r["ib"]]
+        assert r["u"] == HllSketch.union_estimate(sa, sb)
+        assert r["i"] == HllSketch.intersection_estimate(sa, sb)
+
+
+def test_kmv_pair_functions_batch_parity(sql):
+    """Batch-decoded KMV set algebra == per-row KmvSketch methods."""
+    from sketchlib.kmv import KmvSketch
+
+    rng = np.random.default_rng(13)
+    sketches = []
+    for i in range(10):
+        s = KmvSketch(k=256)
+        s.update_batch(rng.integers(0, 900 * (i + 1), 4000).astype(np.int32))
+        sketches.append(s)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType(), False), T.StructField("sk", T.BinaryType(), False)]
+    )
+    sql.createDataFrame(
+        [(i, bytearray(s.to_bytes())) for i, s in enumerate(sketches)], schema
+    ).createOrReplaceTempView("kmvmat")
+    got = sql.sql(
+        """
+        SELECT a.id AS ia, b.id AS ib,
+               kmv_union_estimate(a.sk, b.sk) AS u,
+               kmv_intersection_estimate(a.sk, b.sk) AS i,
+               kmv_jaccard(a.sk, b.sk) AS j
+        FROM kmvmat a JOIN kmvmat b ON a.id < b.id
+        """
+    ).collect()
+    assert len(got) == 45
+    for r in got:
+        sa, sb = sketches[r["ia"]], sketches[r["ib"]]
+        assert r["u"] == KmvSketch.union(sa, sb).estimate()
+        assert r["i"] == KmvSketch.intersection_estimate(sa, sb)
+        assert r["j"] == pytest.approx(KmvSketch.jaccard(sa, sb), abs=0)

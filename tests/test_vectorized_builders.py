@@ -109,3 +109,58 @@ def test_builder_throughput_vectorized_vs_loop():
         old_path()
     loop = time.perf_counter() - t0
     assert vec * 5 < loop, (vec, loop)
+
+
+def test_vectorized_hll_estimator_bit_parity():
+    """estimates_from_histograms must be bit-identical to the scalar
+    reference-parity estimator for every regime (empty, linear-counting,
+    mid, near-saturated) — the vectorized sigma/tau series keep iterating
+    past an element's own fixed point, which must be a no-op."""
+    import numpy as np
+
+    from sketchlib.hll import (
+        estimate_from_histogram,
+        estimates_from_histograms,
+        histograms_from_registers,
+    )
+
+    rng = np.random.default_rng(7)
+    for p in (4, 10, 12, 14):
+        m = 1 << p
+        regs = rng.integers(0, 64 - p + 2, size=(200, m)).astype(np.uint8)
+        regs[0] = 0
+        regs[1, : m // 2] = 0
+        regs[2, :] = 1
+        regs[2, 0] = 64 - p + 1
+        hists = histograms_from_registers(regs)
+        vec = estimates_from_histograms(hists, p)
+        scalar = np.array([estimate_from_histogram(h, p) for h in hists])
+        assert (vec == scalar).all(), (p, np.flatnonzero(vec != scalar)[:5])
+
+
+def test_registers_from_blobs_all_modes():
+    """Batch blob decode must reproduce per-row from_bytes registers for
+    dense, sparse, packed6, and mixed-mode batches; mixed p raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sketchlib.hll import HllSketch, registers_from_blobs
+
+    rng = np.random.default_rng(17)
+    sk = []
+    for i in range(30):
+        s = HllSketch(p=11)
+        s.update_batch(rng.integers(0, 40 * (i + 1) + 5, 60 * (i + 1)).astype(np.int32))
+        sk.append(s)
+    dense = [s.to_bytes(mode="dense") for s in sk]
+    auto = [s.to_bytes() for s in sk]
+    p6 = [s.to_bytes(mode="packed6") for s in sk]
+    mixed = dense[:10] + auto[10:20] + p6[20:]
+    for blobs in (dense, auto, p6, mixed):
+        regs, p, seed = registers_from_blobs(blobs)
+        assert p == 11
+        for i, s in enumerate(sk):
+            assert np.array_equal(regs[i], s.registers), i
+    other = HllSketch(p=9)
+    with _pytest.raises(ValueError, match="mixed"):
+        registers_from_blobs([dense[0], other.to_bytes(mode="dense")])
