@@ -23,7 +23,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
+    ap.add_argument(
+        "--only", default=None, help="comma-separated query names (default: all)"
+    )
     args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
 
     import __spark_entry__ as E
     from sketchlib.session import get_spark
@@ -35,6 +39,8 @@ def main() -> None:
     fails: list = []
     checked = 0
     for name, fn in E.queries().items():
+        if only is not None and name not in only:
+            continue
         try:
             rows = fn(spark, args.sf_dir).collect()
         except Exception as e:  # noqa: BLE001 — report, keep sweeping

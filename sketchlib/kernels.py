@@ -290,6 +290,42 @@ def hll_hash_index_rank_fast(
     return idx, rank
 
 
+def hll_build_into(
+    flat_regs: np.ndarray,
+    values: np.ndarray,
+    value_codes: np.ndarray | None,
+    seed: int,
+    p: int,
+    kind: str = "int32",
+    window: int = 1 << 15,
+) -> None:
+    """Fused hash + index/rank split + scatter-max, windowed for cache
+    residency (VERDICT r03 #3).
+
+    Processes ``values`` in ``window``-element slices so the uint64 scratch
+    streams (~33 B/element across h/t/idx/f/rank) live in the core-private
+    L2 instead of streaming through the SHARED L3/DRAM — at 32 workers the
+    un-windowed per-batch scratch (~4-7 MB each) thrashes the shared cache,
+    which is exactly the measured 8->32 efficiency cliff. DRAM traffic per
+    token drops to the 4-byte value read plus the (tiny, cache-resident)
+    register matrix. Results are byte-identical at any window size:
+    scatter-max is associative and commutative.
+
+    ``flat_regs`` is the uint8 register array — 2^p for a single sketch, or
+    n_groups * 2^p with ``value_codes`` giving each element's group.
+    """
+    n = len(values)
+    m = 1 << p
+    for lo in range(0, n, window):
+        hi = min(lo + window, n)
+        idx, rank = hll_hash_index_rank_fast(values[lo:hi], seed, p, kind)
+        if value_codes is None:
+            np.maximum.at(flat_regs, idx, rank)
+        else:
+            addr = grouped_addresses(value_codes[lo:hi], idx, m)
+            np.maximum.at(flat_regs, addr, rank)
+
+
 def grouped_addresses(value_codes: np.ndarray, idx: np.ndarray, m: int) -> np.ndarray:
     """code*m + idx into scratch (for the grouped scatter-max)."""
     addr = _scratch("addr", len(idx), np.uint64)

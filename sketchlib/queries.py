@@ -250,11 +250,20 @@ def cms_heavy_hitters_per_source(spark: SparkSession, sf_dir: str, k: int = 3) -
         .where(F.col("rk") <= k)
         .drop("rk")
     )
+    # PER-KEY width from the sizing rule (VERDICT r03 #9), not the global
+    # default: eps=2e-4 -> 2^14 -> 655 KB per source instead of 10 MB, so
+    # 10^4 sources checkpoint 6.5 GB, not 100 GB. All bound booleans below
+    # derive eps from the chosen width, so the contract is width-exact.
+    width_log2 = CmsAggregator.width_log2_for_eps(2e-4)
     agg = CmsAggregator(
-        width_log2=18, depth=5, key_cols=["source"], value_col="tokens", value_kind="tokens"
+        width_log2=width_log2,
+        depth=5,
+        key_cols=["source"],
+        value_col="tokens",
+        value_kind="tokens",
     )
     merged = agg.merged(path, spark=spark).localCheckpoint(eager=True)
-    eps = float(np.e) / (1 << 18)
+    eps = float(np.e) / (1 << width_log2)
 
     # group the k probe tokens per source BEFORE the sketch join: one blob
     # copy and one from_bytes per source (the per-row variant replicated
@@ -761,29 +770,35 @@ def hll_source_overlap(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> 
     # union/intersection over arbitrarily many sources (VERDICT r02 #3).
     # The source predicate rides the Spark scan (partition/row-group pruning
     # on a source-partitioned production table) instead of sketching every
-    # source and filtering the per-key rows afterwards.
-    merged = (
-        agg.merged(
-            sequences_for(spark, sf_dir).where(F.col("source").isin(a_src, b_src))
-        )
-        .localCheckpoint(eager=True)
+    # source and filtering the per-key rows afterwards. The filtered rows
+    # are persisted so the sketch build and the exact companion share ONE
+    # scan (VERDICT r03 #7: estimate/union/exact each re-read the parquet);
+    # exact-companion-scale only — the sketch path alone reads the scan once.
+    filtered = (
+        sequences_for(spark, sf_dir)
+        .select("source", "tokens")
+        .where(F.col("source").isin(a_src, b_src))
+        .persist()
     )
+    merged = agg.merged(filtered).localCheckpoint(eager=True)
     est_udf = agg.estimate_udf()
-    per_src = {
-        r["source"]: int(r["est"])
-        for r in merged.select("source", est_udf(F.col("sketch")).alias("est")).collect()
-    }
-    est_union = int(
-        agg.rollup_total(merged)
-        .select(est_udf(F.col("sketch")).alias("est"))
-        .collect()[0]["est"]
+    # ONE action for the three estimates: per-source rows + the distributed
+    # keyless union merge, unioned before the collect
+    est_rows = (
+        merged.select("source", est_udf(F.col("sketch")).alias("est"))
+        .unionByName(
+            agg.rollup_total(merged).select(
+                F.lit("__union__").alias("source"), est_udf(F.col("sketch")).alias("est")
+            )
+        )
+        .collect()
     )
-    est_inter = max(0, per_src[a_src] + per_src[b_src] - est_union)
+    ests = {r["source"]: int(r["est"]) for r in est_rows}
+    est_union = ests["__union__"]
+    est_inter = max(0, ests[a_src] + ests[b_src] - est_union)
 
-    seqs = sequences_for(spark, sf_dir)
     per_tok = (
-        seqs.where(F.col("source").isin(a_src, b_src))
-        .select("source", F.explode("tokens").alias("tok"))
+        filtered.select("source", F.explode("tokens").alias("tok"))
         .groupBy("tok")
         .agg(F.countDistinct("source").alias("nsrc"))
     )
@@ -792,6 +807,10 @@ def hll_source_overlap(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> 
         F.sum((F.col("nsrc") == 2).cast("long")).alias("exact_intersection"),
     ).collect()[0]
     exact_union, exact_inter = row["exact_union"], row["exact_intersection"]
+    filtered.unpersist()
+    from .session import release
+
+    release(merged)
     sigma = HllSketch.std_error(p)
     union_ok = abs(est_union / exact_union - 1.0) <= 3 * sigma
     # inclusion-exclusion: absolute error ~ 3 estimates' errors, each O(sigma * union)
@@ -1125,8 +1144,10 @@ def doc_rarity_mass(spark: SparkSession, sf_dir: str, bottom_k: int = 10) -> Dat
                 .to_numpy(zero_copy_only=False)
                 .astype(np.int64)
             )
-            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int32)
-            ests = sketch.query_batch(flat).astype(np.int64)
+            # copy=False: the Arrow buffer is already int32, so this is a
+            # view, not a second pass over the tokens (VERDICT r03 #3)
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
+            ests = sketch.query_batch(flat).astype(np.int64, copy=False)
             # segment-sum over NON-empty docs only: clamping boundary
             # indices for empty segments would silently truncate the
             # preceding doc's segment (a trailing empty doc moved the last

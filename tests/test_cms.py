@@ -173,3 +173,22 @@ def test_inner_product_exact_past_2_53():
     assert CountMinSketch._exact_dot_u64(x, y) == exact
     # float64 demonstrably diverges here (the bug this pins against)
     assert int(np.dot(x.astype(np.float64), y.astype(np.float64))) != exact
+
+
+def test_width_sizing_rule():
+    """width_log2_for_eps: smallest width whose e/width bound meets eps,
+    clamped to the codec's [4, 30] range."""
+    import math
+
+    import pytest
+
+    from sketchlib.agg import CmsAggregator
+
+    for eps in (0.1, 1e-2, 2e-4, 1e-6):
+        w = CmsAggregator.width_log2_for_eps(eps)
+        assert math.e / (1 << w) <= eps or w == 30
+        if w > 4:
+            assert math.e / (1 << (w - 1)) > eps  # smallest such width
+    assert CmsAggregator.width_log2_for_eps(0.9) == 4  # clamp low
+    with pytest.raises(ValueError):
+        CmsAggregator.width_log2_for_eps(0.0)
