@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll_parity": Q.streaming_hll_parity,
         "streaming_windowed_users": Q.streaming_windowed_users,
         "streaming_finalized_windows": Q.streaming_finalized_windows,
+        "streaming_exact_dedup_docs": Q.streaming_exact_dedup_docs,
         # oracle-checked: exact values + sketch-bound assertions
         "hll_users_accuracy": Q.hll_users_accuracy,
         "hll_parts_accuracy": Q.hll_parts_accuracy,
@@ -229,6 +230,12 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*) AS n_rows,
                    TRUE AS final_matches_batch
             FROM events GROUP BY 1, 2 ORDER BY day, event_type
+        """,
+        "streaming_exact_dedup_docs": """
+            SELECT COUNT(*) AS n_docs,
+                   COUNT(DISTINCT text) AS n_after_dedup,
+                   TRUE AS stream_matches_batch
+            FROM documents
         """,
         "near_dup_topk_pairs": """
             SELECT 10::BIGINT AS n_pairs, TRUE AS all_within_bound

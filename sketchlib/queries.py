@@ -2447,3 +2447,87 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(len(probes), bool(sum(recalls) / len(recalls) >= 0.5))],
         "n_probes long, mean_recall_ge_half boolean",
     )
+
+
+def _docs_fp_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """2-file deterministic (doc_id, fp) stream source for the documents
+    table — dataset PREP, cached per sf_dir like the other stream sources.
+    Only fingerprints ride the stream (scale shape: the dedup shuffle never
+    carries document payloads)."""
+    key = (sf_dir, "docs_fp")
+    if key in _STREAM_SRC_CACHE:
+        return _STREAM_SRC_CACHE[key]
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.xxhash64("text").alias("fp")
+    )
+    src_dir = tempfile.mkdtemp(prefix="sketchlib_stream_docs_")
+    docs.repartitionByRange(2, "doc_id").write.mode("overwrite").parquet(src_dir)
+    _STREAM_SRC_CACHE[key] = src_dir
+    return src_dir
+
+
+def streaming_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT dedup of the documents corpus: per-fingerprint keyed
+    state (streaming.streaming_first_seen) consumes the corpus as a 2-batch
+    file stream and keeps the min doc_id per distinct text fingerprint.
+
+    Because min is associative/commutative, the final streaming survivor
+    set is PROVABLY equal to the batch ``exact_dedup`` result at any
+    micro-batch split — asserted here by exact set comparison, the same
+    stream/batch parity law as the sketch-state queries. n_docs and
+    n_after_dedup are SQL-exact.
+    """
+    import tempfile
+    import uuid
+
+    from .streaming import streaming_first_seen
+
+    src_dir = _docs_fp_stream_dir(spark, sf_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    name = f"dedup_stream_{uuid.uuid4().hex[:8]}"
+    with _streaming_conf(spark):
+        q = (
+            streaming_first_seen(stream, "fp", "doc_id")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sketchlib_stream_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    spark.catalog.dropTempView(name)
+    final: dict = {}
+    for r in rows:  # update mode: the last emission per fp has max dup_count
+        if r["fp"] not in final or r["dup_count"] > final[r["fp"]]["dup_count"]:
+            final[r["fp"]] = r
+    stream_survivors = {(r["fp"], r["doc_id"]) for r in final.values()}
+    n_docs_streamed = sum(r["dup_count"] for r in final.values())
+
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.xxhash64("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("cnt"))
+        .collect()
+    )
+    batch_survivors = {(r["fp"], r["doc_id"]) for r in batch}
+    n_docs = sum(r["cnt"] for r in batch)
+    matches = (
+        stream_survivors == batch_survivors and n_docs_streamed == n_docs
+    )
+    return spark.createDataFrame(
+        [(int(n_docs), len(batch_survivors), bool(matches))],
+        "n_docs long, n_after_dedup long, stream_matches_batch boolean",
+    )

@@ -386,3 +386,72 @@ def sketch_streaming_windowed(
         outputMode=mode,
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_first_seen(
+    stream: DataFrame, fp_col: str = "fp", keep_col: str = "doc_id"
+) -> DataFrame:
+    """Streaming EXACT dedup: one surviving row per distinct fingerprint.
+
+    Per-fingerprint keyed state = the minimum ``keep_col`` seen so far plus
+    the duplicate count; each micro-batch folds its rows in and emits the
+    refreshed survivor (update mode). Because ``min`` is associative and
+    commutative, the final emission per key equals the batch
+    ``groupBy(fp).min(keep)`` REGARDLESS of how rows split into
+    micro-batches — the same provable stream/batch parity law the sketch
+    states carry (this module's docstring), extended to the dedup operator.
+
+    Scale shape: the shuffle carries (fp, keep) pairs — never document
+    payloads — and state is one tiny row per DISTINCT fingerprint, the
+    irreducible cost of *exact* streaming dedup. At 10^12 docs run it on
+    the RocksDB state store provider and bound retention with a state TTL
+    (drop-oldest is the standard trade: a dup of a very old doc survives);
+    the sketch-sized alternative is a streaming Bloom gate
+    (``sketch_streaming`` with a BloomAggregator), which trades exactness
+    for O(bits) state.
+    """
+    fp_field = stream.schema[fp_col]
+    keep_field = stream.schema[keep_col]
+    out_schema = T.StructType(
+        [
+            fp_field,
+            T.StructField(keep_col, keep_field.dataType, True),
+            T.StructField("dup_count", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("keep", keep_field.dataType, True),
+            T.StructField("n_rows", T.LongType(), True),
+        ]
+    )
+
+    def update_fn(key, pdfs, state: GroupState):
+        batch_min = None
+        n = 0
+        for pdf in pdfs:
+            col = pdf[keep_col].dropna()
+            n += len(pdf)
+            if len(col):
+                m = col.min()
+                batch_min = m if batch_min is None else min(batch_min, m)
+        if state.exists:
+            prev, n_rows = state.get
+            keep = prev if batch_min is None else min(prev, batch_min)
+            n_rows += n
+        else:
+            keep, n_rows = batch_min, n
+        state.update((keep, n_rows))
+        yield pd.DataFrame({fp_col: [key[0]], keep_col: [keep], "dup_count": [n_rows]})
+
+    return (
+        stream.select(fp_col, keep_col)
+        .groupBy(fp_col)
+        .applyInPandasWithState(
+            update_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -493,3 +493,65 @@ def test_generic_streaming_kmv_byte_parity(spark, tmp_path):
         assert bytes(latest[key]["blob"]) == batch.to_bytes(), key
         assert latest[key]["est_distinct"] == batch.estimate()
         assert latest[key]["n_rows"] == len(grp)
+
+
+def test_streaming_first_seen_matches_batch_dedup(spark, tmp_path):
+    """streaming_first_seen: the final per-fingerprint survivor equals the
+    batch groupBy(fp).min(keep) at ANY micro-batch split (min associativity
+    — the dedup analogue of the sketch parity law), duplicates counted
+    exactly, and a dup arriving in a LATER batch still loses to the earlier
+    smaller doc_id (cross-batch state)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from sketchlib.streaming import streaming_first_seen
+
+    rows1 = pd.DataFrame(
+        {"doc_id": ["d003", "d001", "d005"], "fp": [10, 20, 30]}
+    )
+    # batch 2: d000 is a dup of fp=10 with a SMALLER id than batch 1's d003;
+    # d009 dups fp=20 with a larger id (must lose to d001)
+    rows2 = pd.DataFrame(
+        {"doc_id": ["d000", "d009", "d007"], "fp": [10, 20, 40]}
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("fp", T.LongType(), False),
+        ]
+    )
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    ckpt = str(tmp_path / "ckpt")
+    for b in (rows1, rows2):
+        spark.createDataFrame(b, schema=schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        streaming_first_seen(stream, "fp", "doc_id")
+        .writeStream.format("memory")
+        .queryName("first_seen")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    rows = spark.sql("SELECT * FROM first_seen").collect()
+    final = {}
+    for r in rows:
+        if r["fp"] not in final or r["dup_count"] > final[r["fp"]]["dup_count"]:
+            final[r["fp"]] = r
+    assert {(k, v["doc_id"], v["dup_count"]) for k, v in final.items()} == {
+        (10, "d000", 2),
+        (20, "d001", 2),
+        (30, "d005", 1),
+        (40, "d007", 1),
+    }
+    spark.catalog.dropTempView("first_seen")
