@@ -865,14 +865,21 @@ class CmsAggregator(SketchAggregator):
 
     def __init__(
         self,
-        width_log2: int = 16,
+        width_log2: int | None = None,
         depth: int = 5,
         seed: int = DEFAULT_SEED,
         key_cols: Sequence[str] = (),
         value_col: str = "tokens",
         value_kind: str = "tokens",
+        eps: float | None = None,
     ):
         super().__init__(key_cols, value_col, value_kind)
+        if eps is not None and width_log2 is not None:
+            raise ValueError("pass width_log2 OR eps, not both")
+        if width_log2 is None:
+            # eps-first sizing (the class-docstring rule); default keeps the
+            # historical 2^16 width
+            width_log2 = 16 if eps is None else self.width_log2_for_eps(eps)
         self.width_log2, self.depth, self.seed = int(width_log2), int(depth), int(seed)
         CountMinSketch.empty(self.width_log2, self.depth, self.seed)  # validate
 

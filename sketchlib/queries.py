@@ -254,16 +254,11 @@ def cms_heavy_hitters_per_source(spark: SparkSession, sf_dir: str, k: int = 3) -
     # default: eps=2e-4 -> 2^14 -> 655 KB per source instead of 10 MB, so
     # 10^4 sources checkpoint 6.5 GB, not 100 GB. All bound booleans below
     # derive eps from the chosen width, so the contract is width-exact.
-    width_log2 = CmsAggregator.width_log2_for_eps(2e-4)
     agg = CmsAggregator(
-        width_log2=width_log2,
-        depth=5,
-        key_cols=["source"],
-        value_col="tokens",
-        value_kind="tokens",
+        eps=2e-4, depth=5, key_cols=["source"], value_col="tokens", value_kind="tokens"
     )
     merged = agg.merged(path, spark=spark).localCheckpoint(eager=True)
-    eps = float(np.e) / (1 << width_log2)
+    eps = float(np.e) / (1 << agg.width_log2)
 
     # group the k probe tokens per source BEFORE the sketch join: one blob
     # copy and one from_bytes per source (the per-row variant replicated
@@ -1124,9 +1119,35 @@ def doc_rarity_mass(spark: SparkSession, sf_dir: str, bottom_k: int = 10) -> Dat
     _s = CountMinSketch.from_bytes(blob)
     per_tok_bound = int(np.ceil(_s.epsilon * _s.total))
 
+    # EXACT companion frequency model: the vocabulary-sized (tok, count)
+    # table collected to the driver and broadcast as two sorted numpy
+    # arrays, so exact scoring rides the SAME one-scan segment-sum as the
+    # sketch path (previously: explode + broadcast join + groupBy(doc) — a
+    # second full pass plus a doc-keyed shuffle; measured 5.1s -> ~2s warm
+    # at sf0.1). Cap-guarded: exact rarity is an oracle-scale companion —
+    # past the cap the sketch path is the product (its frequency model is
+    # the KB CMS blob, vocabulary-size-independent).
+    freq_rows = (
+        seqs.select(F.explode("tokens").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    if len(freq_rows) > (1 << 24):
+        raise ValueError(
+            f"exact rarity companion caps at 2^24 vocabulary entries "
+            f"(got {len(freq_rows)}); use the CMS sketch path for open vocabularies"
+        )
+    vocab = np.array([r["tok"] for r in freq_rows], dtype=np.int32)
+    order = np.argsort(vocab)
+    vocab = vocab[order]
+    vocab_cnt = np.array([r["c"] for r in freq_rows], dtype=np.int64)[order]
+
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.StringType(), False),
+            T.StructField("n_tok", T.IntegerType(), False),
+            T.StructField("exact_mass", T.LongType(), False),
             T.StructField("est_mass", T.LongType(), False),
         ]
     )
@@ -1148,40 +1169,36 @@ def doc_rarity_mass(spark: SparkSession, sf_dir: str, bottom_k: int = 10) -> Dat
             # view, not a second pass over the tokens (VERDICT r03 #3)
             flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
             ests = sketch.query_batch(flat).astype(np.int64, copy=False)
+            # every corpus token is in the vocab by construction
+            exact_per_tok = vocab_cnt[np.searchsorted(vocab, flat)]
             # segment-sum over NON-empty docs only: clamping boundary
             # indices for empty segments would silently truncate the
             # preceding doc's segment (a trailing empty doc moved the last
             # real doc's end bound — the round-3 review catch)
             mass = np.zeros(len(lengths), dtype=np.int64)
+            exact_mass = np.zeros(len(lengths), dtype=np.int64)
             nz = lengths > 0
             if nz.any():
                 nz_len = lengths[nz]
                 starts = np.concatenate(([0], np.cumsum(nz_len)[:-1]))
                 mass[nz] = np.add.reduceat(ests, starts)
+                exact_mass[nz] = np.add.reduceat(exact_per_tok, starts)
             yield pa.RecordBatch.from_arrays(
-                [batch.column("doc_id"), pa.array(mass, type=pa.int64())],
-                names=["doc_id", "est_mass"],
+                [
+                    batch.column("doc_id"),
+                    pa.array(lengths.astype(np.int32), type=pa.int32()),
+                    pa.array(exact_mass, type=pa.int64()),
+                    pa.array(mass, type=pa.int64()),
+                ],
+                names=["doc_id", "n_tok", "exact_mass", "est_mass"],
             )
 
-    est = seqs.select("doc_id", "tokens").mapInArrow(score, out_schema)
-    freq = (
-        seqs.select(F.explode("tokens").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("c"))
-    )
-    # broadcast the vocabulary-sized frequency table: the exploded corpus
-    # (the big side) then never shuffles for the join — only the per-doc
-    # partial sums move
-    exact = (
-        seqs.select("doc_id", "n_tok", F.explode("tokens").alias("tok"))
-        .join(F.broadcast(freq), "tok")
-        .groupBy("doc_id", "n_tok")
-        .agg(F.sum("c").alias("exact_mass"))
-    )
+    scored = seqs.select("doc_id", "tokens").mapInArrow(score, out_schema)
+    # token-less docs carry no mass and are excluded from the ranking
     rare = (
-        exact.orderBy(F.asc("exact_mass"), F.asc("doc_id"))
+        scored.where(F.col("n_tok") > 0)
+        .orderBy(F.asc("exact_mass"), F.asc("doc_id"))
         .limit(bottom_k)
-        .join(est, "doc_id")
     )
     return (
         rare.select(

@@ -192,3 +192,17 @@ def test_width_sizing_rule():
     assert CmsAggregator.width_log2_for_eps(0.9) == 4  # clamp low
     with pytest.raises(ValueError):
         CmsAggregator.width_log2_for_eps(0.0)
+
+
+def test_aggregator_eps_constructor():
+    """CmsAggregator(eps=...) sizes the width from the rule; mixing both
+    parameters is rejected."""
+    import pytest
+
+    from sketchlib.agg import CmsAggregator
+
+    a = CmsAggregator(eps=2e-4)
+    assert a.width_log2 == CmsAggregator.width_log2_for_eps(2e-4) == 14
+    assert CmsAggregator().width_log2 == 16  # historical default
+    with pytest.raises(ValueError, match="not both"):
+        CmsAggregator(width_log2=12, eps=1e-3)
