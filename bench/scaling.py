@@ -92,12 +92,15 @@ def pipeline_ceiling(procs: int, rows: int, data_root: str = "/tmp/sketchlib_sca
             ntok += sum(out[0].column("n_items").to_pylist())
         q.put(ntok)
 
-    per = len(files) // procs
+    if procs > len(files):
+        raise RuntimeError(
+            f"ceiling probe needs >= {procs} files (got {len(files)}): "
+            f"an empty slice would report 0 tokens/s and poison the ratio"
+        )
+    # round-robin: every file is assigned (no dropped remainder), slices
+    # differ in size by at most one file
     q = mp.Queue()
-    ps = [
-        mp.Process(target=worker, args=(files[i * per : (i + 1) * per], q))
-        for i in range(procs)
-    ]
+    ps = [mp.Process(target=worker, args=(files[i::procs], q)) for i in range(procs)]
     t0 = time.perf_counter()
     [p.start() for p in ps]
     ntok = sum(q.get() for _ in ps)

@@ -858,10 +858,21 @@ class CmsAggregator(SketchAggregator):
 
     @staticmethod
     def width_log2_for_eps(eps: float) -> int:
-        """Smallest width_log2 whose point-query bound e/width <= eps."""
+        """Smallest width_log2 whose point-query bound e/width <= eps.
+
+        Raises when no representable width achieves the requested eps
+        (review catch: silently clamping to the 2^30 codec max would hand
+        back a bound up to 25x looser than asked for, and every downstream
+        assertion derived from the REQUESTED eps would be wrong)."""
         if not (0 < eps < 1):
             raise ValueError(f"eps={eps} out of range (0, 1)")
-        return max(4, min(30, math.ceil(math.log2(math.e / eps))))
+        w = max(4, math.ceil(math.log2(math.e / eps)))
+        if w > 30:
+            raise ValueError(
+                f"eps={eps} needs width 2^{w}, beyond the codec max 2^30 "
+                f"(achievable bound floor: {math.e / (1 << 30):.3g})"
+            )
+        return w
 
     def __init__(
         self,

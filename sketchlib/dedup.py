@@ -200,11 +200,15 @@ def lsh_candidate_pairs(
     pairs = pairs.distinct()
     if not materialize:
         return pairs
-    out = pairs.localCheckpoint(eager=True)
-    if hot_persisted is not None:
-        hot_persisted.unpersist()
-    banded_persisted.unpersist()
-    return out
+    try:
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        # release even when the checkpoint job fails mid-run (review catch:
+        # a raise with persists still registered re-creates, on every
+        # retry, exactly the accumulation this lifecycle eliminates)
+        if hot_persisted is not None:
+            hot_persisted.unpersist()
+        banded_persisted.unpersist()
 
 
 def near_dup_pairs(
@@ -229,30 +233,36 @@ def near_dup_pairs(
     ``sketchlib.session.release(df)`` once consumed if the session is
     long-lived.
     """
-    sigs = minhash_signatures(df, doc_col, tokens_col, k, shingle_n, seed).cache()
-    cands = lsh_candidate_pairs(sigs, doc_col, bands, seed, max_bucket=max_bucket)
-
-    @F.pandas_udf(T.DoubleType())
-    def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        if len(a) == 0:
-            return pd.Series(np.empty(0))
-        return pd.Series(jaccard_from_blob_batches(a, b))
-
-    a_sig = sigs.withColumnRenamed(doc_col, "a").withColumnRenamed("sig", "sig_a")
-    b_sig = sigs.withColumnRenamed(doc_col, "b").withColumnRenamed("sig", "sig_b")
-    verified = (
-        cands.join(a_sig, "a")
-        .join(b_sig, "b")
-        .withColumn("est_jaccard", jaccard_udf(F.col("sig_a"), F.col("sig_b")))
-        .where(F.col("est_jaccard") >= threshold)
-        .select("a", "b", "est_jaccard")
-        .localCheckpoint(eager=True)
-    )
-    sigs.unpersist()
     from .session import release
 
-    release(cands)  # checkpointed candidate blocks; DataFrame.unpersist is a no-op here
-    return verified
+    sigs = minhash_signatures(df, doc_col, tokens_col, k, shingle_n, seed).cache()
+    cands = None
+    try:
+        cands = lsh_candidate_pairs(sigs, doc_col, bands, seed, max_bucket=max_bucket)
+
+        @F.pandas_udf(T.DoubleType())
+        def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+            if len(a) == 0:
+                return pd.Series(np.empty(0))
+            return pd.Series(jaccard_from_blob_batches(a, b))
+
+        a_sig = sigs.withColumnRenamed(doc_col, "a").withColumnRenamed("sig", "sig_a")
+        b_sig = sigs.withColumnRenamed(doc_col, "b").withColumnRenamed("sig", "sig_b")
+        return (
+            cands.join(a_sig, "a")
+            .join(b_sig, "b")
+            .withColumn("est_jaccard", jaccard_udf(F.col("sig_a"), F.col("sig_b")))
+            .where(F.col("est_jaccard") >= threshold)
+            .select("a", "b", "est_jaccard")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        # release on success AND failure (review catch): otherwise a retry
+        # loop re-accumulates the caches this lifecycle exists to free
+        sigs.unpersist()
+        if cands is not None:
+            # checkpointed candidate blocks; DataFrame.unpersist is a no-op
+            release(cands)
 
 
 def near_dedup(

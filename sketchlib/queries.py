@@ -915,6 +915,9 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str, k: int = 100) -> Data
     return picked.select("doc_id", "n_tok").orderBy("doc_id")
 
 
+_MASK_BUDGET = 1 << 20  # exact-companion driver-collect cap (mask rows)
+
+
 def _source_mask_histogram(seqs: DataFrame, srcs: list) -> tuple:
     """(masks, counts) of distinct tokens by source-membership bitmask.
 
@@ -924,18 +927,18 @@ def _source_mask_histogram(seqs: DataFrame, srcs: list) -> tuple:
     any subset algebra without a distinct + self-join. Map-side partial
     bit_or keeps the shuffle at (tok, bit) rows.
 
-    The real bound is the DRIVER COLLECT of the mask histogram — up to 2^K
-    rows — not the 63-bit long (VERDICT r03 #6): K=20 is ~1M collected rows
-    (tens of MB), K=30 would be a billion. Exact-companion scale only; past
-    the cap, use the sketch path (kmv/hll jaccard matrices), which never
-    materializes the histogram.
+    The real bound is the DRIVER COLLECT of the mask histogram (VERDICT
+    r03 #6) — min(2^K, distinct OBSERVED masks) rows, a data-dependent
+    quantity (a 25-source corpus whose tokens only ever co-occur in a few
+    mask patterns is fine; 2^K is the worst case, not the typical one). So
+    the guard is on the ACTUAL result: the collect is capped at 2^20 + 1
+    rows via limit, and overflowing the budget raises with a pointer at
+    the sketch path (kmv/hll jaccard matrices, which never materialize the
+    histogram). K > 63 still fails fast — the long bit_or cannot represent
+    the mask at all.
     """
-    if len(srcs) > 20:
-        raise ValueError(
-            f"{len(srcs)} sources exceed the exact mask-histogram budget "
-            f"(2^K collected rows; K<=20). Use the KMV/HLL sketch matrices "
-            f"for larger source sets."
-        )
+    if len(srcs) > 63:
+        raise ValueError(f"{len(srcs)} sources exceed the 63-bit mask width")
     src_bit = {s: 1 << i for i, s in enumerate(srcs)}
     bit_map = F.create_map(*[F.lit(x) for s in srcs for x in (s, src_bit[s])])
     hist = (
@@ -944,8 +947,15 @@ def _source_mask_histogram(seqs: DataFrame, srcs: list) -> tuple:
         .agg(F.bit_or("bit").alias("mask"))
         .groupBy("mask")
         .agg(F.count("*").alias("cnt"))
+        .limit(_MASK_BUDGET + 1)
         .collect()
     )
+    if len(hist) > _MASK_BUDGET:
+        raise ValueError(
+            f"mask histogram exceeds the exact-companion driver-collect "
+            f"budget ({_MASK_BUDGET} rows). Use the KMV/HLL sketch matrices "
+            f"for source sets with this much mask diversity."
+        )
     masks = np.array([r["mask"] for r in hist], dtype=np.int64)
     cnts = np.array([r["cnt"] for r in hist], dtype=np.int64)
     return masks, cnts
@@ -1127,21 +1137,26 @@ def doc_rarity_mass(spark: SparkSession, sf_dir: str, bottom_k: int = 10) -> Dat
     # at sf0.1). Cap-guarded: exact rarity is an oracle-scale companion —
     # past the cap the sketch path is the product (its frequency model is
     # the KB CMS blob, vocabulary-size-independent).
-    freq_rows = (
+    _VOCAB_CAP = 1 << 24
+    freq = (
         seqs.select(F.explode("tokens").alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
-        .collect()
     )
-    if len(freq_rows) > (1 << 24):
+    # cap enforced BEFORE anything reaches the driver (review catch: a
+    # post-collect check cannot prevent the OOM it guards against): the
+    # limit bounds the Arrow transfer to cap+1 rows, and the overflow
+    # raises without ever materializing an open vocabulary driver-side.
+    freq_pdf = freq.limit(_VOCAB_CAP + 1).toPandas()
+    if len(freq_pdf) > _VOCAB_CAP:
         raise ValueError(
-            f"exact rarity companion caps at 2^24 vocabulary entries "
-            f"(got {len(freq_rows)}); use the CMS sketch path for open vocabularies"
+            f"exact rarity companion caps at 2^24 vocabulary entries; "
+            f"use the CMS sketch path for open vocabularies"
         )
-    vocab = np.array([r["tok"] for r in freq_rows], dtype=np.int32)
+    vocab = freq_pdf["tok"].to_numpy(dtype=np.int32)
     order = np.argsort(vocab)
     vocab = vocab[order]
-    vocab_cnt = np.array([r["c"] for r in freq_rows], dtype=np.int64)[order]
+    vocab_cnt = freq_pdf["c"].to_numpy(dtype=np.int64)[order]
 
     out_schema = T.StructType(
         [

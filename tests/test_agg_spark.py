@@ -280,13 +280,30 @@ def test_file_granularity_shard_planning(spark, tmp_path):
     assert set(by_rg) == set(a)
 
 
-def test_source_mask_histogram_rejects_over_collect_budget(spark):
-    """The guard reflects the DRIVER COLLECT budget (2^K mask rows), not
-    the 63-bit long width (VERDICT r03 #6): K=21 could collect 2M rows, so
-    the helper must fail fast on the driver and point at the sketch path."""
+def test_source_mask_histogram_guards(spark):
+    """Two guards (VERDICT r03 #6 + review): >63 sources can't fit the long
+    bit_or mask at all (fail fast, driver-side); the driver-collect budget
+    is enforced on the ACTUAL histogram size (limit + post-check), since
+    observed masks are data-dependent — a 25-source corpus with few mask
+    patterns must NOT be rejected on the 2^K worst case."""
     import pytest
 
+    import sketchlib.queries as Qmod
+    from sketchlib.data import SEQUENCES_SCHEMA, gen_sequences_pandas
     from sketchlib.queries import _source_mask_histogram
 
-    with pytest.raises(ValueError, match="mask-histogram budget"):
-        _source_mask_histogram(None, [f"s{i}" for i in range(21)])
+    with pytest.raises(ValueError, match="63-bit"):
+        _source_mask_histogram(None, [f"s{i}" for i in range(64)])
+    df = spark.createDataFrame(gen_sequences_pandas(300), schema=SEQUENCES_SCHEMA)
+    srcs = sorted(r["source"] for r in df.select("source").distinct().collect())
+    # within budget: works
+    masks, cnts = _source_mask_histogram(df, srcs)
+    assert cnts.sum() > 0
+    # shrink the budget below the observed mask count: the overflow raises
+    orig = Qmod._MASK_BUDGET
+    try:
+        Qmod._MASK_BUDGET = max(1, len(masks) - 1)
+        with pytest.raises(ValueError, match="driver-collect"):
+            _source_mask_histogram(df, srcs)
+    finally:
+        Qmod._MASK_BUDGET = orig

@@ -186,12 +186,15 @@ def test_width_sizing_rule():
 
     for eps in (0.1, 1e-2, 2e-4, 1e-6):
         w = CmsAggregator.width_log2_for_eps(eps)
-        assert math.e / (1 << w) <= eps or w == 30
+        assert math.e / (1 << w) <= eps
         if w > 4:
             assert math.e / (1 << (w - 1)) > eps  # smallest such width
     assert CmsAggregator.width_log2_for_eps(0.9) == 4  # clamp low
     with pytest.raises(ValueError):
         CmsAggregator.width_log2_for_eps(0.0)
+    # unachievable eps must RAISE, not silently degrade to the codec max
+    with pytest.raises(ValueError, match="beyond the codec max"):
+        CmsAggregator.width_log2_for_eps(1e-10)
 
 
 def test_aggregator_eps_constructor():

@@ -286,3 +286,64 @@ def test_kmv_pair_functions_batch_parity(sql):
         assert r["u"] == KmvSketch.union(sa, sb).estimate()
         assert r["i"] == KmvSketch.intersection_estimate(sa, sb)
         assert r["j"] == pytest.approx(KmvSketch.jaccard(sa, sb), abs=0)
+
+
+def test_pair_functions_mixed_configs_across_rows(sql):
+    """Review catch: a sketch column unioned from checkpoint tables built at
+    different p (or k) is legitimate as long as each ROW's pair matches —
+    the batch decode must group by config, not assume uniformity. A row
+    whose own pair mismatches still raises (merge contract)."""
+    import pyspark.errors
+    from pyspark.sql import types as T
+
+    from sketchlib.kmv import KmvSketch
+
+    rng = np.random.default_rng(5)
+    rows = []
+    expected = []
+    for i, p in enumerate((10, 12, 10, 12)):
+        a, b = HllSketch(p=p), HllSketch(p=p)
+        a.update_batch(rng.integers(0, 3000, 2000).astype(np.int32))
+        b.update_batch(rng.integers(1000, 4000, 2000).astype(np.int32))
+        rows.append((i, bytearray(a.to_bytes()), bytearray(b.to_bytes())))
+        expected.append(HllSketch.union_estimate(a, b))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("a", T.BinaryType(), False),
+            T.StructField("b", T.BinaryType(), False),
+        ]
+    )
+    sql.createDataFrame(rows, schema).createOrReplaceTempView("mixed_hll")
+    got = {
+        r["id"]: r["u"]
+        for r in sql.sql(
+            "SELECT id, hll_union_estimate(a, b) AS u FROM mixed_hll"
+        ).collect()
+    }
+    assert [got[i] for i in range(4)] == expected
+
+    # KMV: same property
+    krows, kexp = [], []
+    for i, k in enumerate((128, 256, 128)):
+        a, b = KmvSketch(k=k), KmvSketch(k=k)
+        a.update_batch(rng.integers(0, 3000, 2000).astype(np.int32))
+        b.update_batch(rng.integers(1000, 4000, 2000).astype(np.int32))
+        krows.append((i, bytearray(a.to_bytes()), bytearray(b.to_bytes())))
+        kexp.append(KmvSketch.union(a, b).estimate())
+    sql.createDataFrame(krows, schema).createOrReplaceTempView("mixed_kmv")
+    got = {
+        r["id"]: r["u"]
+        for r in sql.sql(
+            "SELECT id, kmv_union_estimate(a, b) AS u FROM mixed_kmv"
+        ).collect()
+    }
+    assert [got[i] for i in range(3)] == kexp
+
+    # a row whose OWN pair mismatches still fails loudly
+    bad_a, bad_b = HllSketch(p=10), HllSketch(p=12)
+    sql.createDataFrame(
+        [(0, bytearray(bad_a.to_bytes()), bytearray(bad_b.to_bytes()))], schema
+    ).createOrReplaceTempView("bad_pair")
+    with pytest.raises(Exception, match="different config"):
+        sql.sql("SELECT hll_union_estimate(a, b) FROM bad_pair").collect()
