@@ -131,16 +131,41 @@ def register(spark: SparkSession, prefix: str = "") -> None:
 
     @F.pandas_udf(T.BinaryType())
     def hll_merge_pair(a: pd.Series, b: pd.Series) -> pd.Series:
-        def m(x, y):
-            if x is None and y is None:
-                return None
-            if x is None:
-                return bytes(y)
-            if y is None:
-                return bytes(x)
-            return HllSketch.from_bytes(bytes(x)).merge(HllSketch.from_bytes(bytes(y))).to_bytes()
+        from .codec import KIND_HLL, pack_header
+        from .hll import registers_from_blobs
 
-        return pd.Series([m(x, y) for x, y in zip(a, b)])
+        a_list = [None if x is None else bytes(x) for x in a]
+        b_list = [None if x is None else bytes(x) for x in b]
+        out: list = [None] * len(a_list)
+        by_cfg: dict[tuple, list[int]] = {}
+        for i in range(len(a_list)):
+            x, y = a_list[i], b_list[i]
+            if x is None and y is None:
+                continue
+            if x is None or y is None:
+                out[i] = x if x is not None else y
+                continue
+            by_cfg.setdefault((x[:16], y[:16]), []).append(i)
+        for idx in by_cfg.values():
+            # batch union per config group; byte-identical to the scalar
+            # merge().to_bytes() — dense rows encode as header+mode0+regs
+            # directly, sparse-winning rows via the shared codec
+            ra, p, seed = registers_from_blobs([a_list[i] for i in idx])
+            rb, pb, seedb = registers_from_blobs([b_list[i] for i in idx])
+            if (p, seed) != (pb, seedb):
+                raise ValueError(
+                    f"cannot merge sketches of different config: p={p}/seed={seed} vs p={pb}/seed={seedb}"
+                )
+            u = np.maximum(ra, rb)
+            head = pack_header(KIND_HLL, p, seed) + b"\x00"
+            dense_size = 1 << p
+            nnz = (u != 0).sum(axis=1)
+            for row, i in enumerate(idx):
+                if nnz[row] * 5 + 5 < dense_size:  # sparse wins: shared codec
+                    out[i] = HllSketch(p=p, seed=seed, registers=u[row]).to_bytes()
+                else:
+                    out[i] = head + u[row].tobytes()
+        return pd.Series(out)
 
     @F.pandas_udf(T.DoubleType())
     def kll_median(blobs: pd.Series) -> pd.Series:

@@ -347,3 +347,35 @@ def test_pair_functions_mixed_configs_across_rows(sql):
     ).createOrReplaceTempView("bad_pair")
     with pytest.raises(Exception, match="different config"):
         sql.sql("SELECT hll_union_estimate(a, b) FROM bad_pair").collect()
+
+
+def test_hll_merge_pair_byte_parity_batched(sql):
+    """The batched hll_merge_pair must produce bytes IDENTICAL to the
+    scalar merge().to_bytes() in both the dense and sparse-at-rest
+    regimes, across mixed configs."""
+    from pyspark.sql import types as T
+
+    rng = np.random.default_rng(23)
+    rows, expected = [], []
+    for i, (p, n_items) in enumerate(((10, 4000), (14, 20), (10, 3000), (14, 30))):
+        a, b = HllSketch(p=p), HllSketch(p=p)
+        a.update_batch(rng.integers(0, 100_000, n_items).astype(np.int32))
+        b.update_batch(rng.integers(50_000, 150_000, n_items).astype(np.int32))
+        rows.append((i, bytearray(a.to_bytes()), bytearray(b.to_bytes())))
+        expected.append(
+            HllSketch.from_bytes(a.to_bytes()).merge(HllSketch.from_bytes(b.to_bytes())).to_bytes()
+        )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("a", T.BinaryType(), False),
+            T.StructField("b", T.BinaryType(), False),
+        ]
+    )
+    sql.createDataFrame(rows, schema).createOrReplaceTempView("merge_pairs")
+    got = {
+        r["id"]: bytes(r["m"])
+        for r in sql.sql("SELECT id, hll_merge_pair(a, b) AS m FROM merge_pairs").collect()
+    }
+    for i, exp in enumerate(expected):
+        assert got[i] == exp, i
