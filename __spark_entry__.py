@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_pairs": Q.embedding_near_dup_pairs,
         "fingerprint_distinct_docs": Q.fingerprint_distinct_docs,
         "lang_id_distribution": Q.lang_id_distribution,
+        "curation_pipeline": Q.curation_pipeline,
         # approximate sketch estimates (rows-only driver check by design:
         # the estimate integers have no SQL equivalent; their *_accuracy
         # companions below are fully oracle-checked)
@@ -469,6 +470,36 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT text) AS n_after_dedup,
                    TRUE AS matches_distinct_text
             FROM documents
+        """,
+        "curation_pipeline": """
+            WITH w AS (
+              SELECT doc_id, lang, text,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 t -> t != '') AS words
+              FROM documents),
+            f AS (
+              SELECT doc_id, lang, text FROM w
+              WHERE len(words) >= 5
+                AND 2 * len(list_filter(words,
+                        t -> regexp_full_match(t, '[A-Za-z]+'))) >= len(words)),
+            d AS (SELECT text, MIN(doc_id) AS doc_id FROM f GROUP BY text),
+            dd AS (SELECT f.lang, f.doc_id FROM f JOIN d ON f.doc_id = d.doc_id),
+            s AS (SELECT lang, doc_id,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+                  FROM dd)
+            SELECT l.lang, l.n_input,
+                   COALESCE(fc.n_after_filter, 0) AS n_after_filter,
+                   COALESCE(dc.n_after_dedup, 0) AS n_after_dedup,
+                   COALESCE(sc.n_sampled, 0) AS n_sampled
+            FROM (SELECT lang, COUNT(*) AS n_input FROM documents GROUP BY lang) l
+            LEFT JOIN (SELECT lang, COUNT(*) AS n_after_filter FROM f GROUP BY lang) fc
+                   USING (lang)
+            LEFT JOIN (SELECT lang, COUNT(*) AS n_after_dedup FROM dd GROUP BY lang) dc
+                   USING (lang)
+            LEFT JOIN (SELECT lang, COUNT(*) AS n_sampled FROM s
+                       WHERE rk <= 5 GROUP BY lang) sc USING (lang)
+            ORDER BY lang
         """,
         "per_doc_sketch_storage": """
             SELECT COUNT(*) AS docs, TRUE AS all_sparse,

@@ -2563,3 +2563,70 @@ def streaming_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(n_docs), len(batch_survivors), bool(matches))],
         "n_docs long, n_after_dedup long, stream_matches_batch boolean",
     )
+
+
+def curation_pipeline(
+    spark: SparkSession, sf_dir: str, per_lang: int = 5
+) -> DataFrame:
+    """End-to-end training-data curation, composed from the library's
+    operators in ONE lazy plan: quality filter (length + alpha-ratio) ->
+    exact dedup (dedup.exact_dedup: fingerprint groupBy, min-doc survivor)
+    -> deterministic per-language stratified sample (md5 rank — no RNG
+    state, reproducible at any partitioning). Emits per-language funnel
+    counts, every stage SQL-exact (the DuckDB oracle reproduces the whole
+    pipeline; the alpha-ratio threshold is the integer comparison
+    2*alpha >= words in BOTH engines, so no float boundary flakiness).
+
+    Scale shape: filter + scoring are codegen'd projections on the scan;
+    dedup shuffles 64-bit fingerprints (never text); the sample is a
+    per-stratum two-stage rank over survivors. No driver-side loops.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(words).alias("n_words"),
+        F.size(F.filter(words, lambda w: w.rlike("^[A-Za-z]+$"))).alias("n_alpha"),
+    )
+    filtered = scored.where(
+        (F.col("n_words") >= 5) & (2 * F.col("n_alpha") >= F.col("n_words"))
+    )
+    deduped = exact_dedup(filtered, ["text"], keep_col="doc_id")
+    sampled = (
+        deduped.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(
+                    F.md5(F.col("doc_id").cast("string")), "doc_id"
+                )
+            ),
+        )
+        .where(F.col("rk") <= per_lang)
+    )
+    per_lang_counts = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n_input"))
+        .join(
+            filtered.groupBy("lang").agg(F.count("*").alias("n_after_filter")),
+            "lang",
+            "left",
+        )
+        .join(
+            deduped.groupBy("lang").agg(F.count("*").alias("n_after_dedup")),
+            "lang",
+            "left",
+        )
+        .join(
+            sampled.groupBy("lang").agg(F.count("*").alias("n_sampled")),
+            "lang",
+            "left",
+        )
+        .na.fill(0, ["n_after_filter", "n_after_dedup", "n_sampled"])
+    )
+    return per_lang_counts.orderBy("lang")
