@@ -206,6 +206,20 @@ def register(spark: SparkSession, prefix: str = "") -> None:
     def hll_intersection_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
         return _hll_pair_estimates(a, b, "intersection")
 
+    @F.pandas_udf(T.DoubleType())
+    def hll_jaccard_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
+        """|A∩B|/|A∪B| by inclusion–exclusion (same caveat as the scalar
+        HllSketch.jaccard_estimate; KMV's native ratio estimator is tighter
+        for small intersections). NULL convention: both NULL → NULL,
+        one-sided NULL → 0.0 unless the present side is empty too (∅ vs ∅
+        is identical: 0.0 here — matching the scalar, whose union==0 short-
+        circuit returns 0.0)."""
+        u = _hll_pair_estimates(a, b, "union")
+        i = _hll_pair_estimates(a, b, "intersection")
+        out = (i.astype("float64") / u.astype("float64")).where(u > 0, 0.0)
+        out[u.isna()] = None
+        return out.astype("float64")
+
     @F.pandas_udf(T.LongType())
     def cms_inner_product(a: pd.Series, b: pd.Series) -> pd.Series:
         def one(x, y):
@@ -363,6 +377,7 @@ def register(spark: SparkSession, prefix: str = "") -> None:
         ("hll_merge_pair", hll_merge_pair),
         ("hll_union_estimate", hll_union_estimate),
         ("hll_intersection_estimate", hll_intersection_estimate),
+        ("hll_jaccard_estimate", hll_jaccard_estimate),
         ("cms_inner_product", cms_inner_product),
         ("kll_median", kll_median),
         ("kll_quantile", kll_quantile),

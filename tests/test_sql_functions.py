@@ -379,3 +379,32 @@ def test_hll_merge_pair_byte_parity_batched(sql):
     }
     for i, exp in enumerate(expected):
         assert got[i] == exp, i
+
+
+def test_hll_jaccard_estimate_function(sql):
+    """hll_jaccard_estimate == scalar jaccard_estimate per pair; NULL
+    convention: both-NULL -> NULL, one-sided -> 0.0."""
+    from pyspark.sql import types as T
+
+    rng = np.random.default_rng(29)
+    a, b = HllSketch(p=12), HllSketch(p=12)
+    a.update_batch(rng.integers(0, 6000, 20_000).astype(np.int32))
+    b.update_batch(rng.integers(3000, 9000, 20_000).astype(np.int32))
+    schema = T.StructType(
+        [
+            T.StructField("a", T.BinaryType(), True),
+            T.StructField("b", T.BinaryType(), True),
+        ]
+    )
+    sql.createDataFrame(
+        [
+            (bytearray(a.to_bytes()), bytearray(b.to_bytes())),
+            (bytearray(a.to_bytes()), None),
+            (None, None),
+        ],
+        schema,
+    ).createOrReplaceTempView("jacc_pairs")
+    rows = sql.sql("SELECT hll_jaccard_estimate(a, b) AS j FROM jacc_pairs").collect()
+    assert rows[0]["j"] == pytest.approx(HllSketch.jaccard_estimate(a, b), abs=0)
+    assert rows[1]["j"] == 0.0
+    assert rows[2]["j"] is None
