@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_users": Q.streaming_windowed_users,
         "streaming_finalized_windows": Q.streaming_finalized_windows,
         "streaming_exact_dedup_docs": Q.streaming_exact_dedup_docs,
+        "streaming_bloom_dedup_docs": Q.streaming_bloom_dedup_docs,
         # oracle-checked: exact values + sketch-bound assertions
         "hll_users_accuracy": Q.hll_users_accuracy,
         "hll_parts_accuracy": Q.hll_parts_accuracy,
@@ -236,6 +237,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n_docs,
                    COUNT(DISTINCT text) AS n_after_dedup,
                    TRUE AS stream_matches_batch
+            FROM documents
+        """,
+        "streaming_bloom_dedup_docs": """
+            SELECT COUNT(*) AS n_docs,
+                   COUNT(DISTINCT text) AS n_after_dedup,
+                   TRUE AS survivors_unique,
+                   TRUE AS survivors_match_batch
             FROM documents
         """,
         "near_dup_topk_pairs": """

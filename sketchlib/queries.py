@@ -2496,6 +2496,20 @@ def _docs_fp_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     )
     src_dir = tempfile.mkdtemp(prefix="sketchlib_stream_docs_")
     docs.repartitionByRange(2, "doc_id").write.mode("overwrite").parquet(src_dir)
+    # PIN the micro-batch order: the file stream source admits files by
+    # modification time, and the two parts are written concurrently — their
+    # mtimes can tie or invert, which flips which batch is "first". The
+    # min-state exact dedup is order-immune (min is associative), but the
+    # Bloom gate keeps the FIRST-SEEN doc, so its batch-parity assertion
+    # needs part-00000 (the low doc_id range) admitted first.
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    parts = sorted(_glob.glob(f"{src_dir}/part-*.parquet"))
+    for i, f in enumerate(parts):
+        _os.utime(f, (now - 600 + 60 * i, now - 600 + 60 * i))
     _STREAM_SRC_CACHE[key] = src_dir
     return src_dir
 
@@ -2630,3 +2644,68 @@ def curation_pipeline(
         .na.fill(0, ["n_after_filter", "n_after_dedup", "n_sampled"])
     )
     return per_lang_counts.orderBy("lang")
+
+
+def streaming_bloom_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming APPROXIMATE dedup (streaming.streaming_bloom_dedup): the
+    O(bits)-state counterpart of streaming_exact_dedup_docs — per-shard
+    Bloom filters gate first-seen fingerprints, state is shards x 2^m bits
+    TOTAL regardless of corpus size.
+
+    Checked contract (Bloom's no-false-negative law): survivor fingerprints
+    are globally UNIQUE (a true dup never survives twice — exact set
+    check), and survivors equal the batch dedup survivor set exactly when
+    no false positive fires — at these corpus sizes the configured filter
+    (64 x 2^20 bits for <=10^5 fingerprints) has fpp ~1e-30, so the
+    equality is a deterministic fact, asserted as such (the general bound
+    is survivors >= n_distinct - fpp*n_distinct). n_docs / n_after_dedup
+    are SQL-exact.
+    """
+    import tempfile
+    import uuid
+
+    from .streaming import streaming_bloom_dedup
+
+    src_dir = _docs_fp_stream_dir(spark, sf_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    name = f"bloomdedup_{uuid.uuid4().hex[:8]}"
+    with _streaming_conf(spark):
+        q = (
+            streaming_bloom_dedup(stream, "fp", "doc_id")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sketchlib_stream_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    spark.catalog.dropTempView(name)
+    survivors = [(r["fp"], r["doc_id"]) for r in rows]
+    fps = [fp for fp, _ in survivors]
+    unique_ok = len(fps) == len(set(fps))
+
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.xxhash64("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("cnt"))
+        .collect()
+    )
+    batch_set = {(r["fp"], r["doc_id"]) for r in batch}
+    n_docs = sum(r["cnt"] for r in batch)
+    matches = set(survivors) == batch_set
+    return spark.createDataFrame(
+        [(int(n_docs), len(batch_set), bool(unique_ok), bool(matches))],
+        "n_docs long, n_after_dedup long, survivors_unique boolean, "
+        "survivors_match_batch boolean",
+    )

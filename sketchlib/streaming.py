@@ -455,3 +455,110 @@ def streaming_first_seen(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_bloom_dedup(
+    stream: DataFrame,
+    fp_col: str = "fp",
+    keep_col: str = "doc_id",
+    shards: int = 64,
+    m_log2: int = 20,
+    k: int = 7,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Streaming APPROXIMATE dedup with O(bits) state: the sketch-sized
+    alternative to :func:`streaming_first_seen`'s exact per-fingerprint
+    state.
+
+    The fingerprint space is hash-sharded (``fp mod shards``); each shard's
+    keyed state is ONE Bloom filter (2^m_log2 bits) over the fingerprints it
+    has seen. Per micro-batch and shard: probe the filter, keep each
+    not-seen fingerprint's minimum ``keep_col`` row (batch-local exact
+    dedup), fold the kept fingerprints into the filter, persist the blob.
+    Emitted rows are the APPEND-only survivors of their first-seen batch.
+
+    Guarantees (both directions provable from Bloom's no-false-negative
+    law, and pinned by the driver query):
+
+    - a TRUE duplicate never survives twice: once a fingerprint's bits are
+      set they stay set, so every later occurrence is detected — survivor
+      fingerprints are globally unique;
+    - only false POSITIVES lose docs: a unique doc is erroneously dropped
+      with probability ~fpp (fill-dependent), so
+      ``n_exact_distinct >= survivors >= n_exact_distinct - drops`` with
+      drops bounded by the filter's measured fpp_estimate.
+
+    Scale shape: state is ``shards x 2^m_log2 / 8`` bytes TOTAL regardless
+    of corpus size (vs one state row per distinct fingerprint for the exact
+    operator); rows shuffle by shard — set ``shards`` >= cluster
+    parallelism so no task owns more than one filter's traffic.
+    """
+    from pyspark.sql import functions as F
+
+    from .bloom import BloomFilter
+
+    keep_field = stream.schema[keep_col]
+    fp_field = stream.schema[fp_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.IntegerType(), False),
+            fp_field,
+            T.StructField(keep_col, keep_field.dataType, True),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("bloom", T.BinaryType(), True)])
+
+    def update_fn(key, pdfs, state: GroupState):
+        if state.exists:
+            bf = BloomFilter.from_bytes(bytes(state.get[0]))
+        else:
+            bf = BloomFilter.empty(m_log2, k, seed)
+        # buffer the WHOLE micro-batch for this shard before deduping: the
+        # group's rows can arrive split across several Arrow chunks (a
+        # function of parallelism/batch size), and a chunk-at-a-time gate
+        # would keep the first chunk's occurrence even when a later chunk
+        # holds the smaller keep value — the survivor set must not depend
+        # on chunking. Memory = one micro-batch's shard rows, bounded.
+        chunks = [pdf[[fp_col, keep_col]] for pdf in pdfs if len(pdf)]
+        kept_fp: list = []
+        kept_keep: list = []
+        if chunks:
+            local = (
+                pd.concat(chunks, ignore_index=True)
+                .groupby(fp_col, as_index=False)[keep_col]
+                .min()
+                .sort_values(fp_col)
+            )
+            fps = local[fp_col].to_numpy(dtype=np.int64)
+            fresh = ~bf.contains_batch(fps, kind="int64")
+            if fresh.any():
+                new_fps = fps[fresh]
+                bf.update_batch(new_fps, kind="int64")
+                kept_fp = [int(x) for x in new_fps]
+                kept_keep = list(local[keep_col].to_numpy()[fresh])
+        state.update((bf.to_bytes(),))
+        if kept_fp:
+            yield pd.DataFrame(
+                {
+                    "shard": [key[0]] * len(kept_fp),
+                    fp_col: kept_fp,
+                    keep_col: kept_keep,
+                }
+            )
+
+    shard_col = "__shard"
+    return (
+        stream.select(
+            F.pmod(F.col(fp_col), F.lit(shards)).cast("int").alias(shard_col),
+            fp_col,
+            keep_col,
+        )
+        .groupBy(shard_col)
+        .applyInPandasWithState(
+            update_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -151,3 +151,42 @@ def test_varlen_string_hash_parity():
     # list fallback still works
     got3 = murmur64a_str_array(keys[:5])
     assert got3.tolist() == [murmur64a_bytes(k, 314) for k in keys[:5]]
+
+
+def test_hll_build_into_window_invariance():
+    """The fused windowed kernel must be byte-identical to the classic
+    hash -> index/rank -> scatter-max pipeline at ANY window size
+    (scatter-max is associative/commutative), for both int32 and int64
+    kinds, grouped and ungrouped."""
+    import numpy as np
+
+    from sketchlib.kernels import (
+        hll_build_into,
+        hll_index_rank,
+        murmur64a_int32,
+        murmur64a_int64,
+        update_registers,
+    )
+
+    rng = np.random.default_rng(41)
+    p, m, seed = 13, 1 << 13, 314
+    n = 100_001  # deliberately not a multiple of any window size
+    for kind, vals in (
+        ("int32", rng.integers(0, 500_000, n).astype(np.int32)),
+        ("int64", rng.integers(0, 1 << 40, n).astype(np.int64)),
+    ):
+        hashes = (murmur64a_int32 if kind == "int32" else murmur64a_int64)(vals, seed)
+        idx, rank = hll_index_rank(hashes, p)
+        ref = np.zeros(m, dtype=np.uint8)
+        update_registers(ref, idx, rank)
+        for window in (1 << 10, 1 << 15, 1 << 20):
+            got = np.zeros(m, dtype=np.uint8)
+            hll_build_into(got, vals, None, seed, p, kind, window=window)
+            assert np.array_equal(got, ref), (kind, window)
+        # grouped: codes scatter into a (groups x m) flat matrix
+        codes = rng.integers(0, 7, n).astype(np.int32)
+        ref_g = np.zeros(7 * m, dtype=np.uint8)
+        np.maximum.at(ref_g, codes.astype(np.int64) * m + idx, rank)
+        got_g = np.zeros(7 * m, dtype=np.uint8)
+        hll_build_into(got_g, vals, codes, seed, p, kind, window=1 << 14)
+        assert np.array_equal(got_g, ref_g), kind

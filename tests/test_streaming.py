@@ -555,3 +555,49 @@ def test_streaming_first_seen_matches_batch_dedup(spark, tmp_path):
         (40, "d007", 1),
     }
     spark.catalog.dropTempView("first_seen")
+
+
+def test_streaming_bloom_dedup_cross_batch(spark, tmp_path):
+    """Bloom-gated streaming dedup: a fingerprint seen in batch 1 is
+    dropped in batch 2 (no false negatives, ever); a fresh fingerprint in
+    batch 2 survives; survivors are unique per fingerprint."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from sketchlib.streaming import streaming_bloom_dedup
+
+    rows1 = pd.DataFrame({"doc_id": [3, 1, 5], "fp": [10, 20, 30]})
+    rows2 = pd.DataFrame({"doc_id": [9, 7], "fp": [10, 40]})  # 10 is a dup
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("fp", T.LongType(), False),
+        ]
+    )
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for b in (rows1, rows2):
+        spark.createDataFrame(b, schema=schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        streaming_bloom_dedup(stream, "fp", "doc_id", shards=4, m_log2=16)
+        .writeStream.format("memory")
+        .queryName("bloom_dedup")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    rows = spark.sql("SELECT fp, doc_id FROM bloom_dedup").collect()
+    got = {(r["fp"], r["doc_id"]) for r in rows}
+    assert got == {(10, 3), (20, 1), (30, 5), (40, 7)}
+    assert len(rows) == len({r["fp"] for r in rows})  # unique survivors
+    spark.catalog.dropTempView("bloom_dedup")
