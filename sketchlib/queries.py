@@ -2582,68 +2582,64 @@ def streaming_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def curation_pipeline(
     spark: SparkSession, sf_dir: str, per_lang: int = 5
 ) -> DataFrame:
-    """End-to-end training-data curation, composed from the library's
-    operators in ONE lazy plan: quality filter (length + alpha-ratio) ->
-    exact dedup (dedup.exact_dedup: fingerprint groupBy, min-doc survivor)
-    -> deterministic per-language stratified sample (md5 rank — no RNG
-    state, reproducible at any partitioning). Emits per-language funnel
-    counts, every stage SQL-exact (the DuckDB oracle reproduces the whole
-    pipeline; the alpha-ratio threshold is the integer comparison
+    """End-to-end training-data curation as ONE single-scan plan: quality
+    filter (length + alpha-ratio) -> exact dedup (min doc per text
+    fingerprint) -> deterministic per-language stratified sample (md5 rank
+    — no RNG state, reproducible at any partitioning). Emits per-language
+    funnel counts; every stage is SQL-exact (the DuckDB oracle reproduces
+    the whole pipeline; the alpha-ratio threshold is the integer comparison
     2*alpha >= words in BOTH engines, so no float boundary flakiness).
 
-    Scale shape: filter + scoring are codegen'd projections on the scan;
-    dedup shuffles 64-bit fingerprints (never text); the sample is a
-    per-stratum two-stage rank over survivors. No driver-side loops.
+    Scale shape (plan-asserted): the corpus is scanned ONCE — text is
+    reduced to (fp, word counts) in a codegen'd projection and dropped;
+    the dedup survivor flag is ``doc_id == min(doc_id) over (partition by
+    fp)`` (a window on the fingerprint shuffle, replacing the
+    groupBy+join-back that re-scanned the corpus); the sample rank
+    partitions by (lang, survivor) so it ranks survivors only in the same
+    pass; one conditional aggregation derives all four funnel counts. Two
+    window shuffles + one aggregation shuffle total, all carrying ~40-byte
+    rows, never text. The naive 4-stage formulation scanned the parquet 12
+    times — at 100 TB that is 12 reads of the text column vs one.
     """
     from pyspark.sql import Window
 
-    from .dedup import exact_dedup
-
     docs = load_table(spark, sf_dir, "documents")
     words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
-    scored = docs.select(
+    base = docs.select(
         "doc_id",
         "lang",
-        "text",
+        F.xxhash64("text").alias("fp"),
         F.size(words).alias("n_words"),
         F.size(F.filter(words, lambda w: w.rlike("^[A-Za-z]+$"))).alias("n_alpha"),
     )
-    filtered = scored.where(
-        (F.col("n_words") >= 5) & (2 * F.col("n_alpha") >= F.col("n_words"))
+    passed = (F.col("n_words") >= 5) & (2 * F.col("n_alpha") >= F.col("n_words"))
+    w_fp = Window.partitionBy("fp")
+    flagged = base.withColumn("passed", passed).withColumn(
+        "survivor",
+        F.col("passed")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("passed"), F.col("doc_id"))).over(w_fp)
+        ),
     )
-    deduped = exact_dedup(filtered, ["text"], keep_col="doc_id")
-    sampled = (
-        deduped.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("lang").orderBy(
-                    F.md5(F.col("doc_id").cast("string")), "doc_id"
-                )
-            ),
-        )
-        .where(F.col("rk") <= per_lang)
+    # rank among survivors only: partitioning by (lang, survivor) keeps the
+    # numbering dense within the survivor group — no second pass
+    w_rank = Window.partitionBy("lang", "survivor").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
-    per_lang_counts = (
-        docs.groupBy("lang")
-        .agg(F.count("*").alias("n_input"))
-        .join(
-            filtered.groupBy("lang").agg(F.count("*").alias("n_after_filter")),
-            "lang",
-            "left",
+    ranked = flagged.withColumn("rk", F.row_number().over(w_rank))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_input"),
+            F.sum(F.col("passed").cast("long")).alias("n_after_filter"),
+            F.sum(F.col("survivor").cast("long")).alias("n_after_dedup"),
+            F.sum(
+                (F.col("survivor") & (F.col("rk") <= per_lang)).cast("long")
+            ).alias("n_sampled"),
         )
-        .join(
-            deduped.groupBy("lang").agg(F.count("*").alias("n_after_dedup")),
-            "lang",
-            "left",
-        )
-        .join(
-            sampled.groupBy("lang").agg(F.count("*").alias("n_sampled")),
-            "lang",
-            "left",
-        )
-        .na.fill(0, ["n_after_filter", "n_after_dedup", "n_sampled"])
+        .orderBy("lang")
     )
-    return per_lang_counts.orderBy("lang")
 
 
 def streaming_bloom_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -147,3 +147,24 @@ def test_partitioned_table_prunes_partitions(spark, tmp_path):
     scan = plan[plan.index("Scan parquet") :]
     pf_line = scan[scan.index("PartitionFilters") : scan.index("\n", scan.index("PartitionFilters"))]
     assert "s00" in pf_line, pf_line
+
+
+def test_curation_pipeline_is_single_scan(spark):
+    """The curation funnel must read the corpus ONCE: text reduces to
+    (fp, counts) in a codegen'd projection, dedup is a window on the
+    fingerprint shuffle (not a groupBy + join-back that re-scans), and all
+    four funnel counts come from one conditional aggregation. The naive
+    4-stage formulation scanned the parquet 12 times."""
+    import re
+
+    from sketchlib import queries as Q
+
+    df = Q.curation_pipeline(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    main = plan.split("===== Subqueries")[0]
+    # formatted output lists each node once in the tree and once in the
+    # detail section — count the numbered detail headers
+    assert len(re.findall(r"\(\d+\) Scan parquet", main)) == 1
+    assert "Join" not in main
+    # shuffles: two windows + the aggregation pair + the final tiny sort
+    assert len(re.findall(r"\(\d+\) Exchange", main)) <= 4
