@@ -142,20 +142,75 @@ class KmvSketch:
 
     # -- codec ------------------------------------------------------------------
     # header 'p' field is log2-shaped elsewhere; k need not be a power of two,
-    # so p carries 0 and k rides the payload.
+    # so p carries 0 (raw) or 1 (delta-compressed) and k rides the payload.
 
-    def to_bytes(self) -> bytes:
-        return (
+    def to_bytes(self, mode: str | None = None) -> bytes:
+        """At-rest blob; two encodings, auto-picking the smaller.
+
+        - raw (header p=0): k u32 | n u32 | n raw uint64 values;
+        - delta/FOR (header p=1, ``mode="delta"`` to force): k u32 | n u32 |
+          width u8 | first value u64 | (n-1) consecutive deltas at the
+          smallest fixed byte width that fits the largest delta
+          (frame-of-reference). The stored values are the k smallest of N
+          uniform hashes, so consecutive gaps concentrate near 2^64/N —
+          at large N the width drops to 4-6 bytes and the blob shrinks
+          30-45%, which is what a 2^20-k sketch checkpoint pays per row.
+
+        Both encodings are pure functions of the sketch state, so the
+        byte-determinism law (same values -> same bytes at any
+        partitioning/merge order) holds unchanged; old raw blobs parse
+        forever (p=0 dispatch).
+        """
+        n = len(self.values)
+        raw = (
             pack_header(KIND_KMV, 0, self.seed)
-            + struct.pack("<II", self.k, len(self.values))
+            + struct.pack("<II", self.k, n)
             + self.values.tobytes()
+        )
+        if mode == "raw" or (mode is None and n < 2):
+            return raw
+        deltas = np.diff(self.values)
+        width = 1
+        if n >= 2:
+            max_delta = int(deltas.max()) if len(deltas) else 0
+            width = max(1, (max_delta.bit_length() + 7) // 8)
+        if mode is None and 1 + 8 + (n - 1) * width >= 8 * n:
+            return raw  # compression doesn't win (small n / huge gaps)
+        # little-endian fixed-width pack: view the u64 deltas' low bytes
+        body = (
+            deltas.astype("<u8").view(np.uint8).reshape(-1, 8)[:, :width].tobytes()
+            if n >= 2
+            else b""
+        )
+        return (
+            pack_header(KIND_KMV, 1, self.seed)
+            + struct.pack("<IIB", self.k, n, width)
+            + struct.pack("<Q", int(self.values[0]) if n else 0)
+            + body
         )
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "KmvSketch":
-        _, seed, payload = unpack_header(blob, KIND_KMV)
+        p, seed, payload = unpack_header(blob, KIND_KMV)
         k, n = struct.unpack_from("<II", payload, 0)
-        values = np.frombuffer(payload, dtype=np.uint64, count=n, offset=8).copy()
+        if p == 0:
+            values = np.frombuffer(payload, dtype=np.uint64, count=n, offset=8).copy()
+            return cls(k=k, seed=seed, values=values)
+        if p != 1:
+            raise ValueError(f"unknown KMV encoding {p}")
+        (width,) = struct.unpack_from("<B", payload, 8)
+        (first,) = struct.unpack_from("<Q", payload, 9)
+        if n == 0:
+            return cls(k=k, seed=seed, values=np.zeros(0, dtype=np.uint64))
+        packed = np.frombuffer(
+            payload, dtype=np.uint8, count=(n - 1) * width, offset=17
+        ).reshape(n - 1, width)
+        deltas = np.zeros((n - 1, 8), dtype=np.uint8)
+        deltas[:, :width] = packed
+        values = np.empty(n, dtype=np.uint64)
+        values[0] = first
+        np.cumsum(deltas.view("<u8").reshape(-1), out=values[1:])
+        values[1:] += np.uint64(first)
         return cls(k=k, seed=seed, values=values)
 
     @staticmethod
@@ -180,13 +235,18 @@ def values_from_blobs(blobs) -> tuple[list[np.ndarray], int, int]:
     k0 = seed0 = None
     for b in blobs:
         b = bytes(b)
-        _, seed, payload = unpack_header(b, KIND_KMV)
+        p, seed, payload = unpack_header(b, KIND_KMV)
         k, n = _struct.unpack_from("<II", payload, 0)
         if k0 is None:
             k0, seed0 = k, seed
         elif (k, seed) != (k0, seed0):
             raise ValueError("cannot batch-decode KMV blobs with mixed (k, seed)")
-        vals.append(np.frombuffer(payload, dtype=np.uint64, count=n, offset=8))
+        if p == 0:
+            vals.append(np.frombuffer(payload, dtype=np.uint64, count=n, offset=8))
+        else:
+            # delta-compressed: reuse the full decoder (rare on the hot
+            # matrix path, which reads freshly-merged in-memory sketches)
+            vals.append(KmvSketch.from_bytes(b).values)
     return vals, (k0 if k0 is not None else 1024), (seed0 if seed0 is not None else DEFAULT_SEED)
 
 

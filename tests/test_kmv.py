@@ -149,3 +149,33 @@ def test_spark_kmv_matches_exact_and_is_parallelism_invariant(spark):
     for src, blob in blobs[3].items():
         est = S.from_bytes(blob).estimate()
         assert abs(est / exact[src] - 1.0) <= 3 * S.std_error(2048), (src, est, exact[src])
+
+
+def test_delta_codec_roundtrip_and_determinism():
+    """FOR/delta at-rest encoding: exact roundtrip in every regime, auto
+    mode picks the smaller blob, legacy raw blobs parse unchanged, and
+    bytes stay a pure function of sketch state (the distributed
+    byte-identity law is encoding-independent)."""
+    import numpy as np
+
+    from sketchlib.kmv import KmvSketch, values_from_blobs
+
+    rng = np.random.default_rng(9)
+    for k, n_items in ((64, 10), (256, 100_000), (4096, 500_000), (1024, 0)):
+        s = KmvSketch(k=k)
+        if n_items:
+            s.update_batch(rng.integers(0, 1 << 31, n_items, dtype=np.int64).astype(np.int32))
+        for mode in (None, "raw", "delta"):
+            r = KmvSketch.from_bytes(s.to_bytes(mode=mode))
+            assert (r.k, r.seed) == (s.k, s.seed)
+            assert np.array_equal(r.values, s.values), (k, n_items, mode)
+        assert len(s.to_bytes()) <= len(s.to_bytes(mode="raw"))
+        vals, _, _ = values_from_blobs([s.to_bytes(mode="raw"), s.to_bytes(mode="delta")])
+        assert all(np.array_equal(v, s.values) for v in vals)
+    # same value set -> same bytes regardless of build path
+    a, b = KmvSketch(k=512), KmvSketch(k=512)
+    x = rng.integers(0, 500_000, 50_000).astype(np.int32)
+    a.update_batch(x)
+    for chunk in np.array_split(x, 7):
+        b.update_batch(chunk)
+    assert a.to_bytes() == b.to_bytes()
