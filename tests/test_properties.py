@@ -268,3 +268,66 @@ def test_shingles_flat_equals_per_doc(docs):
         exp_owner.extend([i] * len(per))
     assert fps.tolist() == expected
     assert owner.tolist() == exp_owner
+
+
+@given(
+    st.lists(st.integers(0, 2**64 - 1), min_size=0, max_size=200, unique=True),
+    st.integers(8, 4096),
+)
+@settings(max_examples=60, deadline=None)
+def test_kmv_delta_codec_roundtrip_property(values, k):
+    """Arbitrary sorted distinct uint64 value sets roundtrip exactly
+    through BOTH encodings, and auto never exceeds raw."""
+    from sketchlib.kmv import KmvSketch
+
+    vals = np.array(sorted(values), dtype=np.uint64)[:k]
+    s = KmvSketch(k=k, values=vals)
+    for mode in (None, "raw", "delta"):
+        r = KmvSketch.from_bytes(s.to_bytes(mode=mode))
+        assert np.array_equal(r.values, s.values), mode
+        assert (r.k, r.seed) == (s.k, s.seed)
+    assert len(s.to_bytes()) <= len(s.to_bytes(mode="raw"))
+
+
+@given(
+    st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=64),
+    st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=64),
+)
+@settings(max_examples=60, deadline=None)
+def test_exact_dot_u64_property(xs, ys):
+    """_exact_dot_u64 equals arbitrary-precision Python math for ANY
+    uint64 vectors (the never-undercounts guarantee's foundation)."""
+    n = min(len(xs), len(ys))
+    x = np.array(xs[:n], dtype=np.uint64)
+    y = np.array(ys[:n], dtype=np.uint64)
+    assert CountMinSketch._exact_dot_u64(x, y) == sum(
+        int(a) * int(b) for a, b in zip(x, y)
+    )
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2**32 - 1), st.integers(1, 2000)),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_registers_from_blobs_property(specs):
+    """Batch blob decode reproduces per-row registers for sketches of
+    arbitrary fill levels across all at-rest encodings."""
+    from sketchlib.hll import registers_from_blobs
+
+    rng = np.random.default_rng(1)
+    sketches = []
+    for seed_off, n_items in specs:
+        s = HllSketch(p=10)
+        s.update_batch(
+            rng.integers(0, seed_off % 100_000 + 2, n_items).astype(np.int32)
+        )
+        sketches.append(s)
+    for mode in ("dense", None, "packed6"):
+        regs, p, _ = registers_from_blobs([s.to_bytes(mode=mode) for s in sketches])
+        assert p == 10
+        for i, s in enumerate(sketches):
+            assert np.array_equal(regs[i], s.registers), (mode, i)
