@@ -286,10 +286,18 @@ def near_dedup(
     Scale shape: pair generation is the capped bucket join (docs x bands
     rows shuffled, sketch-sized); the anti-join shuffles doc ids only.
     """
+    from .session import release
+
     pairs = near_dup_pairs(
         df, doc_col, tokens_col, threshold, k, bands, shingle_n, seed, max_bucket
     )
-    losers = pairs.select(F.col("b").alias(doc_col)).distinct()
+    # pin the (smaller) loser-id list, free the pair checkpoint: the
+    # returned anti-join is lazy, so without this the pairs blocks would
+    # stay in the block manager until the session ends
+    losers = (
+        pairs.select(F.col("b").alias(doc_col)).distinct().localCheckpoint(eager=True)
+    )
+    release(pairs)
     return df.join(losers, doc_col, "left_anti")
 
 
