@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_distinct_docs": Q.fingerprint_distinct_docs,
         "lang_id_distribution": Q.lang_id_distribution,
         "curation_pipeline": Q.curation_pipeline,
+        "duplicate_ngram_spans": Q.duplicate_ngram_spans,
         # approximate sketch estimates (rows-only driver check by design:
         # the estimate integers have no SQL equivalent; their *_accuracy
         # companions below are fully oracle-checked)
@@ -467,6 +468,32 @@ def oracle_sql() -> dict[str, str]:
                        list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t != ''),
                        t -> (length(t) + 3) // 4)))::BIGINT AS bpe_tokens
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "duplicate_ngram_spans": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 t -> t != '') AS words
+              FROM documents),
+            spans AS (
+              SELECT doc_id, array_to_string(words[i:i+7], ' ') AS gram
+              FROM w, UNNEST(generate_series(1, len(words) - 7)) AS t(i)
+              WHERE len(words) >= 8),
+            g AS (SELECT gram, COUNT(*) AS c FROM spans GROUP BY gram),
+            per_doc AS (
+              SELECT w.doc_id,
+                     (len(w.words) - 7)::BIGINT AS n_spans,
+                     COALESCE(d.dup, 0)::BIGINT AS exact_dup_spans
+              FROM w
+              LEFT JOIN (SELECT doc_id, COUNT(*) AS dup
+                         FROM spans JOIN g USING (gram) WHERE g.c >= 2
+                         GROUP BY doc_id) d USING (doc_id)
+              WHERE len(w.words) >= 8)
+            SELECT doc_id, n_spans, exact_dup_spans,
+                   TRUE AS never_undercounts, TRUE AS within_fpp_bound
+            FROM (SELECT * FROM per_doc
+                  ORDER BY exact_dup_spans DESC, doc_id LIMIT 10)
+            ORDER BY doc_id
         """,
         "fingerprint_distinct_docs": """
             SELECT COUNT(DISTINCT text) AS distinct_texts,

@@ -2705,3 +2705,150 @@ def streaming_bloom_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs long, n_after_dedup long, survivors_unique boolean, "
         "survivors_match_batch boolean",
     )
+
+
+def duplicate_ngram_spans(
+    spark: SparkSession, sf_dir: str, n: int = 8, topk: int = 10
+) -> DataFrame:
+    """Duplicate n-gram span detection — the exact-substring-dedup signal
+    (the "repeated 50-gram" statistic of Lee et al. 2022, at n=8 for the
+    test corpora): for each document, how many of its word n-gram spans
+    occur elsewhere in the corpus (or twice in the same doc).
+
+    Scale shape (the product path):
+    1. spans -> 64-bit rolling-hash fingerprints, fully vectorized
+       (murmur over the word buffer + minhash.shingles_flat over the hash
+       sequence) — gram STRINGS are never materialized;
+    2. exact distributed fingerprint counting: groupBy(fp).count() — the
+       shuffle carries 8-byte fps with map-side combine (a count-min
+       cannot answer "count >= 2" here: with corpus-sized N every cell
+       holds ~N/width collision mass, so small counts are indistinguishable);
+    3. the duplicated-fp set becomes a broadcast BLOOM FILTER, and a second
+       scan attributes spans per doc with a vectorized contains +
+       segment-sum — the token-sized span table is never joined.
+
+    Contract: Bloom has no false negatives, so ``flagged >= exact`` per
+    doc STRUCTURALLY (hash collisions only merge grams, which also only
+    inflates); false positives bound the other side by the filter's
+    measured fpp. The exact companion (and the DuckDB oracle) count real
+    gram strings, so the integers compared are hash-free.
+    """
+    from .agg import BloomAggregator
+    from .bloom import BloomFilter
+    from .kernels import DEFAULT_SEED, murmur64a_str_array
+    from .minhash import shingles_flat
+
+    docs = load_table(spark, sf_dir, "documents")
+    words_expr = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
+    based = docs.select("doc_id", words_expr.alias("words"))
+
+    span_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("fp", T.LongType(), False),
+        ]
+    )
+
+    def span_fps_batches(batches, emit_scores=False, bloom_blob=None):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            col = batch.column("words")
+            lengths = (
+                pc.fill_null(pc.list_value_length(col), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            flat_words = col.flatten()
+            hashes = murmur64a_str_array(flat_words, DEFAULT_SEED)
+            fps, codes = shingles_flat(hashes.view(np.int64), lengths, n)
+            keep = lengths[codes] >= n  # short docs have zero n-spans
+            fps, codes = fps[keep], codes[keep]
+            if not emit_scores:
+                idx = pa.array(codes)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        batch.column("doc_id").take(idx),
+                        pa.array(fps.view(np.int64), type=pa.int64()),
+                    ],
+                    names=["doc_id", "fp"],
+                )
+            else:
+                bf = BloomFilter.from_bytes(bloom_blob)
+                hit = bf.contains_batch(fps.view(np.int64), kind="int64")
+                flagged = np.bincount(
+                    codes, weights=hit.astype(np.float64), minlength=len(lengths)
+                ).astype(np.int64)
+                n_spans = np.maximum(lengths - n + 1, 0)
+                n_spans[lengths < n] = 0
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        batch.column("doc_id"),
+                        pa.array(n_spans, type=pa.int64()),
+                        pa.array(flagged, type=pa.int64()),
+                    ],
+                    names=["doc_id", "n_spans", "flagged_spans"],
+                )
+
+    spans = based.mapInArrow(lambda it: span_fps_batches(it), span_schema)
+    dup_fps = spans.groupBy("fp").count().where(F.col("count") >= 2).select("fp")
+    bagg = BloomAggregator(
+        m_log2=20, k=7, key_cols=[], value_col="fp", value_kind="int64"
+    )
+    blob = bytes(bagg.merged(dup_fps).collect()[0]["sketch"])
+    fpp = BloomFilter.from_bytes(blob).fpp_estimate()
+
+    score_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_spans", T.LongType(), False),
+            T.StructField("flagged_spans", T.LongType(), False),
+        ]
+    )
+    scored = based.mapInArrow(
+        lambda it: span_fps_batches(it, emit_scores=True, bloom_blob=blob),
+        score_schema,
+    )
+
+    # exact companion (oracle-scale): REAL gram strings, window count
+    from pyspark.sql import Window
+
+    grams = F.when(
+        F.size("words") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("words") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("words", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    span_rows = based.select("doc_id", F.explode(grams).alias("gram"))
+    w_gram = Window.partitionBy("gram")
+    exact = (
+        span_rows.withColumn("c", F.count("*").over(w_gram))
+        .groupBy("doc_id")
+        .agg(F.sum((F.col("c") >= 2).cast("long")).alias("exact_dup_spans"))
+    )
+    top = (
+        exact.orderBy(F.desc("exact_dup_spans"), F.asc("doc_id"))
+        .limit(topk)
+        .join(scored, "doc_id")
+    )
+    bound = F.greatest(
+        F.lit(1), F.ceil(F.col("n_spans") * F.lit(3.0 * max(fpp, 1e-12)))
+    )
+    return (
+        top.select(
+            "doc_id",
+            "n_spans",
+            "exact_dup_spans",
+            (F.col("flagged_spans") >= F.col("exact_dup_spans")).alias(
+                "never_undercounts"
+            ),
+            (F.col("flagged_spans") <= F.col("exact_dup_spans") + bound).alias(
+                "within_fpp_bound"
+            ),
+        )
+        .orderBy("doc_id")
+    )
