@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_distribution": Q.lang_id_distribution,
         "curation_pipeline": Q.curation_pipeline,
         "duplicate_ngram_spans": Q.duplicate_ngram_spans,
+        "ngram_decontamination": Q.ngram_decontamination,
         # approximate sketch estimates (rows-only driver check by design:
         # the estimate integers have no SQL equivalent; their *_accuracy
         # companions below are fully oracle-checked)
@@ -494,6 +495,29 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM per_doc
                   ORDER BY exact_dup_spans DESC, doc_id LIMIT 10)
             ORDER BY doc_id
+        """,
+        "ngram_decontamination": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 t -> t != '') AS words,
+                     CAST('0x' || substring(md5(doc_id::VARCHAR), 1, 8) AS BIGINT)
+                         % 5 = 0 AS bench
+              FROM documents),
+            bg AS (SELECT DISTINCT array_to_string(words[i:i+7], ' ') AS gram
+                   FROM w, UNNEST(generate_series(1, len(words) - 7)) AS t(i)
+                   WHERE bench AND len(words) >= 8),
+            cont AS (SELECT DISTINCT t.doc_id
+                     FROM (SELECT doc_id,
+                                  array_to_string(words[i:i+7], ' ') AS gram
+                           FROM w, UNNEST(generate_series(1, len(words) - 7)) AS t(i)
+                           WHERE NOT bench AND len(words) >= 8) t
+                     JOIN bg USING (gram))
+            SELECT (SELECT COUNT(*) FROM w WHERE bench) AS n_benchmark,
+                   (SELECT COUNT(*) FROM w WHERE NOT bench) AS n_train,
+                   (SELECT COUNT(*) FROM cont) AS n_contaminated_exact,
+                   TRUE AS flagged_ge_exact,
+                   TRUE AS all_exact_contaminated_flagged
         """,
         "fingerprint_distinct_docs": """
             SELECT COUNT(DISTINCT text) AS distinct_texts,

@@ -333,3 +333,103 @@ def exact_jaccard(tokens_a: np.ndarray, tokens_b: np.ndarray, shingle_n: int = 3
     if not a and not b:
         return 1.0
     return len(a & b) / len(a | b)
+
+
+def word_span_fps(
+    df: DataFrame,
+    doc_col: str = "doc_id",
+    words_col: str = "words",
+    n: int = 8,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """(doc_col, fp long) — one 64-bit rolling-hash fingerprint per word
+    n-gram span. Fully vectorized (murmur over the Arrow string buffer +
+    shingles_flat over the hash sequence); gram strings are never
+    materialized, so the output is 16 bytes per span regardless of span
+    text. Docs with fewer than n words emit nothing."""
+    from .kernels import murmur64a_str_array
+
+    doc_field = df.schema[doc_col]
+    out_schema = T.StructType([doc_field, T.StructField("fp", T.LongType(), False)])
+
+    def extract(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            col = batch.column(words_col)
+            lengths = (
+                pc.fill_null(pc.list_value_length(col), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            hashes = murmur64a_str_array(col.flatten(), seed)
+            fps, codes = shingles_flat(hashes.view(np.int64), lengths, n)
+            keep = lengths[codes] >= n  # short docs have zero n-spans
+            fps, codes = fps[keep], codes[keep]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(doc_col).take(pa.array(codes)),
+                    pa.array(fps.view(np.int64), type=pa.int64()),
+                ],
+                names=[doc_col, "fp"],
+            )
+
+    return df.select(doc_col, words_col).mapInArrow(extract, out_schema)
+
+
+def word_span_bloom_scores(
+    df: DataFrame,
+    bloom_blob: bytes,
+    doc_col: str = "doc_id",
+    words_col: str = "words",
+    n: int = 8,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """(doc_col, n_spans, flagged_spans) — per-doc count of n-gram spans
+    whose fingerprint the broadcast Bloom filter contains. One scan,
+    vectorized contains + segment-sum; the span table is never joined.
+    No false negatives: every span truly in the filter's build set is
+    counted, so flagged >= true-match count structurally."""
+    from .bloom import BloomFilter
+    from .kernels import murmur64a_str_array
+
+    doc_field = df.schema[doc_col]
+    out_schema = T.StructType(
+        [
+            doc_field,
+            T.StructField("n_spans", T.LongType(), False),
+            T.StructField("flagged_spans", T.LongType(), False),
+        ]
+    )
+
+    def score(batches):
+        bf = BloomFilter.from_bytes(bloom_blob)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            col = batch.column(words_col)
+            lengths = (
+                pc.fill_null(pc.list_value_length(col), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            hashes = murmur64a_str_array(col.flatten(), seed)
+            fps, codes = shingles_flat(hashes.view(np.int64), lengths, n)
+            keep = lengths[codes] >= n
+            fps, codes = fps[keep], codes[keep]
+            hit = bf.contains_batch(fps.view(np.int64), kind="int64")
+            flagged = np.bincount(
+                codes, weights=hit.astype(np.float64), minlength=batch.num_rows
+            ).astype(np.int64)
+            n_spans = np.maximum(lengths - n + 1, 0)
+            n_spans[lengths < n] = 0
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(doc_col),
+                    pa.array(n_spans, type=pa.int64()),
+                    pa.array(flagged, type=pa.int64()),
+                ],
+                names=[doc_col, "n_spans", "flagged_spans"],
+            )
+
+    return df.select(doc_col, words_col).mapInArrow(score, out_schema)

@@ -2715,7 +2715,8 @@ def duplicate_ngram_spans(
     test corpora): for each document, how many of its word n-gram spans
     occur elsewhere in the corpus (or twice in the same doc).
 
-    Scale shape (the product path):
+    Scale shape (the product path, dedup.word_span_fps /
+    word_span_bloom_scores):
     1. spans -> 64-bit rolling-hash fingerprints, fully vectorized
        (murmur over the word buffer + minhash.shingles_flat over the hash
        sequence) — gram STRINGS are never materialized;
@@ -2735,83 +2736,20 @@ def duplicate_ngram_spans(
     """
     from .agg import BloomAggregator
     from .bloom import BloomFilter
-    from .kernels import DEFAULT_SEED, murmur64a_str_array
-    from .minhash import shingles_flat
+    from .dedup import word_span_bloom_scores, word_span_fps
 
     docs = load_table(spark, sf_dir, "documents")
     words_expr = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
     based = docs.select("doc_id", words_expr.alias("words"))
 
-    span_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType(), False),
-            T.StructField("fp", T.LongType(), False),
-        ]
-    )
-
-    def span_fps_batches(batches, emit_scores=False, bloom_blob=None):
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            col = batch.column("words")
-            lengths = (
-                pc.fill_null(pc.list_value_length(col), 0)
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
-            flat_words = col.flatten()
-            hashes = murmur64a_str_array(flat_words, DEFAULT_SEED)
-            fps, codes = shingles_flat(hashes.view(np.int64), lengths, n)
-            keep = lengths[codes] >= n  # short docs have zero n-spans
-            fps, codes = fps[keep], codes[keep]
-            if not emit_scores:
-                idx = pa.array(codes)
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        batch.column("doc_id").take(idx),
-                        pa.array(fps.view(np.int64), type=pa.int64()),
-                    ],
-                    names=["doc_id", "fp"],
-                )
-            else:
-                bf = BloomFilter.from_bytes(bloom_blob)
-                hit = bf.contains_batch(fps.view(np.int64), kind="int64")
-                flagged = np.bincount(
-                    codes, weights=hit.astype(np.float64), minlength=len(lengths)
-                ).astype(np.int64)
-                n_spans = np.maximum(lengths - n + 1, 0)
-                n_spans[lengths < n] = 0
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        batch.column("doc_id"),
-                        pa.array(n_spans, type=pa.int64()),
-                        pa.array(flagged, type=pa.int64()),
-                    ],
-                    names=["doc_id", "n_spans", "flagged_spans"],
-                )
-
-    spans = based.mapInArrow(lambda it: span_fps_batches(it), span_schema)
+    spans = word_span_fps(based, "doc_id", "words", n)
     dup_fps = spans.groupBy("fp").count().where(F.col("count") >= 2).select("fp")
     bagg = BloomAggregator(
         m_log2=20, k=7, key_cols=[], value_col="fp", value_kind="int64"
     )
     blob = bytes(bagg.merged(dup_fps).collect()[0]["sketch"])
     fpp = BloomFilter.from_bytes(blob).fpp_estimate()
-
-    score_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType(), False),
-            T.StructField("n_spans", T.LongType(), False),
-            T.StructField("flagged_spans", T.LongType(), False),
-        ]
-    )
-    scored = based.mapInArrow(
-        lambda it: span_fps_batches(it, emit_scores=True, bloom_blob=blob),
-        score_schema,
-    )
+    scored = word_span_bloom_scores(based, blob, "doc_id", "words", n)
 
     # exact companion (oracle-scale): REAL gram strings, window count
     from pyspark.sql import Window
@@ -2851,4 +2789,88 @@ def duplicate_ngram_spans(
             ),
         )
         .orderBy("doc_id")
+    )
+
+
+def ngram_decontamination(spark: SparkSession, sf_dir: str, n: int = 8) -> DataFrame:
+    """SPAN-level benchmark decontamination — the n-gram overlap recipe
+    (GPT-3's 13-gram check, at n=8 for the test corpora): flag every TRAIN
+    document sharing at least one word n-gram span with the held-out
+    benchmark split. Catches partial leakage that the exact-text check
+    (decontamination_check) cannot — a training doc that quotes a benchmark
+    passage without being an exact duplicate.
+
+    Scale shape: the benchmark split's span fingerprints (dedup.
+    word_span_fps, gram strings never materialized) fold into ONE broadcast
+    Bloom filter (KB-MB, corpus-size-independent); the train side is a
+    single scan scored by vectorized contains + segment-sum
+    (word_span_bloom_scores) — the train corpus never joins or shuffles.
+
+    Provable law (pinned): Bloom has no false negatives and hash collisions
+    only ADD flags, so every train doc with a REAL shared span is flagged —
+    ``flagged_ge_exact`` and ``all_exact_contaminated_flagged`` are
+    structural, not statistical. The exact companion joins real gram
+    strings (oracle-reproduced); false positives are fpp-bounded and only
+    ever widen the (human-reviewed) flag list.
+    """
+    from .agg import BloomAggregator
+    from .dedup import word_span_bloom_scores, word_span_fps
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words_expr = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % 5
+    )
+    based = docs.select(
+        "doc_id", words_expr.alias("words"), (bucket == 0).alias("__bench")
+    ).localCheckpoint(eager=True)  # split + words shared by 4 actions below
+    bench = based.where(F.col("__bench"))
+    train = based.where(~F.col("__bench"))
+
+    bench_fps = word_span_fps(bench, "doc_id", "words", n).select("fp").distinct()
+    bagg = BloomAggregator(
+        m_log2=20, k=7, key_cols=[], value_col="fp", value_kind="int64"
+    )
+    blob = bytes(bagg.merged(bench_fps).collect()[0]["sketch"])
+    scored = word_span_bloom_scores(train, blob, "doc_id", "words", n)
+    flagged_ids = {
+        r["doc_id"] for r in scored.where(F.col("flagged_spans") >= 1).collect()
+    }
+
+    # exact companion: real gram strings, bench-distinct semi-join
+    grams = F.when(
+        F.size("words") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("words") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("words", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bench_grams = bench.select(F.explode(grams).alias("gram")).distinct()
+    contaminated = (
+        train.select("doc_id", F.explode(grams).alias("gram"))
+        .join(bench_grams, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    exact_ids = {r["doc_id"] for r in contaminated.collect()}
+    n_bench = bench.count()
+    n_train = train.count()
+    from .session import release
+
+    release(based)
+    return spark.createDataFrame(
+        [
+            (
+                int(n_bench),
+                int(n_train),
+                len(exact_ids),
+                bool(len(flagged_ids) >= len(exact_ids)),
+                bool(exact_ids <= flagged_ids),
+            )
+        ],
+        "n_benchmark long, n_train long, n_contaminated_exact long, "
+        "flagged_ge_exact boolean, all_exact_contaminated_flagged boolean",
     )
