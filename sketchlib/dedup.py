@@ -335,6 +335,27 @@ def exact_jaccard(tokens_a: np.ndarray, tokens_b: np.ndarray, shingle_n: int = 3
     return len(a & b) / len(a | b)
 
 
+def _span_fp_batch(batch: pa.RecordBatch, words_col: str, n: int, seed: int):
+    """Shared span-fingerprint extraction for one Arrow batch: (fps uint64,
+    owning-doc codes int64, per-doc word lengths int64). Build and probe
+    MUST fingerprint identically — the no-false-negative contracts depend
+    on it — so both word-span operators route through this one function.
+    Word hashes stay full 64-bit (``mask32=False``): masking to 32 bits
+    would give a 10^5-word vocabulary order-1 expected word collisions."""
+    from .kernels import murmur64a_str_array
+
+    col = batch.column(words_col)
+    lengths = (
+        pc.fill_null(pc.list_value_length(col), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    hashes = murmur64a_str_array(col.flatten(), seed)
+    fps, codes = shingles_flat(hashes.view(np.int64), lengths, n, mask32=False)
+    keep = lengths[codes] >= n  # short docs have zero n-spans
+    return fps[keep], codes[keep], lengths
+
+
 def word_span_fps(
     df: DataFrame,
     doc_col: str = "doc_id",
@@ -347,8 +368,6 @@ def word_span_fps(
     shingles_flat over the hash sequence); gram strings are never
     materialized, so the output is 16 bytes per span regardless of span
     text. Docs with fewer than n words emit nothing."""
-    from .kernels import murmur64a_str_array
-
     doc_field = df.schema[doc_col]
     out_schema = T.StructType([doc_field, T.StructField("fp", T.LongType(), False)])
 
@@ -356,16 +375,7 @@ def word_span_fps(
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            col = batch.column(words_col)
-            lengths = (
-                pc.fill_null(pc.list_value_length(col), 0)
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
-            hashes = murmur64a_str_array(col.flatten(), seed)
-            fps, codes = shingles_flat(hashes.view(np.int64), lengths, n)
-            keep = lengths[codes] >= n  # short docs have zero n-spans
-            fps, codes = fps[keep], codes[keep]
+            fps, codes, _ = _span_fp_batch(batch, words_col, n, seed)
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column(doc_col).take(pa.array(codes)),
@@ -391,7 +401,6 @@ def word_span_bloom_scores(
     No false negatives: every span truly in the filter's build set is
     counted, so flagged >= true-match count structurally."""
     from .bloom import BloomFilter
-    from .kernels import murmur64a_str_array
 
     doc_field = df.schema[doc_col]
     out_schema = T.StructType(
@@ -407,22 +416,12 @@ def word_span_bloom_scores(
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            col = batch.column(words_col)
-            lengths = (
-                pc.fill_null(pc.list_value_length(col), 0)
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
-            hashes = murmur64a_str_array(col.flatten(), seed)
-            fps, codes = shingles_flat(hashes.view(np.int64), lengths, n)
-            keep = lengths[codes] >= n
-            fps, codes = fps[keep], codes[keep]
+            fps, codes, lengths = _span_fp_batch(batch, words_col, n, seed)
             hit = bf.contains_batch(fps.view(np.int64), kind="int64")
             flagged = np.bincount(
                 codes, weights=hit.astype(np.float64), minlength=batch.num_rows
             ).astype(np.int64)
             n_spans = np.maximum(lengths - n + 1, 0)
-            n_spans[lengths < n] = 0
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column(doc_col),

@@ -54,12 +54,14 @@ def _hll_estimates_np(blobs: list) -> np.ndarray:
 
 
 def _hll_pair_estimates(a: pd.Series, b: pd.Series, op: str) -> pd.Series:
-    """Vectorized union/intersection estimates over paired blob columns.
+    """Vectorized union/intersection/jaccard estimates over paired blob
+    columns — ONE decode serves whichever estimates the op needs (review
+    catch: jaccard previously ran the whole pipeline twice).
 
     NULL convention (documented below at the registration site): both-NULL →
     NULL; one-sided NULL → union degrades to the present side's estimate,
-    intersection to 0. Pairs must agree on (p, seed) — same contract as
-    ``merge`` (src/hll.c:781-788).
+    intersection to 0 (hence jaccard 0.0). Pairs must agree on (p, seed) —
+    same contract as ``merge`` (src/hll.c:781-788).
     """
     from .hll import (
         estimates_from_histograms,
@@ -72,14 +74,15 @@ def _hll_pair_estimates(a: pd.Series, b: pd.Series, op: str) -> pd.Series:
     n = len(a_np)
     a_null = np.array([x is None for x in a_np])
     b_null = np.array([x is None for x in b_np])
-    res = np.zeros(n, dtype=np.int64)
+    res = np.zeros(n, dtype=np.float64 if op == "jaccard" else np.int64)
     valid = ~(a_null & b_null)
     one_sided = valid & (a_null | b_null)
     if one_sided.any():
         if op == "union":
             singles = [a_np[i] if a_np[i] is not None else b_np[i] for i in np.flatnonzero(one_sided)]
             res[one_sided] = _hll_estimates_np(singles)
-        # intersection with the absent (empty) side is 0 — already zeros
+        # intersection with the absent (empty) side is 0 (jaccard 0.0) —
+        # already zeros
     both = valid & ~one_sided
     if both.any():
         # group by the PAIR's config (header bytes): a column unioned from
@@ -105,7 +108,16 @@ def _hll_pair_estimates(a: pd.Series, b: pd.Series, op: str) -> pd.Series:
             else:
                 est_a = estimates_from_histograms(histograms_from_registers(ra), p)
                 est_b = estimates_from_histograms(histograms_from_registers(rb), p)
-                res[idx] = np.maximum(0, est_a + est_b - est_u)
+                inter = np.maximum(0, est_a + est_b - est_u)
+                if op == "jaccard":
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        res[idx] = np.where(est_u > 0, inter / est_u, 0.0)
+                else:
+                    res[idx] = inter
+    if op == "jaccard":
+        out = pd.Series(res, dtype="float64")
+        out[~valid] = None
+        return out
     out = pd.Series(res, dtype="Int64")
     out[~valid] = pd.NA
     return out
@@ -211,14 +223,9 @@ def register(spark: SparkSession, prefix: str = "") -> None:
         """|A∩B|/|A∪B| by inclusion–exclusion (same caveat as the scalar
         HllSketch.jaccard_estimate; KMV's native ratio estimator is tighter
         for small intersections). NULL convention: both NULL → NULL,
-        one-sided NULL → 0.0 unless the present side is empty too (∅ vs ∅
-        is identical: 0.0 here — matching the scalar, whose union==0 short-
-        circuit returns 0.0)."""
-        u = _hll_pair_estimates(a, b, "union")
-        i = _hll_pair_estimates(a, b, "intersection")
-        out = (i.astype("float64") / u.astype("float64")).where(u > 0, 0.0)
-        out[u.isna()] = None
-        return out.astype("float64")
+        one-sided NULL → 0.0; union==0 → 0.0 (matching the scalar's
+        short-circuit). One fused decode per batch."""
+        return _hll_pair_estimates(a, b, "jaccard")
 
     @F.pandas_udf(T.LongType())
     def cms_inner_product(a: pd.Series, b: pd.Series) -> pd.Series:

@@ -161,6 +161,8 @@ class KmvSketch:
         partitioning/merge order) holds unchanged; old raw blobs parse
         forever (p=0 dispatch).
         """
+        if mode not in (None, "raw", "delta"):
+            raise ValueError(f"unknown KMV encoding mode {mode!r}")
         n = len(self.values)
         raw = (
             pack_header(KIND_KMV, 0, self.seed)

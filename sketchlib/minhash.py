@@ -50,7 +50,7 @@ def token_shingles(tokens: np.ndarray, n: int = 3) -> np.ndarray:
 
 
 def shingles_flat(
-    flat_tokens: np.ndarray, lengths: np.ndarray, n: int = 3
+    flat_tokens: np.ndarray, lengths: np.ndarray, n: int = 3, mask32: bool = True
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized ``token_shingles`` over a ragged batch of documents.
 
@@ -63,10 +63,21 @@ def shingles_flat(
     cross doc boundaries are simply never selected. Short docs (< n tokens,
     including empty) emit their single prefix-hash shingle, same as the
     per-doc path.
+
+    ``mask32`` (default, byte-parity with ``token_shingles``) truncates
+    each element to its low 32 bits — correct for int32 tokens widened to
+    int64, where it strips sign-extension. Pass ``mask32=False`` for
+    inputs that are already full 64-bit hashes (the word-span paths):
+    masking those would halve per-element entropy, and a 10^5-word
+    vocabulary would see order-1 expected word collisions (V²/2^33),
+    inflating span-duplicate counts beyond the fpp-only bound (review
+    catch).
     """
     lengths = np.asarray(lengths, dtype=np.int64)
     n_docs = len(lengths)
-    t = np.asarray(flat_tokens, dtype=np.int64).view(np.uint64) & np.uint64(0xFFFFFFFF)
+    t = np.asarray(flat_tokens, dtype=np.int64).view(np.uint64)
+    if mask32:
+        t = t & np.uint64(0xFFFFFFFF)
     total = len(t)
     offsets = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])

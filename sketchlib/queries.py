@@ -2707,6 +2707,20 @@ def streaming_bloom_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _word_gram_strings(n: int):
+    """Column expr: array of n-word gram strings over a ``words`` column
+    (empty for docs with < n words). Shared by both exact span companions
+    so they tokenize identically (Spark's sequence(1, 0) would generate a
+    DESCENDING range, hence the explicit guard)."""
+    return F.when(
+        F.size("words") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("words") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("words", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def duplicate_ngram_spans(
     spark: SparkSession, sf_dir: str, n: int = 8, topk: int = 10
 ) -> DataFrame:
@@ -2747,20 +2761,22 @@ def duplicate_ngram_spans(
     bagg = BloomAggregator(
         m_log2=20, k=7, key_cols=[], value_col="fp", value_kind="int64"
     )
-    blob = bytes(bagg.merged(dup_fps).collect()[0]["sketch"])
+    # a clean corpus (no duplicated span — the case this detector exists
+    # to confirm) yields ZERO merged rows: fall back to an empty filter
+    # instead of crashing on collect()[0] (review catch)
+    merged_rows = bagg.merged(dup_fps).collect()
+    blob = (
+        bytes(merged_rows[0]["sketch"])
+        if merged_rows
+        else BloomFilter.empty(20, 7).to_bytes()
+    )
     fpp = BloomFilter.from_bytes(blob).fpp_estimate()
     scored = word_span_bloom_scores(based, blob, "doc_id", "words", n)
 
     # exact companion (oracle-scale): REAL gram strings, window count
     from pyspark.sql import Window
 
-    grams = F.when(
-        F.size("words") >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size("words") - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice("words", i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _word_gram_strings(n)
     span_rows = based.select("doc_id", F.explode(grams).alias("gram"))
     w_gram = Window.partitionBy("gram")
     exact = (
@@ -2834,20 +2850,21 @@ def ngram_decontamination(spark: SparkSession, sf_dir: str, n: int = 8) -> DataF
     bagg = BloomAggregator(
         m_log2=20, k=7, key_cols=[], value_col="fp", value_kind="int64"
     )
-    blob = bytes(bagg.merged(bench_fps).collect()[0]["sketch"])
+    merged_rows = bagg.merged(bench_fps).collect()
+    if merged_rows:
+        blob = bytes(merged_rows[0]["sketch"])
+    else:
+        # benchmark split has no doc with >= n words: nothing can leak
+        from .bloom import BloomFilter
+
+        blob = BloomFilter.empty(20, 7).to_bytes()
     scored = word_span_bloom_scores(train, blob, "doc_id", "words", n)
     flagged_ids = {
         r["doc_id"] for r in scored.where(F.col("flagged_spans") >= 1).collect()
     }
 
     # exact companion: real gram strings, bench-distinct semi-join
-    grams = F.when(
-        F.size("words") >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size("words") - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice("words", i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _word_gram_strings(n)
     bench_grams = bench.select(F.explode(grams).alias("gram")).distinct()
     contaminated = (
         train.select("doc_id", F.explode(grams).alias("gram"))

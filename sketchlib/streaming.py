@@ -536,7 +536,11 @@ def streaming_bloom_dedup(
                 bf.update_batch(new_fps, kind="int64")
                 kept_fp = [int(x) for x in new_fps]
                 kept_keep = list(local[keep_col].to_numpy()[fresh])
-        state.update((bf.to_bytes(),))
+        # only persist when the filter changed (or on first sight): an
+        # all-duplicate micro-batch otherwise pays shards x ~128 KB of
+        # serialization + state-store writes for nothing (review catch)
+        if kept_fp or not state.exists:
+            state.update((bf.to_bytes(),))
         if kept_fp:
             yield pd.DataFrame(
                 {
