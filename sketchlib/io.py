@@ -250,3 +250,35 @@ class CheckpointedBuild:
             F.sum("wall_secs").alias("sketch_build_secs"),
             F.max("wall_secs").alias("max_shard_secs"),
         )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str = "doc_id",
+    n_buckets: int = 512,
+    sort: bool = True,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist a table bucketed (and sorted) by ``bucket_col`` — the
+    co-location layout for 100 TB joins.
+
+    Two tables bucketed on the same key with the same bucket count join as
+    a SortMergeJoin with ZERO Exchange (neither side shuffles; plan-pinned
+    by tests/test_plans.py::test_bucketed_tables_join_without_shuffle), and
+    aggregations keyed on the bucket column skip their exchange too. At
+    10^12 sequences that is the difference between shuffling the corpus
+    per join and never shuffling it: pay one bucketed write, then every
+    doc-keyed join (quality scores, embeddings, dedup verdicts) is
+    scan + merge. Size ``n_buckets`` so a bucket's rows fit an executor
+    (corpus_bytes / n_buckets ≲ a few GB); both tables must agree on it.
+    """
+    w = df.write.bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    if path is not None:
+        # external table at an explicit location (warehouse.dir is a
+        # STATIC config, unchangeable per-session)
+        w = w.option("path", path)
+    w.mode(mode).saveAsTable(table)

@@ -168,3 +168,38 @@ def test_curation_pipeline_is_single_scan(spark):
     assert "Join" not in main
     # shuffles: two windows + the aggregation pair + the final tiny sort
     assert len(re.findall(r"\(\d+\) Exchange", main)) <= 4
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """io.write_bucketed: co-bucketed tables join as SortMergeJoin with
+    ZERO Exchange (neither corpus shuffles), and a groupBy on the bucket
+    column also skips its exchange — the co-location layout every doc-keyed
+    100 TB join should use."""
+    import re
+
+    from sketchlib.data import SEQUENCES_SCHEMA, gen_sequences_pandas
+    from sketchlib.io import write_bucketed
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spark.createDataFrame(gen_sequences_pandas(3000), schema=SEQUENCES_SCHEMA)
+        write_bucketed(df, "seq_bkt", "doc_id", n_buckets=8, path=str(tmp_path / "a"))
+        write_bucketed(
+            df.select("doc_id", "n_tok"),
+            "meta_bkt",
+            "doc_id",
+            n_buckets=8,
+            path=str(tmp_path / "b"),
+        )
+        j = spark.table("seq_bkt").join(spark.table("meta_bkt"), "doc_id")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan[:1200]
+        g = spark.table("seq_bkt").groupBy("doc_id").count()
+        assert len(re.findall(r"\(\d+\) Exchange", _plan(g))) == 0
+        assert j.count() == 3000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS seq_bkt")
+        spark.sql("DROP TABLE IF EXISTS meta_bkt")
