@@ -65,9 +65,22 @@ class HyperLogLog:
 
     def merge(self, other: "HyperLogLog") -> None:
         """In-place merge; the other object is unaffected (returns None,
-        exactly like the reference)."""
-        self._sketch.merge(other._sketch)
-        self._added += other._added
+        exactly like the reference). ``added`` grows by the number of
+        registers the merge actually updated: the reference's merge loop
+        (src/hll.c:795-811) calls setRegister only where other > self, and
+        setRegister increments the counter once per call (src/hll.c:516)."""
+        a, b = self._sketch, other._sketch
+        if a.is_sparse:
+            # other's pairs that beat self's current value
+            grown = sum(
+                1
+                for i, r in zip(b.sparse_indices, b.sparse_ranks)
+                if int(r) > a.get_register(int(i))
+            )
+            self._added += grown
+        else:
+            self._added += int((b.registers > a.registers).sum())
+        a.merge(b)
 
     def hash(self, value) -> int:
         return self._sketch.hash(value)

@@ -25,6 +25,15 @@ from .kll import KllSketch
 from .kmv import KmvSketch
 from .tdigest import TDigest
 
+# live session -> prefixes already registered (weak keys: a stopped and
+# collected session drops its entry, so a new session re-registers even if
+# it lands at a recycled address) — see register()
+import weakref
+
+_REGISTERED_SESSIONS: "weakref.WeakKeyDictionary[SparkSession, set[str]]" = (
+    weakref.WeakKeyDictionary()
+)
+
 
 def _hll_estimates_np(blobs: list) -> np.ndarray:
     """Batch cardinality estimates for a list of non-null HLL blobs.
@@ -59,9 +68,12 @@ def _hll_pair_estimates(a: pd.Series, b: pd.Series, op: str) -> pd.Series:
     catch: jaccard previously ran the whole pipeline twice).
 
     NULL convention (documented below at the registration site): both-NULL →
-    NULL; one-sided NULL → union degrades to the present side's estimate,
-    intersection to 0 (hence jaccard 0.0). Pairs must agree on (p, seed) —
-    same contract as ``merge`` (src/hll.c:781-788).
+    NULL; one-sided NULL is jaccard/union/intersection against the EMPTY
+    set, computed literally — union degrades to the present side's estimate,
+    intersection to 0, jaccard to 0.0 unless the present side is itself an
+    empty sketch (then 1.0: two empty sets are identical). This is the same
+    empty-set algebra as the KMV pair functions (ADVICE r04). Pairs must
+    agree on (p, seed) — same contract as ``merge`` (src/hll.c:781-788).
     """
     from .hll import (
         estimates_from_histograms,
@@ -78,11 +90,17 @@ def _hll_pair_estimates(a: pd.Series, b: pd.Series, op: str) -> pd.Series:
     valid = ~(a_null & b_null)
     one_sided = valid & (a_null | b_null)
     if one_sided.any():
-        if op == "union":
+        if op in ("union", "jaccard"):
             singles = [a_np[i] if a_np[i] is not None else b_np[i] for i in np.flatnonzero(one_sided)]
-            res[one_sided] = _hll_estimates_np(singles)
-        # intersection with the absent (empty) side is 0 (jaccard 0.0) —
-        # already zeros
+            single_est = _hll_estimates_np(singles)
+            if op == "union":
+                res[one_sided] = single_est
+            else:
+                # literal jaccard vs the empty set: 0.0 when the present side
+                # is non-empty, 1.0 when it is itself empty (two empty sets
+                # are identical) — same convention as kmv_jaccard
+                res[one_sided] = np.where(single_est == 0, 1.0, 0.0)
+        # intersection with the absent (empty) side is 0 — already zeros
     both = valid & ~one_sided
     if both.any():
         # group by the PAIR's config (header bytes): a column unioned from
@@ -111,7 +129,9 @@ def _hll_pair_estimates(a: pd.Series, b: pd.Series, op: str) -> pd.Series:
                 inter = np.maximum(0, est_a + est_b - est_u)
                 if op == "jaccard":
                     with np.errstate(divide="ignore", invalid="ignore"):
-                        res[idx] = np.where(est_u > 0, inter / est_u, 0.0)
+                        # union 0 => both sketches empty => identical => 1.0
+                        # (unified empty-set algebra, ADVICE r04)
+                        res[idx] = np.where(est_u > 0, inter / est_u, 1.0)
                 else:
                     res[idx] = inter
     if op == "jaccard":
@@ -123,13 +143,21 @@ def _hll_pair_estimates(a: pd.Series, b: pd.Series, op: str) -> pd.Series:
     return out
 
 
-def register(spark: SparkSession, prefix: str = "") -> None:
+def register(spark: SparkSession, prefix: str = "", force: bool = False) -> None:
     """Register sketch SQL functions (optionally name-prefixed).
 
     Every UDF is NULL-guarded (ADVICE r03): a NULL blob (e.g. from an outer
     join) yields SQL NULL from single-blob functions, and the documented
     empty-set algebra from pair functions — never an executor TypeError.
+
+    Idempotent per (session, prefix): registering ~20 pandas UDFs costs a
+    measurable driver round-trip burst, so repeat calls on the same live
+    SparkSession are no-ops (VERDICT r04 #3) unless ``force=True``.
     """
+    done = _REGISTERED_SESSIONS.setdefault(spark, set())
+    if not force and prefix in done:
+        return
+    done.add(prefix)
 
     @F.pandas_udf(T.LongType())
     def hll_estimate(blobs: pd.Series) -> pd.Series:
@@ -222,9 +250,11 @@ def register(spark: SparkSession, prefix: str = "") -> None:
     def hll_jaccard_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
         """|A∩B|/|A∪B| by inclusion–exclusion (same caveat as the scalar
         HllSketch.jaccard_estimate; KMV's native ratio estimator is tighter
-        for small intersections). NULL convention: both NULL → NULL,
-        one-sided NULL → 0.0; union==0 → 0.0 (matching the scalar's
-        short-circuit). One fused decode per batch."""
+        for small intersections). NULL convention: both NULL → NULL;
+        one-sided NULL = literal jaccard vs the empty set (0.0, or 1.0 when
+        the present side is itself empty); union==0 → 1.0 (two empty sets
+        are identical) — the same empty-set algebra as kmv_jaccard
+        (ADVICE r04). One fused decode per batch."""
         return _hll_pair_estimates(a, b, "jaccard")
 
     @F.pandas_udf(T.LongType())

@@ -8,10 +8,16 @@ register index, clz-rank registers, element-wise-max merge
 tests/test_hll.py against FIXTURES.md §3 (captured from the built C
 extension).
 
-Representation: always a dense ``uint8[2^p]`` numpy array in flight — the
-reference's sparse linked-list mode (src/hll.c:257-507) is an object-local
-memory optimization that vectorization makes moot (SURVEY.md §4.1); at-rest
-blobs are raw registers behind a small versioned header.
+Representation: a dense ``uint8[2^p]`` numpy array in flight for p <= 26 —
+the reference's sparse linked-list mode (src/hll.c:257-507) is an
+object-local memory optimization that vectorization makes moot for dense-
+representable p (SURVEY.md §4.1); at-rest blobs are raw registers behind a
+small versioned header. For p > 26 (where a dense array would exceed
+64 MiB, up to 2^63 at the contract maximum) the sketch holds a sorted
+sparse (index, rank) pair array instead, mirroring how the reference's
+sparse list is what makes its p=63 contract usable (src/hll.c:36-40,
+708-712); all operations (add/update/merge/estimate/codec) work on it
+without ever allocating 2^p registers.
 """
 
 from __future__ import annotations
@@ -33,6 +39,10 @@ from .kernels import (
 )
 
 DEFAULT_P = 12  # reference default, src/hll.c:702
+# largest p held as a dense register array (64 MiB); beyond this the sketch
+# uses the sorted sparse (index, rank) representation — the same dense/sparse
+# duality as the reference (src/hll.c:708-760), keyed on p instead of fill
+DENSE_MAX_P = 26
 
 
 def _sigma(x: float) -> float:
@@ -132,6 +142,14 @@ def estimates_from_histograms(hists: np.ndarray, p: int) -> np.ndarray:
     z += m * _sigma_vec(hists[:, 0] / m)
     with np.errstate(divide="ignore"):
         est = np.round(alpha * m * (m / z))
+    if not np.isfinite(est).all():
+        # z == 0 (every register saturated) divides by zero; the scalar
+        # estimate_from_histogram raises ZeroDivisionError on the float
+        # m/z — fail identically here instead of letting the int64 cast
+        # silently wrap the inf to INT64_MIN (ADVICE r04).
+        raise ZeroDivisionError(
+            "HLL estimate undefined: z == 0 (every register saturated)"
+        )
     return est.astype(np.int64)
 
 
@@ -163,6 +181,11 @@ def registers_from_blobs(blobs) -> tuple[np.ndarray, int, int]:
     if n == 0:
         return np.zeros((0, 0), dtype=np.uint8), 0, DEFAULT_SEED
     p0, seed0, _ = unpack_header(blobs[0], KIND_HLL)
+    if p0 > DENSE_MAX_P:
+        raise ValueError(
+            f"batch register decode needs a dense-representable p <= {DENSE_MAX_P}, "
+            f"got p={p0}; decode sparse sketches one at a time via from_bytes"
+        )
     m = 1 << p0
     first_len = len(blobs[0])
     hdr = HEADER_LEN  # mode byte sits right after the fixed-width header
@@ -220,7 +243,16 @@ class HllSketch:
             raise ValueError(f"p={self.p} is out of range [2, 63]")
         self.p = int(self.p)
         self.seed = int(self.seed)
-        if self.registers is None:
+        if self.p > DENSE_MAX_P:
+            # sparse-only territory: never allocate 2^p registers
+            if self.registers is not None:
+                raise ValueError(
+                    f"p={self.p} > {DENSE_MAX_P} is held sparse; "
+                    f"dense register arrays are not supported there"
+                )
+            self.sparse_indices = np.empty(0, dtype=np.int64)
+            self.sparse_ranks = np.empty(0, dtype=np.uint8)
+        elif self.registers is None:
             self.registers = np.zeros(1 << self.p, dtype=np.uint8)
         else:
             self.registers = np.asarray(self.registers, dtype=np.uint8)
@@ -228,6 +260,23 @@ class HllSketch:
                 raise ValueError(
                     f"registers shape {self.registers.shape} != (2^{self.p},)"
                 )
+
+    @property
+    def is_sparse(self) -> bool:
+        """True when p > DENSE_MAX_P: registers live as sorted (idx, rank)
+        pairs and ``self.registers`` is None."""
+        return self.registers is None
+
+    def _sparse_update(self, idx: np.ndarray, ranks: np.ndarray) -> None:
+        """Fold (idx, rank) pairs into the sorted sparse arrays, max-combining
+        duplicates — the vectorized analogue of the reference's sparse-list
+        insert (src/hll.c:257-507), minus the list walk."""
+        all_idx = np.concatenate([self.sparse_indices, np.asarray(idx, dtype=np.int64)])
+        all_rank = np.concatenate([self.sparse_ranks, np.asarray(ranks, dtype=np.uint8)])
+        uniq, inv = np.unique(all_idx, return_inverse=True)
+        maxv = np.zeros(len(uniq), dtype=np.uint8)
+        np.maximum.at(maxv, inv, all_rank)
+        self.sparse_indices, self.sparse_ranks = uniq, maxv
 
     # -- constructors -------------------------------------------------------
 
@@ -246,13 +295,24 @@ class HllSketch:
         """Read one register; IndexError beyond 2^p-1 (src/hll.c:1217-1228)."""
         if not (0 <= i < self.size):
             raise IndexError(f"register index {i} out of range [0, {self.size})")
+        if self.is_sparse:
+            pos = int(np.searchsorted(self.sparse_indices, i))
+            if pos < len(self.sparse_indices) and int(self.sparse_indices[pos]) == i:
+                return int(self.sparse_ranks[pos])
+            return 0
         return int(self.registers[i])
 
     def histogram(self) -> np.ndarray:
         """65-bin register-value histogram (reference ``_histogram()``,
 
         src/hll.c:595-605 — maintained incrementally there; recomputed here
-        in one branch-free pass, SURVEY.md §4.1)."""
+        in one branch-free pass, SURVEY.md §4.1). Sparse mode returns
+        float64 (the zero-bin count 2^p - nnz can exceed int64 at p=63;
+        the estimator consumes the bins as floats anyway)."""
+        if self.is_sparse:
+            hist = np.bincount(self.sparse_ranks, minlength=65)[:65].astype(np.float64)
+            hist[0] = float(1 << self.p) - float(len(self.sparse_indices))
+            return hist
         return np.bincount(self.registers, minlength=65)[:65]
 
     # -- updates ------------------------------------------------------------
@@ -262,7 +322,10 @@ class HllSketch:
         if len(hashes) == 0:
             return
         idx, rank = hll_index_rank(np.asarray(hashes, dtype=np.uint64), self.p)
-        update_registers(self.registers, idx, rank)
+        if self.is_sparse:
+            self._sparse_update(idx, rank)
+        else:
+            update_registers(self.registers, idx, rank)
 
     def update_batch(self, tokens: np.ndarray) -> None:
         """Vectorized equivalent of reference ``add()`` per int32 token
@@ -295,6 +358,13 @@ class HllSketch:
         idx = h >> (64 - self.p)
         payload = (h << self.p) & ((1 << 64) - 1)
         rank = min((64 - payload.bit_length() if payload else 64) + 1, 64 - self.p + 1)
+        if self.is_sparse:
+            if rank > self.get_register(idx):
+                self._sparse_update(
+                    np.array([idx], dtype=np.int64), np.array([rank], dtype=np.uint8)
+                )
+                return True
+            return False
         if rank > self.registers[idx]:
             self.registers[idx] = rank
             return True
@@ -318,11 +388,20 @@ class HllSketch:
     def merge(self, other: "HllSketch") -> "HllSketch":
         """In-place element-wise max merge (src/hll.c:776-815); returns self."""
         self._check_mergeable(other)
+        if self.is_sparse:
+            # equal size => equal p => both sparse (repr is a function of p)
+            self._sparse_update(other.sparse_indices, other.sparse_ranks)
+            return self
         np.maximum(self.registers, other.registers, out=self.registers)
         return self
 
     def __or__(self, other: "HllSketch") -> "HllSketch":
         self._check_mergeable(other)
+        if self.is_sparse:
+            out = HllSketch.empty(self.p, self.seed)
+            out._sparse_update(self.sparse_indices, self.sparse_ranks)
+            out._sparse_update(other.sparse_indices, other.sparse_ranks)
+            return out
         return HllSketch(
             p=self.p, seed=self.seed, registers=np.maximum(self.registers, other.registers)
         )
@@ -353,7 +432,23 @@ class HllSketch:
 
         ``mode=None`` auto-picks min(dense, sparse) as in round 1, so
         existing checkpoint bytes are unchanged.
+
+        Sparse-representation sketches (p > DENSE_MAX_P) always encode as
+        mode 3 (sparse64: u64 count + sorted i64 indices + u8 ranks —
+        register indices above p=32 don't fit mode 1's u32).
         """
+        if self.is_sparse:
+            if mode not in (None, "sparse"):
+                raise ValueError(
+                    f"p={self.p} sketches are sparse-only; mode {mode!r} unsupported"
+                )
+            return (
+                pack_header(KIND_HLL, self.p, self.seed)
+                + b"\x03"
+                + struct.pack("<Q", len(self.sparse_indices))
+                + self.sparse_indices.astype(np.int64).tobytes()
+                + self.sparse_ranks.tobytes()
+            )
         nz = np.flatnonzero(self.registers)
         dense_size = 1 << self.p
         head = pack_header(KIND_HLL, self.p, self.seed)
@@ -379,6 +474,25 @@ class HllSketch:
     def from_bytes(cls, blob: bytes) -> "HllSketch":
         p, seed, payload = unpack_header(blob, KIND_HLL)
         mode, payload = payload[0], payload[1:]
+        if mode == 3 or p > DENSE_MAX_P:
+            out = cls.empty(p, seed)
+            if mode == 3:
+                (n,) = struct.unpack_from("<Q", payload, 0)
+                idx = np.frombuffer(payload, dtype=np.int64, count=n, offset=8)
+                ranks = np.frombuffer(payload, dtype=np.uint8, count=n, offset=8 + 8 * n)
+            elif mode == 1:  # defensive: u32-index sparse blob at sparse-repr p
+                (n,) = struct.unpack_from("<I", payload, 0)
+                idx = np.frombuffer(payload, dtype=np.uint32, count=n, offset=4).astype(np.int64)
+                ranks = np.frombuffer(payload, dtype=np.uint8, count=n, offset=4 + 4 * n)
+            else:
+                raise ValueError(
+                    f"dense HLL encoding {mode} is invalid at sparse-only p={p}"
+                )
+            if out.is_sparse:
+                out._sparse_update(idx, ranks)
+            else:  # mode-3 blob at dense-representable p
+                update_registers(out.registers, idx.astype(np.int64), ranks)
+            return out
         if mode == 0:
             regs = np.frombuffer(payload, dtype=np.uint8, count=1 << p).copy()
         elif mode == 1:
@@ -428,10 +542,14 @@ class HllSketch:
 
     @staticmethod
     def jaccard_estimate(a: "HllSketch", b: "HllSketch") -> float:
-        """|A ∩ B| / |A ∪ B| with the same inclusion–exclusion caveat."""
+        """|A ∩ B| / |A ∪ B| with the same inclusion–exclusion caveat.
+
+        Empty-set algebra (unified with KmvSketch.jaccard, ADVICE r04):
+        union estimate 0 means both sketches are empty — two empty sets are
+        identical, so jaccard is 1.0."""
         union = HllSketch.union_estimate(a, b)
         if union == 0:
-            return 0.0
+            return 1.0
         return HllSketch.intersection_estimate(a, b) / union
 
     @staticmethod

@@ -2555,11 +2555,11 @@ def streaming_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = spark.sql(f"SELECT * FROM {name}").collect()
     spark.catalog.dropTempView(name)
     final: dict = {}
-    for r in rows:  # update mode: the last emission per fp has max dup_count
-        if r["fp"] not in final or r["dup_count"] > final[r["fp"]]["dup_count"]:
+    for r in rows:  # update mode: the last emission per fp has max n_occurrences
+        if r["fp"] not in final or r["n_occurrences"] > final[r["fp"]]["n_occurrences"]:
             final[r["fp"]] = r
     stream_survivors = {(r["fp"], r["doc_id"]) for r in final.values()}
-    n_docs_streamed = sum(r["dup_count"] for r in final.values())
+    n_docs_streamed = sum(r["n_occurrences"] for r in final.values())
 
     batch = (
         load_table(spark, sf_dir, "documents")

@@ -394,7 +394,8 @@ def streaming_first_seen(
     """Streaming EXACT dedup: one surviving row per distinct fingerprint.
 
     Per-fingerprint keyed state = the minimum ``keep_col`` seen so far plus
-    the duplicate count; each micro-batch folds its rows in and emits the
+    the TOTAL occurrence count (first sighting included — renamed from
+    dup_count, ADVICE r04); each micro-batch folds its rows in and emits the
     refreshed survivor (update mode). Because ``min`` is associative and
     commutative, the final emission per key equals the batch
     ``groupBy(fp).min(keep)`` REGARDLESS of how rows split into
@@ -416,7 +417,7 @@ def streaming_first_seen(
         [
             fp_field,
             T.StructField(keep_col, keep_field.dataType, True),
-            T.StructField("dup_count", T.LongType(), False),
+            T.StructField("n_occurrences", T.LongType(), False),
         ]
     )
     state_schema = T.StructType(
@@ -442,7 +443,7 @@ def streaming_first_seen(
         else:
             keep, n_rows = batch_min, n
         state.update((keep, n_rows))
-        yield pd.DataFrame({fp_col: [key[0]], keep_col: [keep], "dup_count": [n_rows]})
+        yield pd.DataFrame({fp_col: [key[0]], keep_col: [keep], "n_occurrences": [n_rows]})
 
     return (
         stream.select(fp_col, keep_col)

@@ -37,13 +37,22 @@ def test_add_merge_added_counter_and_pickle():
     for i in range(250, 750):
         b.add(struct.pack("<i", i))
     assert a._get_meta()["added"] == 500
+    # the reference's merge bumps `added` once per register it actually
+    # updates (setRegister, src/hll.c:516, called where other > self,
+    # src/hll.c:795-811) — NOT by other's added count (VERDICT r04 #9)
+    grown = sum(
+        1
+        for i in range(1 << 12)
+        if b.get_register(i) > a.get_register(i)
+    )
     assert a.merge(b) is None  # reference merge returns None
-    assert a._get_meta()["added"] == 1000
+    assert a._get_meta()["added"] == 500 + grown
+    assert 0 < grown < 500  # non-vacuous: overlap means not every register grew
     est = a.cardinality()
     assert abs(est / 750 - 1) < 0.1
     r = pickle.loads(pickle.dumps(a))
     assert r.cardinality() == est
-    assert r._get_meta()["added"] == 1000
+    assert r._get_meta()["added"] == 500 + grown
     assert [r.get_register(i) for i in range(64)] == [
         a.get_register(i) for i in range(64)
     ]
@@ -73,3 +82,15 @@ def test_live_shim_parity(ref_hll):  # noqa: F811
     assert regs_ref == regs_ours
     assert ours.hash(b"parity") == ref.hash(b"parity")
     assert ours.seed() == ref.seed() and ours.size() == ref.size()
+    # merge added-counter parity (VERDICT r04 #9): `added` must track the
+    # reference's per-updated-register increment through a merge
+    ref2 = ref_hll.HyperLogLog(p=p, seed=seed, sparse=False)
+    ours2 = HyperLogLog(p=p, seed=seed, sparse=False)
+    for t in rng.integers(-(2**31), 2**31, 10_000).astype(np.int32).tolist():
+        buf = struct.pack("<i", t)
+        ref2.add(buf)
+        ours2.add(buf)
+    ref.merge(ref2)
+    ours.merge(ours2)
+    assert ours._get_meta()["added"] == ref._get_meta()["added"]
+    assert ours.cardinality() == ref.cardinality()

@@ -263,3 +263,99 @@ def test_packed6_rejects_unknown_mode():
     s = HllSketch.empty(8)
     with _pytest.raises(ValueError):
         s.to_bytes(mode="wat")
+
+
+def test_sparse_repr_large_p():
+    """p > 26 is held sparse: the reference's [2,63] ctor contract
+    (src/hll.c:708-712) without ever allocating 2^p registers — the same
+    role its sparse linked list plays (src/hll.c:36-40)."""
+    import pytest as _pytest
+
+    s = HllSketch.empty(63)
+    assert s.is_sparse and s.registers is None and s.size == 1 << 63
+    assert s.add(b"hello") is True
+    assert s.add(b"hello") is False  # no register growth on repeat
+    s.update_batch(np.arange(1000, dtype=np.int32))
+    t = HllSketch.empty(63)
+    t.update_batch(np.arange(500, 1500, dtype=np.int32))
+
+    # merge commutativity on the sparse representation
+    ab, ba = s | t, t | s
+    assert np.array_equal(ab.sparse_indices, ba.sparse_indices)
+    assert np.array_equal(ab.sparse_ranks, ba.sparse_ranks)
+
+    # codec roundtrip (mode-3 sparse64 blob)
+    r = HllSketch.from_bytes(ab.to_bytes())
+    assert r.is_sparse
+    assert np.array_equal(r.sparse_indices, ab.sparse_indices)
+    assert np.array_equal(r.sparse_ranks, ab.sparse_ranks)
+
+    # register access semantics
+    i0 = int(ab.sparse_indices[0])
+    assert ab.get_register(i0) == int(ab.sparse_ranks[0])
+    with _pytest.raises(IndexError):
+        ab.get_register(1 << 63)
+    # dense register arrays are rejected at sparse-only p
+    with _pytest.raises(ValueError):
+        HllSketch(p=63, registers=np.zeros(8, dtype=np.uint8))
+    # p out of contract still raises
+    with _pytest.raises(ValueError):
+        HllSketch.empty(64)
+
+
+def test_sparse_repr_estimate_accuracy_p30():
+    """At p=30 (sparse repr, float histogram still exact) the estimate must
+    hold the published bound."""
+    s = HllSketch.empty(30)
+    s.update_batch_int64(np.arange(100_000, dtype=np.int64))
+    assert abs(s.cardinality() / 100_000 - 1) < 3 * HllSketch.std_error(30) + 0.01
+
+
+def test_mode3_blob_decodes_into_dense_at_small_p():
+    import struct as st
+
+    from sketchlib.codec import KIND_HLL, pack_header
+
+    d = HllSketch.empty(12)
+    d.update_batch(np.arange(5000, dtype=np.int32))
+    nz = np.flatnonzero(d.registers)
+    blob3 = (
+        pack_header(KIND_HLL, 12, 314)
+        + b"\x03"
+        + st.pack("<Q", len(nz))
+        + nz.astype(np.int64).tobytes()
+        + d.registers[nz].tobytes()
+    )
+    assert np.array_equal(HllSketch.from_bytes(blob3).registers, d.registers)
+
+
+def test_batch_estimator_raises_like_scalar_on_saturation():
+    """All-registers-saturated histograms overflow identically in the batch
+    and scalar estimators (ADVICE r04) instead of wrapping to INT64_MIN."""
+    import pytest as _pytest
+
+    from sketchlib.hll import (
+        estimate_from_histogram,
+        estimates_from_histograms,
+        histograms_from_registers,
+    )
+
+    full = np.full(1 << 12, 64, dtype=np.uint8)
+    hists = histograms_from_registers(full[None, :])
+    with _pytest.raises(ZeroDivisionError):
+        estimates_from_histograms(hists, 12)
+    with _pytest.raises(ZeroDivisionError):
+        estimate_from_histogram(hists[0], 12)
+
+
+def test_jaccard_empty_set_convention():
+    """Unified empty-set algebra (ADVICE r04): jaccard of two empty sketches
+    is 1.0 for both HLL and KMV."""
+    from sketchlib.kmv import KmvSketch
+
+    assert HllSketch.jaccard_estimate(HllSketch.empty(12), HllSketch.empty(12)) == 1.0
+    assert KmvSketch.jaccard(KmvSketch.empty(64), KmvSketch.empty(64)) == 1.0
+    # non-empty vs empty stays 0.0
+    s = HllSketch.empty(12)
+    s.update_batch(np.arange(1000, dtype=np.int32))
+    assert HllSketch.jaccard_estimate(s, HllSketch.empty(12)) == 0.0

@@ -546,9 +546,9 @@ def test_streaming_first_seen_matches_batch_dedup(spark, tmp_path):
     rows = spark.sql("SELECT * FROM first_seen").collect()
     final = {}
     for r in rows:
-        if r["fp"] not in final or r["dup_count"] > final[r["fp"]]["dup_count"]:
+        if r["fp"] not in final or r["n_occurrences"] > final[r["fp"]]["n_occurrences"]:
             final[r["fp"]] = r
-    assert {(k, v["doc_id"], v["dup_count"]) for k, v in final.items()} == {
+    assert {(k, v["doc_id"], v["n_occurrences"]) for k, v in final.items()} == {
         (10, "d000", 2),
         (20, "d001", 2),
         (30, "d005", 1),
