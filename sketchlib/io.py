@@ -86,9 +86,17 @@ def append_partials(df: DataFrame, target: str, spark: SparkSession) -> str:
 
 
 def read_partials(spark: SparkSession, target: str) -> DataFrame:
-    """Read checkpoint partials back from either sink kind."""
+    """Read checkpoint partials back from either sink kind.
+
+    A path target that doesn't exist yet (first run of a fresh checkpoint)
+    raises FileNotFoundError client-side INSTEAD of letting Spark probe it —
+    the JVM-side probe logs a WARN FileStreamSink stack trace into stdout,
+    which the driver's bench tail capture must stay clean of (VERDICT r04 #8).
+    """
     if "/" not in target:
         return spark.table(target)
+    if not os.path.isdir(target):
+        raise FileNotFoundError(f"checkpoint partials path {target!r} does not exist yet")
     return spark.read.parquet(target)
 
 

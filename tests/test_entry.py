@@ -38,19 +38,15 @@ def duck():
 # so those queries must run at sf0.01 here (the driver always runs sf0.01)
 _SEQ_ORACLE_QUERIES = {
     # queries whose DuckDB oracle reads the sf0.01 sequences parquet by path
-    "exact_distinct_tokens_per_source",
     "hll_tokens_accuracy",
     "hll_tokens_rollup",
-    "salted_merge_identity",
-    "hll_source_overlap",
-    "kmv_source_overlap",
-    "kmv_source_jaccard_matrix",
+    "merge_law_identity",
+    "source_overlap",
+    "source_jaccard_matrix",
     "corpus_profile_per_source",
     "doc_rarity_mass",
     "weighted_sample_docs",
     "stratified_sample_docs",
-    "hll_source_jaccard_matrix",
-    "checkpointed_resume_identity",
     "cms_token_freq_topk",
     "cms_heavy_hitters_per_source",
     "sql_over_checkpoint",
