@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50-row driver pass (VERDICT r04 #1): estimate queries folded into
         # their *_accuracy companions, law/overlap/matrix/ann/multimodal/
         # streaming-dedup pairs fused — every code path stays oracle-checked.
+        "training_mix_pack": Q.training_mix_pack,
         "bucketed_join_docs": Q.bucketed_join_docs,
         "source_overlap": Q.source_overlap,
         "source_jaccard_matrix": Q.source_jaccard_matrix,
@@ -139,6 +140,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "training_mix_pack": r"""
+            WITH d0 AS (
+              SELECT doc_id, source,
+                     COALESCE(list_sum(list_transform(
+                         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                     t -> t != ''),
+                         t -> (length(t) + 3) // 4)), 0) AS n_tok
+              FROM documents
+            ),
+            d AS (
+              SELECT doc_id, source, n_tok,
+                     (doc_id * 2654435761) % 4294967296 AS prio
+              FROM d0 WHERE n_tok > 0
+            ),
+            tot AS (SELECT source, SUM(n_tok)::BIGINT AS stok FROM d GROUP BY source),
+            w AS (SELECT source, stok,
+                         CAST(floor(sqrt(stok)) AS BIGINT) AS wgt FROM tot),
+            budglob AS (SELECT SUM(stok)::BIGINT // 2 AS b,
+                            SUM(wgt)::BIGINT AS wsum FROM w),
+            bud AS (SELECT source, (budglob.b * wgt) // budglob.wsum AS token_budget
+                    FROM w, budglob),
+            c AS (SELECT d.*, COALESCE(SUM(n_tok) OVER (
+                      PARTITION BY source ORDER BY prio
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS src_before FROM d),
+            sel AS (SELECT c.*, bud.token_budget FROM c JOIN bud USING (source)
+                    WHERE src_before < token_budget),
+            g AS (SELECT sel.*, COALESCE(SUM(n_tok) OVER (ORDER BY prio
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS tok_before FROM sel),
+            p AS (SELECT source, token_budget, n_tok,
+                         tok_before // 512 AS first_seq,
+                         (tok_before + n_tok - 1) // 512 AS last_seq FROM g),
+            ns AS (SELECT (SUM(n_tok)::BIGINT + 511) // 512 AS n_sequences FROM p)
+            SELECT source AS key, token_budget, COUNT(*) AS docs_selected,
+                   SUM(n_tok)::BIGINT AS tokens_selected,
+                   SUM(last_seq - first_seq + 1)::BIGINT AS seq_spans,
+                   ns.n_sequences
+            FROM p, ns
+            GROUP BY source, token_budget, ns.n_sequences
+            ORDER BY key
+        """,
         "bucketed_join_docs": """
             SELECT source, COUNT(*) AS n_docs,
                    SUM(length(text))::BIGINT AS total_chars,

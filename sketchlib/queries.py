@@ -2827,3 +2827,79 @@ def bucketed_join_docs(spark: SparkSession, sf_dir: str, n_buckets: int = 8) -> 
         ],
         "source string, n_docs long, total_chars long, join_zero_exchange boolean",
     ).orderBy("source")
+
+
+def training_mix_pack(
+    spark: SparkSession,
+    sf_dir: str,
+    seq_len: int = 512,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Training-data mixture sampling + sequence packing, integer-exact.
+
+    The two post-curation steps an LLM training pipeline runs over the
+    corpus: (1) temperature mixture sampling (alpha = 0.5, the multilingual
+    recipe) — each source gets a token budget proportional to
+    isqrt(available_tokens), filled in a deterministic pseudo-random doc
+    order by the exact prefix rule; (2) concat-and-chunk packing — selected
+    docs laid end-to-end and cut into fixed-length training sequences.
+
+    Both running sums use the two-phase distributed prefix-sum in
+    sketchlib.pack (range-partition + per-partition offsets), NEVER a
+    single-partition global Window sort — the layout that survives a 30 TB
+    source. Every output column is integer arithmetic, reproduced exactly
+    by the DuckDB oracle; partition-count invariance is a tested law.
+    """
+    from .pack import mixture_budgets, pack_offsets, select_mixture
+    from .session import release
+    from .textstats import token_count_bpe_ish
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count_bpe_ish(F.col("text")).alias("n_tok")
+    )
+    tot = {
+        r["source"]: int(r["stok"])
+        for r in docs.where(F.col("n_tok") > 0)
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("stok"))
+        .collect()
+    }
+    budgets = mixture_budgets(tot)  # alpha=0.5 weights, budget = total // 2
+    selected = packed = None
+    try:
+        selected = select_mixture(spark, docs, budgets, num_partitions)
+        packed = pack_offsets(spark, selected, seq_len, num_partitions)
+        total_sel = packed.agg(F.sum("n_tok").alias("t")).collect()[0]["t"] or 0
+        n_seq = (int(total_sel) + seq_len - 1) // seq_len
+        per_source = {
+            r["key"]: r
+            for r in packed.groupBy(F.col("source").alias("key"))
+            .agg(
+                F.count("*").alias("docs_selected"),
+                F.sum("n_tok").alias("tokens_selected"),
+                F.sum(F.col("last_seq") - F.col("first_seq") + F.lit(1)).alias(
+                    "seq_spans"
+                ),
+            )
+            .collect()
+        }
+    finally:
+        if selected is not None:
+            release(selected)
+        if packed is not None:
+            release(packed)
+    return spark.createDataFrame(
+        [
+            (
+                key,
+                int(budgets[key]),
+                int(r["docs_selected"]),
+                int(r["tokens_selected"]),
+                int(r["seq_spans"]),
+                int(n_seq),
+            )
+            for key, r in sorted(per_source.items())
+        ],
+        "key string, token_budget long, docs_selected long, tokens_selected long, "
+        "seq_spans long, n_sequences long",
+    ).orderBy("key")
