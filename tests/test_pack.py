@@ -179,3 +179,50 @@ def test_driver_query_shape(spark):
     total = out["tokens_selected"].sum()
     assert out["n_sequences"].iloc[0] == (total + 511) // 512
     assert (out["tokens_selected"] >= 1).all()
+
+
+# ---- hypothesis properties (pure python/pandas — no Spark in the loop) ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_token_maps = st.dictionaries(
+    st.text(alphabet="abcdef", min_size=1, max_size=3),
+    st.integers(0, 10**12),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(_token_maps)
+@settings(max_examples=100, deadline=None)
+def test_budget_allocation_properties(tokens):
+    b = mixture_budgets(tokens)
+    total = sum(tokens.values())
+    # never over-allocates the global budget, never negative
+    assert sum(b.values()) <= total // 2
+    assert all(0 <= v <= total // 2 for v in b.values())
+    # monotone: a source with more tokens never gets a smaller budget
+    items = sorted(tokens.items(), key=lambda kv: kv[1])
+    for (s1, _), (s2, _) in zip(items, items[1:]):
+        assert b[s1] <= b[s2]
+
+
+@given(st.integers(1, 300), st.integers(1, 6), st.integers(0, 2**31 - 1))
+@settings(max_examples=25, deadline=None)
+def test_reference_prefix_and_contiguity_laws(n, nsrc, seed):
+    pdf = make_docs(n, nsrc, seed)
+    tot = pdf.groupby("source")["n_tok"].sum().to_dict()
+    budgets = mixture_budgets({k: int(v) for k, v in tot.items()})
+    sel = reference_pipeline(pdf, budgets)
+    if not len(sel):
+        return
+    # exact prefix rule per source
+    for src, grp in sel.groupby("source"):
+        assert grp["src_before"].max() < budgets[src]
+        assert grp["n_tok"].sum() < budgets[src] + grp["n_tok"].max()
+    # packing tiles the stream with no gaps or overlaps
+    s = sel.sort_values("prio")
+    starts, lens = s["tok_before"].to_numpy(), s["n_tok"].to_numpy()
+    assert starts[0] == 0
+    assert (starts[1:] == starts[:-1] + lens[:-1]).all()
