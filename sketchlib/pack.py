@@ -232,3 +232,39 @@ def pack_offsets(
         return packed
     finally:
         layout.unpersist()
+
+
+def emit_sequences(packed: DataFrame, seq_len: int) -> DataFrame:
+    """Materialize the packed training sequences as doc-slice rows.
+
+    Input is ``pack_offsets`` output (one row per selected doc with its
+    global ``tok_before`` and the [first_seq, last_seq] span). Output is one
+    row per (sequence, doc) slice::
+
+        seq_id | doc_id | doc_start | seq_start | slice_len
+
+    where the slice is tokens [doc_start, doc_start + slice_len) of the doc,
+    landing at offset ``seq_start`` of sequence ``seq_id``. Laws (tested):
+    slices tile every sequence exactly (sum of slice_len per seq_id ==
+    seq_len, except the final partial sequence) and tile every doc exactly
+    (sum of slice_len per doc_id == n_tok).
+
+    Entirely built-in expressions — sequence() + explode + arithmetic; no
+    Python, no window, no extra shuffle beyond the explode's narrow
+    dependency. At 100 TB this is the map-side projection a training-data
+    writer runs right before grouping slices into shard files.
+    """
+    span = F.explode(F.sequence(F.col("first_seq"), F.col("last_seq"))).alias("seq_id")
+    out = packed.select("doc_id", "n_tok", "tok_before", span)
+    seq_floor = F.col("seq_id") * F.lit(seq_len)
+    doc_start = F.greatest(F.lit(0), seq_floor - F.col("tok_before"))
+    doc_end = F.least(
+        F.col("n_tok"), seq_floor + F.lit(seq_len) - F.col("tok_before")
+    )
+    return out.select(
+        "doc_id",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        doc_start.cast("long").alias("doc_start"),
+        (F.col("tok_before") + doc_start - seq_floor).cast("long").alias("seq_start"),
+        (doc_end - doc_start).cast("long").alias("slice_len"),
+    )

@@ -226,3 +226,62 @@ def test_reference_prefix_and_contiguity_laws(n, nsrc, seed):
     starts, lens = s["tok_before"].to_numpy(), s["n_tok"].to_numpy()
     assert starts[0] == 0
     assert (starts[1:] == starts[:-1] + lens[:-1]).all()
+
+
+def test_emit_sequences_tiles_docs_and_sequences(spark, docs_pdf, budgets):
+    """Slice laws: slices partition every doc's tokens exactly AND tile
+    every training sequence exactly (full seq_len except the last)."""
+    from sketchlib.pack import emit_sequences, pack_offsets, select_mixture
+    from sketchlib.session import release
+
+    df = spark.createDataFrame(docs_pdf)
+    sel = select_mixture(spark, df, budgets, num_partitions=4)
+    packed = pack_offsets(spark, sel, SEQ_LEN, num_partitions=4)
+    try:
+        slices = emit_sequences(packed, SEQ_LEN).toPandas()
+        pk = packed.toPandas()
+    finally:
+        release(sel)
+        release(packed)
+    # per-doc: slices sum to n_tok and are contiguous within the doc
+    agg_doc = slices.groupby("doc_id")["slice_len"].sum()
+    for _, r in pk.iterrows():
+        assert agg_doc[r["doc_id"]] == r["n_tok"]
+    for doc_id, grp in slices.sort_values("seq_id").groupby("doc_id"):
+        starts, lens = grp["doc_start"].to_numpy(), grp["slice_len"].to_numpy()
+        assert starts[0] == 0
+        assert (starts[1:] == starts[:-1] + lens[:-1]).all()
+        assert (lens > 0).all()
+    # per-sequence: full tiling at seq_len, partial last
+    total = pk["n_tok"].sum()
+    agg_seq = slices.groupby("seq_id")["slice_len"].sum().sort_index()
+    n_seq = (total + SEQ_LEN - 1) // SEQ_LEN
+    assert list(agg_seq.index) == list(range(n_seq))
+    assert (agg_seq.iloc[:-1] == SEQ_LEN).all()
+    assert agg_seq.iloc[-1] == total - (n_seq - 1) * SEQ_LEN
+    # within-sequence offsets tile [0, seq_len)
+    for seq_id, grp in slices.sort_values("seq_start").groupby("seq_id"):
+        starts, lens = grp["seq_start"].to_numpy(), grp["slice_len"].to_numpy()
+        assert starts[0] == 0
+        assert (starts[1:] == starts[:-1] + lens[:-1]).all()
+
+
+def test_emit_sequences_is_a_pure_projection(spark, docs_pdf, budgets):
+    """emit_sequences adds NO shuffle and no Window on top of the packed
+    rows — it is the map-side projection a sequence writer runs in place."""
+    from sketchlib.pack import emit_sequences, pack_offsets, select_mixture
+    from sketchlib.session import release
+
+    df = spark.createDataFrame(docs_pdf)
+    sel = select_mixture(spark, df, budgets, num_partitions=4)
+    packed = pack_offsets(spark, sel, SEQ_LEN, num_partitions=4)
+    try:
+        plan = emit_sequences(packed, SEQ_LEN)._sc._jvm.PythonSQLUtils.explainString(
+            emit_sequences(packed, SEQ_LEN)._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan
+        assert "Window" not in plan
+        assert "Generate" in plan  # the explode
+    finally:
+        release(sel)
+        release(packed)
