@@ -179,7 +179,11 @@ def select_mixture(
 
 
 def pack_offsets(
-    spark: SparkSession, selected: DataFrame, seq_len: int, num_partitions: int | None = None
+    spark: SparkSession,
+    selected: DataFrame,
+    seq_len: int,
+    num_partitions: int | None = None,
+    layout_sorted: bool = False,
 ) -> DataFrame:
     """Concat-and-chunk packing: global token offset per selected doc.
 
@@ -187,9 +191,22 @@ def pack_offsets(
     ``first_seq``/``last_seq`` (the fixed-length training sequences the doc's
     tokens land in). Same two-phase prefix-sum as the selection — the global
     cumsum never touches a single-partition sort.
+
+    ``layout_sorted=True`` declares that ``selected`` is ALREADY in the
+    prefix-sum layout (prio-range-partitioned, prio-sorted within
+    partitions) — true for ``select_mixture`` output, whose mapInPandas
+    preserves the layout it was computed over. That skips re-shuffling the
+    selected set: at corpus scale this removes one full shuffle+sort of
+    every selected row from the pipeline.
     """
     num_partitions = num_partitions or selected.sparkSession.sparkContext.defaultParallelism
-    layout = _range_sorted(selected, num_partitions).persist()
+    if layout_sorted:
+        # the caller guarantees the layout; selected is typically already
+        # checkpointed by select_mixture, so no extra persist is needed —
+        # the two passes below re-read materialized blocks
+        layout = selected
+    else:
+        layout = _range_sorted(selected, num_partitions).persist()
     try:
         def sums(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from pyspark import TaskContext
@@ -231,7 +248,8 @@ def pack_offsets(
         packed = layout.mapInPandas(offset, schema).localCheckpoint(eager=True)
         return packed
     finally:
-        layout.unpersist()
+        if not layout_sorted:
+            layout.unpersist()
 
 
 def emit_sequences(packed: DataFrame, seq_len: int) -> DataFrame:

@@ -2879,7 +2879,9 @@ def training_mix_pack(
     selected = packed = None
     try:
         selected = select_mixture(spark, docs, budgets, num_partitions)
-        packed = pack_offsets(spark, selected, seq_len, num_partitions)
+        # select_mixture output IS the prefix-sum layout — skip the second
+        # full shuffle of the selected set (layout_sorted contract)
+        packed = pack_offsets(spark, selected, seq_len, num_partitions, layout_sorted=True)
         total_sel = packed.agg(F.sum("n_tok").alias("t")).collect()[0]["t"] or 0
         n_seq = (int(total_sel) + seq_len - 1) // seq_len
         per_source = {

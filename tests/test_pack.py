@@ -285,3 +285,23 @@ def test_emit_sequences_is_a_pure_projection(spark, docs_pdf, budgets):
     finally:
         release(sel)
         release(packed)
+
+
+def test_layout_sorted_fast_path_identical(spark, docs_pdf, budgets):
+    """pack_offsets(layout_sorted=True) on select_mixture output (which IS
+    the layout) must equal the re-shuffling slow path bit for bit."""
+    from sketchlib.pack import pack_offsets, select_mixture
+    from sketchlib.session import release
+
+    df = spark.createDataFrame(docs_pdf)
+    sel = select_mixture(spark, df, budgets, num_partitions=5)
+    fast = pack_offsets(spark, sel, SEQ_LEN, num_partitions=5, layout_sorted=True)
+    slow = pack_offsets(spark, sel, SEQ_LEN, num_partitions=5)
+    try:
+        f = fast.toPandas().sort_values("doc_id").reset_index(drop=True)
+        s = slow.toPandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(f, s)
+    finally:
+        release(sel)
+        release(fast)
+        release(slow)
