@@ -157,7 +157,9 @@ def register(spark: SparkSession, prefix: str = "", force: bool = False) -> None
     done = _REGISTERED_SESSIONS.setdefault(spark, set())
     if not force and prefix in done:
         return
-    done.add(prefix)
+    # the prefix is marked done at the END of this function — marking it
+    # here would leave the session permanently half-registered if any of
+    # the ~20 spark.udf.register round-trips below fails and is retried
 
     @F.pandas_udf(T.LongType())
     def hll_estimate(blobs: pd.Series) -> pd.Series:
@@ -431,3 +433,5 @@ def register(spark: SparkSession, prefix: str = "", force: bool = False) -> None
         ("simhash_hamming", simhash_hamming),
     ]:
         spark.udf.register(prefix + name, fn)
+
+    done.add(prefix)

@@ -95,7 +95,10 @@ def read_partials(spark: SparkSession, target: str) -> DataFrame:
     """
     if "/" not in target:
         return spark.table(target)
-    if not os.path.isdir(target):
+    # only LOCAL paths get the client-side existence probe — scheme-qualified
+    # targets (hdfs://, s3a://, file:/) can't be os.path-checked and must go
+    # straight to the Spark reader (which raises its own error if absent)
+    if "://" not in target and not target.startswith("file:") and not os.path.isdir(target):
         raise FileNotFoundError(f"checkpoint partials path {target!r} does not exist yet")
     return spark.read.parquet(target)
 
