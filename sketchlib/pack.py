@@ -43,7 +43,7 @@ total (no ties) wherever doc ids are unique.
 from __future__ import annotations
 
 import math
-from typing import Iterator
+from typing import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -111,15 +111,23 @@ def _partition_source_sums(layout: DataFrame) -> pd.DataFrame:
 def select_mixture(
     spark: SparkSession,
     docs: DataFrame,
-    budgets: dict[str, int],
+    budgets: "dict[str, int] | Callable[[dict[str, int]], dict[str, int]]",
     num_partitions: int | None = None,
-) -> DataFrame:
+    return_budgets: bool = False,
+):
     """Exact prefix-rule mixture selection without a per-source Window.
 
     ``docs`` needs columns (doc_id, source, n_tok); rows with n_tok <= 0 are
     dropped (they carry no training signal and would degenerate the packing
     spans). Returns the selected rows with their within-source exclusive
-    running sum ``src_before``.
+    running sum ``src_before`` (or ``(selected, budgets)`` when
+    ``return_budgets=True``).
+
+    ``budgets`` may be a callable ``source_totals -> budgets`` (e.g.
+    ``mixture_budgets``): the per-source totals are then derived from the
+    prefix-sum pass-A matrix this function already collects, so the budget
+    allocation costs ZERO extra Spark jobs — at corpus scale that removes a
+    full scan+tokenize+groupBy pass that a separate totals query would run.
 
     A ``Window.partitionBy(source)`` would sort EACH SOURCE on a single
     partition — a 30 TB source becomes one task. The two-phase prefix-sum
@@ -133,6 +141,12 @@ def select_mixture(
     layout = _range_sorted(base, num_partitions).persist()
     try:
         mat = _partition_source_sums(layout)
+        if callable(budgets):
+            totals = {
+                str(s): int(t)
+                for s, t in mat.groupby("source", sort=False)["sum_tok"].sum().items()
+            }
+            budgets = budgets(totals)
         # exclusive offset of partition pid within source s = sum of sums
         # over partitions strictly before pid (partition ranges follow the
         # global prio order, so partition order IS priority order)
@@ -173,7 +187,7 @@ def select_mixture(
         # eager checkpoint: the selection is consumed by pass A of the
         # packing prefix-sum AND the final projection — compute it once
         selected = layout.mapInPandas(select, schema).localCheckpoint(eager=True)
-        return selected
+        return (selected, dict(budgets)) if return_budgets else selected
     finally:
         layout.unpersist()
 

@@ -2868,22 +2868,18 @@ def training_mix_pack(
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", token_count_bpe_ish(F.col("text")).alias("n_tok")
     )
-    tot = {
-        r["source"]: int(r["stok"])
-        for r in docs.where(F.col("n_tok") > 0)
-        .groupBy("source")
-        .agg(F.sum("n_tok").alias("stok"))
-        .collect()
-    }
-    budgets = mixture_budgets(tot)  # alpha=0.5 weights, budget = total // 2
     selected = packed = None
     try:
-        selected = select_mixture(spark, docs, budgets, num_partitions)
+        # budgets as a CALLABLE: the alpha=0.5 allocation (budget = total
+        # // 2) is derived from the prefix-sum pass-A matrix select_mixture
+        # already collects — no separate scan+tokenize+groupBy job for the
+        # per-source totals
+        selected, budgets = select_mixture(
+            spark, docs, mixture_budgets, num_partitions, return_budgets=True
+        )
         # select_mixture output IS the prefix-sum layout — skip the second
         # full shuffle of the selected set (layout_sorted contract)
         packed = pack_offsets(spark, selected, seq_len, num_partitions, layout_sorted=True)
-        total_sel = packed.agg(F.sum("n_tok").alias("t")).collect()[0]["t"] or 0
-        n_seq = (int(total_sel) + seq_len - 1) // seq_len
         per_source = {
             r["key"]: r
             for r in packed.groupBy(F.col("source").alias("key"))
@@ -2896,6 +2892,9 @@ def training_mix_pack(
             )
             .collect()
         }
+        # total selected tokens = sum of the per-source sums — no extra job
+        total_sel = sum(int(r["tokens_selected"]) for r in per_source.values())
+        n_seq = (total_sel + seq_len - 1) // seq_len
     finally:
         if selected is not None:
             release(selected)
