@@ -2718,41 +2718,58 @@ def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = _docs_fp_stream_dir(spark, sf_dir)
     schema = spark.read.parquet(src_dir).schema
 
-    def run_stream(builder, tag):
+    def start_stream(builder, tag):
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(src_dir)
         )
         name = f"{tag}_{uuid.uuid4().hex[:8]}"
-        with _streaming_conf(spark):
-            q = (
-                builder(stream)
-                .writeStream.format("memory")
-                .queryName(name)
-                .outputMode("update")
-                .option("checkpointLocation", tempfile.mkdtemp(prefix="sketchlib_stream_"))
-                .trigger(availableNow=True)
-                .start()
-            )
-            try:
-                q.awaitTermination()
-            finally:
-                q.stop()
+        q = (
+            builder(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sketchlib_stream_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        return q, name
+
+    def finish_stream(q, name):
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
         rows = spark.sql(f"SELECT * FROM {name}").collect()
         spark.catalog.dropTempView(name)
         return rows
 
-    exact_rows = run_stream(lambda s: streaming_first_seen(s, "fp", "doc_id"), "dedup_stream")
-    bloom_rows = run_stream(lambda s: streaming_bloom_dedup(s, "fp", "doc_id"), "bloomdedup")
-
-    batch = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.xxhash64("text").alias("fp"))
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("cnt"))
-        .collect()
-    )
+    # the two state disciplines are independent streams over the same
+    # source: start BOTH, then await — the state-store/checkpoint fixed
+    # cost is paid concurrently, and the batch companion aggregation runs
+    # while the streams drain (shuffle-partition conf is read at START)
+    with _streaming_conf(spark):
+        q_exact, n_exact = start_stream(
+            lambda s: streaming_first_seen(s, "fp", "doc_id"), "dedup_stream"
+        )
+        q_bloom, n_bloom = start_stream(
+            lambda s: streaming_bloom_dedup(s, "fp", "doc_id"), "bloomdedup"
+        )
+    try:
+        batch = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", F.xxhash64("text").alias("fp"))
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("cnt"))
+            .collect()
+        )
+    except BaseException:
+        q_exact.stop()
+        q_bloom.stop()
+        raise
+    exact_rows = finish_stream(q_exact, n_exact)
+    bloom_rows = finish_stream(q_bloom, n_bloom)
     batch_set = {(r["fp"], r["doc_id"]) for r in batch}
     n_docs = sum(r["cnt"] for r in batch)
 
