@@ -2266,19 +2266,27 @@ def merge_law_identity(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> 
     from .session import release
 
     partials = agg.partials_from_parquet(spark, path).localCheckpoint(eager=True)
+
+    def collect_merged(salt):
+        return {
+            r["source"]: (bytes(r["sketch"]), r["n_rows"], r["n_items"])
+            for r in agg.merged(partials, salt=salt, is_partials=True).collect()
+        }
+
     try:
-        direct = {
-            r["source"]: (bytes(r["sketch"]), r["n_rows"], r["n_items"])
-            for r in agg.merged(partials, is_partials=True).collect()
-        }
-        salted = {
-            r["source"]: (bytes(r["sketch"]), r["n_rows"], r["n_items"])
-            for r in agg.merged(partials, salt=8, is_partials=True).collect()
-        }
-        auto = {
-            r["source"]: (bytes(r["sketch"]), r["n_rows"], r["n_items"])
-            for r in agg.merged(partials, salt="auto", is_partials=True).collect()
-        }
+        # the three merge topologies are independent jobs over the SAME
+        # checkpointed partials — run them concurrently (Spark's scheduler
+        # interleaves jobs from separate threads). Safe: the auto leg's
+        # internal DataFrame.unpersist only drops its SQL-cache entry, never
+        # the RDD-level localCheckpoint blocks, which are released once in
+        # the finally below after all three complete.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            f_direct = ex.submit(collect_merged, None)
+            f_salted = ex.submit(collect_merged, 8)
+            f_auto = ex.submit(collect_merged, "auto")
+            direct, salted, auto = f_direct.result(), f_salted.result(), f_auto.result()
     finally:
         release(partials)
     ckpt = CheckpointedBuild(agg, tempfile.mkdtemp(prefix="sketchlib_ckpt_"))
