@@ -1653,6 +1653,10 @@ def streaming_hll_parity(spark: SparkSession, sf_dir: str, p: int = 12) -> DataF
         .parquet(path)
     )
     name = f"hll_stream_{uuid.uuid4().hex[:8]}"
+    # start the stream, then run the batch companion while it drains: the
+    # stream executes JVM-side, so the blocking batch collect overlaps the
+    # micro-batch processing (conf is captured at stream START, so the
+    # _streaming_conf scope only needs to wrap the start)
     with _streaming_conf(spark):
         q = (
             hll_streaming_estimates(stream, p=p)
@@ -1663,21 +1667,21 @@ def streaming_hll_parity(spark: SparkSession, sf_dir: str, p: int = 12) -> DataF
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
+    try:
+        batch = {
+            r["source"]: r
+            for r in HllAggregator(p=p, key_cols=["source"])
+            .estimates(path, spark=spark)
+            .collect()
+        }
+        q.awaitTermination()
+    finally:
+        q.stop()
     rows = spark.sql(f"SELECT * FROM {name}").collect()
     latest: dict = {}
     for r in rows:  # update mode emits once per key per micro-batch
         if r["source"] not in latest or r["n_rows"] > latest[r["source"]]["n_rows"]:
             latest[r["source"]] = r
-    batch = {
-        r["source"]: r
-        for r in HllAggregator(p=p, key_cols=["source"])
-        .estimates(path, spark=spark)
-        .collect()
-    }
     spark.catalog.dropTempView(name)
     out = [
         (
@@ -1785,6 +1789,8 @@ def _streaming_windowed_users_utc(spark: SparkSession, sf_dir: str, p: int) -> D
         value_kind="int64",
     )
     name = f"win_stream_{uuid.uuid4().hex[:8]}"
+    # start the stream, then run the batch companion while it drains (the
+    # stream executes JVM-side; conf is captured at stream START)
     with _streaming_conf(spark):
         q = (
             est.writeStream.format("memory")
@@ -1794,10 +1800,19 @@ def _streaming_windowed_users_utc(spark: SparkSession, sf_dir: str, p: int) -> D
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
+    try:
+        batch_keyed = events.withColumn(
+            "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+        )
+        agg = HllAggregator(
+            p=p, key_cols=["day", "event_type"], value_col="user_id", value_kind="int64"
+        )
+        batch = {
+            (r["day"], r["event_type"]): r for r in agg.estimates(batch_keyed).collect()
+        }
+        q.awaitTermination()
+    finally:
+        q.stop()
     # derive the day string IN SPARK (date_format under the pinned UTC
     # session TZ) — collecting the raw timestamp and strftime-ing it on the
     # driver converts through the driver's SYSTEM timezone and flips the
@@ -1812,12 +1827,6 @@ def _streaming_windowed_users_utc(spark: SparkSession, sf_dir: str, p: int) -> D
         key = (r["day"], r["event_type"])
         if key not in latest or r["n_rows"] > latest[key]["n_rows"]:
             latest[key] = r
-
-    batch_keyed = events.withColumn("day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
-    agg = HllAggregator(p=p, key_cols=["day", "event_type"], value_col="user_id", value_kind="int64")
-    batch = {
-        (r["day"], r["event_type"]): r for r in agg.estimates(batch_keyed).collect()
-    }
     out = []
     for (day, et), r in latest.items():
         b = batch.get((day, et))
@@ -1894,6 +1903,8 @@ def _streaming_finalized_windows_utc(spark: SparkSession, sf_dir: str, p: int) -
         value_kind="int64",
     )
     name = f"fin_stream_{uuid.uuid4().hex[:8]}"
+    # start the stream, then run the batch companion while it drains (the
+    # stream executes JVM-side; conf is captured at stream START)
     with _streaming_conf(spark):
         q = (
             fin.writeStream.format("memory")
@@ -1903,10 +1914,19 @@ def _streaming_finalized_windows_utc(spark: SparkSession, sf_dir: str, p: int) -
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
+    try:
+        batch_keyed = events.withColumn(
+            "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+        )
+        agg = HllAggregator(
+            p=p, key_cols=["day", "event_type"], value_col="user_id", value_kind="int64"
+        )
+        batch = {
+            (r["day"], r["event_type"]): r for r in agg.estimates(batch_keyed).collect()
+        }
+        q.awaitTermination()
+    finally:
+        q.stop()
     rows = spark.sql(
         f"SELECT date_format(window_start, 'yyyy-MM-dd') AS day, "
         f"event_type, est_distinct, n_rows FROM {name} "
@@ -1920,16 +1940,6 @@ def _streaming_finalized_windows_utc(spark: SparkSession, sf_dir: str, p: int) -
         if key in finalized:
             dup_emit = True  # append mode must emit each window ONCE
         finalized[key] = r
-
-    batch_keyed = events.withColumn(
-        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
-    )
-    agg = HllAggregator(
-        p=p, key_cols=["day", "event_type"], value_col="user_id", value_kind="int64"
-    )
-    batch = {
-        (r["day"], r["event_type"]): r for r in agg.estimates(batch_keyed).collect()
-    }
     all_closed = set(finalized) == set(batch) and not dup_emit
     out = [
         (
