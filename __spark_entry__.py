@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50-row driver pass (VERDICT r04 #1): estimate queries folded into
         # their *_accuracy companions, law/overlap/matrix/ann/multimodal/
         # streaming-dedup pairs fused — every code path stays oracle-checked.
+        "fi_token_topk_accuracy": Q.fi_token_topk_accuracy,
+        "sampled_docs": Q.sampled_docs,
         "training_mix_pack": Q.training_mix_pack,
         "bucketed_join_docs": Q.bucketed_join_docs,
         "source_overlap": Q.source_overlap,
@@ -129,8 +131,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionized_events": Q.sessionized_events,
         "decontamination_check": Q.decontamination_check,
         "doc_rarity_mass": Q.doc_rarity_mass,
-        "weighted_sample_docs": Q.weighted_sample_docs,
-        "stratified_sample_docs": Q.stratified_sample_docs,
         "cms_join_size_estimate": Q.cms_join_size_estimate,
         "hll_customers_per_orderpriority": Q.hll_customers_per_orderpriority,
         "per_doc_sketch_storage": Q.per_doc_sketch_storage,
@@ -434,6 +434,20 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_SEQ_PARQUET_SF001}'), UNNEST(tokens) AS t(tok)
             GROUP BY ROLLUP(source) ORDER BY source
         """,
+        "fi_token_topk_accuracy": f"""
+            SELECT source, token, exact_cnt,
+                   TRUE AS lower_le_exact, TRUE AS within_error,
+                   TRUE AS error_law, TRUE AS guaranteed_retained
+            FROM (
+                SELECT source, t.tok AS token, COUNT(*) AS exact_cnt,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY COUNT(*) DESC, t.tok ASC) AS rk
+                FROM read_parquet('{_SEQ_PARQUET_SF001}'), UNNEST(tokens) AS t(tok)
+                GROUP BY source, t.tok
+            ) WHERE rk <= 3
+            ORDER BY source, token
+        """,
         "cms_heavy_hitters_per_source": f"""
             SELECT source, token, exact_cnt,
                    TRUE AS never_undercounts, TRUE AS within_eps,
@@ -670,28 +684,27 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY source) d USING (source)
             ORDER BY source
         """,
-        "weighted_sample_docs": f"""
-            SELECT doc_id, n_tok FROM (
-                SELECT doc_id, n_tok,
-                       pow((CAST('0x' || substring(md5(doc_id), 1, 15) AS BIGINT) + 1)
-                               / 1152921504606846976.0,
-                           1.0 / greatest(n_tok, 1)) AS key
-                FROM read_parquet('{_SEQ_PARQUET_SF001}')
-                ORDER BY key DESC, doc_id LIMIT 100)
-            ORDER BY doc_id
-        """,
-        "stratified_sample_docs": f"""
-            SELECT source, doc_id, n_tok FROM (
-                SELECT source, doc_id, n_tok,
-                       row_number() OVER (
-                           PARTITION BY source
-                           ORDER BY pow((CAST('0x' || substring(md5(doc_id), 1, 15)
-                                              AS BIGINT) + 1)
-                                            / 1152921504606846976.0,
-                                        1.0 / greatest(n_tok, 1)) DESC,
-                                    doc_id) AS rk
-                FROM read_parquet('{_SEQ_PARQUET_SF001}'))
-            WHERE rk <= 10
-            ORDER BY source, doc_id
+        "sampled_docs": f"""
+            SELECT * FROM (
+                SELECT 'weighted' AS mode, '*' AS source, doc_id, n_tok FROM (
+                    SELECT doc_id, n_tok,
+                           pow((CAST('0x' || substring(md5(doc_id), 1, 15) AS BIGINT) + 1)
+                                   / 1152921504606846976.0,
+                               1.0 / greatest(n_tok, 1)) AS key
+                    FROM read_parquet('{_SEQ_PARQUET_SF001}')
+                    ORDER BY key DESC, doc_id LIMIT 100)
+                UNION ALL
+                SELECT 'stratified' AS mode, source, doc_id, n_tok FROM (
+                    SELECT source, doc_id, n_tok,
+                           row_number() OVER (
+                               PARTITION BY source
+                               ORDER BY pow((CAST('0x' || substring(md5(doc_id), 1, 15)
+                                                  AS BIGINT) + 1)
+                                                / 1152921504606846976.0,
+                                            1.0 / greatest(n_tok, 1)) DESC,
+                                        doc_id) AS rk
+                    FROM read_parquet('{_SEQ_PARQUET_SF001}'))
+                WHERE rk <= 10
+            ) ORDER BY mode, source, doc_id
         """,
     }

@@ -1,5 +1,6 @@
 """sketchlib — a PySpark-native distributed sketch / approximate-aggregation
-library (HyperLogLog, count-min, Bloom, KLL, t-digest, MinHash/SimHash).
+library (HyperLogLog, count-min, Bloom, KLL, t-digest, KMV, frequent-items,
+MinHash/SimHash).
 
 Built from scratch on the semantics of ascv/HyperLogLog (reference at
 /root/reference, surveyed in SURVEY.md): MurmurHash64A keys, dense register
@@ -10,6 +11,7 @@ tree-merged with ``groupBy(...).applyInPandas`` — never per-row Python.
 
 from .bloom import BloomFilter, optimal_params
 from .cms import CountMinSketch
+from .fi import FrequentItemsSketch
 from .hll import HllSketch, estimate_from_histogram
 from .kernels import (
     DEFAULT_SEED,
@@ -31,6 +33,7 @@ __all__ = [
     "KmvSketch",
     "TDigest",
     "MinHashSketch",
+    "FrequentItemsSketch",
     "estimate_from_histogram",
     "optimal_params",
     "murmur64a_bytes",
@@ -48,7 +51,7 @@ def __getattr__(name):
     # without a JVM (e.g. inside plain-python tooling).
     if name in ("HllAggregator", "CmsAggregator", "BloomAggregator", "KllAggregator",
                 "TDigestAggregator", "KmvAggregator", "ProfileAggregator",
-                "SketchAggregator"):
+                "FiAggregator", "SketchAggregator"):
         from . import agg
 
         return getattr(agg, name)

@@ -36,6 +36,7 @@ from pyspark.sql import types as T
 
 from .bloom import BloomFilter
 from .cms import CountMinSketch
+from .fi import FrequentItemsSketch
 from .hll import HllSketch
 from .kernels import DEFAULT_SEED, murmur64a_int32, murmur64a_str_array
 from .kll import KllSketch
@@ -413,7 +414,9 @@ class SketchAggregator:
 
     # -- tree merge -------------------------------------------------------------
 
-    def _merge_stage(self, partials: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    def _merge_stage(
+        self, partials: DataFrame, group_cols: Sequence[str], *, final: bool = True
+    ) -> DataFrame:
         """Reduce partials to one row per key: repartition on the key, sort
         within partitions, and merge consecutive runs in mapInArrow.
 
@@ -424,8 +427,19 @@ class SketchAggregator:
         Batches within a partition arrive in order, so a key straddling a
         batch boundary is carried as open state and flushed on the next
         batch (or at end of partition).
+
+        ``final=False`` marks an INTERMEDIATE stage (the salted stage-1):
+        aggregators whose finalize step is lossy (FiAggregator's trim)
+        override ``_merge_blobs_intermediate`` with an exact no-finalize
+        merge so the salted tree stays byte-identical to the flat merge;
+        for every other sketch the merge is already associative-exact and
+        the default (same as ``_merge_blobs``) applies.
         """
-        merge_blobs = self._merge_blobs
+        merge_blobs = (
+            self._merge_blobs
+            if final
+            else getattr(self, "_merge_blobs_intermediate", self._merge_blobs)
+        )
         group_cols = list(group_cols)
         by_name = {f.name: f for f in partials.schema.fields}
         schema = T.StructType([by_name[c] for c in group_cols] + _COUNT_FIELDS)
@@ -553,7 +567,7 @@ class SketchAggregator:
             salted = partials.withColumn(
                 "__salt", F.pmod(F.spark_partition_id(), F.lit(salt)).cast("int")
             )
-            stage1 = self._merge_stage(salted, self.key_cols + ["__salt"])
+            stage1 = self._merge_stage(salted, self.key_cols + ["__salt"], final=False)
             partials = stage1.drop("__salt")
         if not self.key_cols:
             const = partials.withColumn("__g", F.lit(0))
@@ -1420,5 +1434,94 @@ class TDigestAggregator(SketchAggregator):
         fields = [
             T.StructField("q", T.DoubleType(), False),
             T.StructField("value", T.DoubleType(), False),
+        ]
+        return self.finalize_rows(self.merged(source, salt=salt, spark=spark), row_fn, fields)
+
+
+class FiAggregator(SketchAggregator):
+    """Distributed frequent-items (Misra–Gries): guaranteed heavy hitters
+    with certified two-sided frequency bounds, hash-free and deterministic.
+
+    Complements CmsAggregator on the frequency axis: CMS answers point
+    queries over an unbounded domain (never undercounts, needs a candidate
+    stream to ENUMERATE heavy hitters); MG ENUMERATES its own candidates
+    with a lower-bound count and one scalar ``error`` that certifies every
+    undercount — any item with true frequency > error is provably retained.
+    At 100 TB the shuffle payload per key is O(capacity) pairs (~16 KB at
+    capacity=1024), and the merged bound error <= N/(capacity+1) is
+    topology-free (the trim mass argument, fi.py), so the estimate quality
+    is identical on 1 or 1000 executors.
+
+    Byte-determinism: merge_blobs is a pure function of the partial blob
+    multiset (exact accumulation, ONE final trim), and the salted stage-1
+    uses the exact untrimmed intermediate merge (``final=False`` in
+    _merge_stage) — so salted and unsalted merges are byte-identical, and
+    with layout-determined partials (partials_from_parquet(per_shard=True))
+    the merged bytes are invariant to parallelism, same law as KLL.
+    """
+
+    def __init__(
+        self,
+        capacity: int = 1024,
+        key_cols: Sequence[str] = ("source",),
+        value_col: str = "tokens",
+        value_kind: str = "tokens",
+    ):
+        super().__init__(key_cols, value_col, value_kind)
+        self.capacity = int(capacity)
+        self.item_kind = "string" if value_kind == "string" else "int64"
+        FrequentItemsSketch.empty(self.capacity, self.item_kind)  # validate
+
+    def _empty(self) -> FrequentItemsSketch:
+        return FrequentItemsSketch.empty(self.capacity, self.item_kind)
+
+    def _update(self, sketch: FrequentItemsSketch, values) -> None:
+        sketch.update_batch(values, kind=self.value_kind)
+
+    def _merge_blobs(self, blobs) -> FrequentItemsSketch:
+        return FrequentItemsSketch.merge_blobs(blobs, self.capacity, self.item_kind)
+
+    def _merge_blobs_intermediate(self, blobs) -> FrequentItemsSketch:
+        # exact pair-union, no trim: keeps the salted merge tree equal to
+        # one flat merge (fi.py merge_blobs docstring)
+        return FrequentItemsSketch.merge_blobs(
+            blobs, self.capacity, self.item_kind, trim=False
+        )
+
+    def top_items(
+        self,
+        source: DataFrame | str,
+        k: int | None = None,
+        *,
+        salt: int | None = None,
+        spark=None,
+    ) -> DataFrame:
+        """Per-key heavy hitters: (key..., item, lower_bound, upper_bound,
+        guaranteed) rows, (count desc, item asc) within each key.
+
+        ``upper_bound = lower_bound + error`` (two-sided certificate);
+        ``guaranteed`` marks items whose lower_bound already exceeds the
+        sketch error — provably above the N/(capacity+1) line, impossible
+        to be a trim artifact."""
+        k_ = k
+        item_type = T.LongType() if self.item_kind == "int64" else T.StringType()
+
+        def row_fn(blob: bytes) -> pd.DataFrame:
+            s = FrequentItemsSketch.from_bytes(blob)
+            pairs = s.top_items(k_)
+            return pd.DataFrame(
+                {
+                    "item": [p[0] for p in pairs],
+                    "lower_bound": [p[1] for p in pairs],
+                    "upper_bound": [p[1] + s.error for p in pairs],
+                    "guaranteed": [p[1] > s.error for p in pairs],
+                }
+            )
+
+        fields = [
+            T.StructField("item", item_type, False),
+            T.StructField("lower_bound", T.LongType(), False),
+            T.StructField("upper_bound", T.LongType(), False),
+            T.StructField("guaranteed", T.BooleanType(), False),
         ]
         return self.finalize_rows(self.merged(source, salt=salt, spark=spark), row_fn, fields)

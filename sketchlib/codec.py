@@ -24,6 +24,7 @@ KIND_KLL = 4
 KIND_TDIGEST = 5
 KIND_KMV = 6
 KIND_PROFILE = 7
+KIND_FI = 8
 
 _HEADER = struct.Struct("<IHBBq")  # magic, version, kind, p, seed
 HEADER_LEN = _HEADER.size

@@ -387,6 +387,38 @@ def register(spark: SparkSession, prefix: str = "", force: bool = False) -> None
                 out[i] = KmvSketch.from_bytes(x if x is not None else y).estimate()
         return pd.Series(out, dtype="Int64")
 
+    @F.pandas_udf(T.LongType())
+    def fi_point_lower(blobs: pd.Series, values: pd.Series) -> pd.Series:
+        """Frequent-items certified LOWER bound for an item (0 if not
+        retained). Upper bound = fi_point_lower + fi_error."""
+        from .fi import FrequentItemsSketch
+
+        out: list = [None] * len(blobs)
+        # group rows by blob so each distinct sketch decodes once and all
+        # its probes run through one vectorized estimate_batch
+        by_blob: dict[bytes, list[int]] = {}
+        for i, (b, v) in enumerate(zip(blobs, values)):
+            if b is None or pd.isna(v):
+                continue
+            by_blob.setdefault(bytes(b), []).append(i)
+        for blob, idx in by_blob.items():
+            s = FrequentItemsSketch.from_bytes(blob)
+            probes = np.array([int(values.iloc[i]) for i in idx], dtype=np.int64)
+            lows = s.estimate_batch(probes)
+            for i, lo in zip(idx, lows):
+                out[i] = int(lo)
+        return pd.Series(out, dtype="Int64")
+
+    @F.pandas_udf(T.LongType())
+    def fi_error(blobs: pd.Series) -> pd.Series:
+        """The sketch's certified max undercount (<= N/(capacity+1))."""
+        from .fi import FrequentItemsSketch
+
+        return blobs.map(
+            lambda b: FrequentItemsSketch.from_bytes(bytes(b)).error,
+            na_action="ignore",
+        ).astype("Int64")
+
     @F.pandas_udf(T.DoubleType())
     def minhash_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
         from .minhash import jaccard_from_blob_batches
@@ -429,6 +461,8 @@ def register(spark: SparkSession, prefix: str = "", force: bool = False) -> None
         ("kmv_jaccard", kmv_jaccard),
         ("kmv_intersection_estimate", kmv_intersection_estimate),
         ("kmv_union_estimate", kmv_union_estimate),
+        ("fi_point_lower", fi_point_lower),
+        ("fi_error", fi_error),
         ("minhash_jaccard", minhash_jaccard),
         ("simhash_hamming", simhash_hamming),
     ]:

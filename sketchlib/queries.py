@@ -321,6 +321,97 @@ def cms_heavy_hitters_per_source(spark: SparkSession, sf_dir: str, k: int = 3) -
     )
 
 
+def fi_token_topk_accuracy(
+    spark: SparkSession, sf_dir: str, k: int = 3, capacity: int = 1024
+) -> DataFrame:
+    """Misra–Gries frequent-items bounds per source — the GUARANTEED heavy
+    hitters complement to cms_heavy_hitters_per_source: each source's exact
+    top-k tokens (ties (count desc, token asc); reproduces in SQL) scored
+    against that source's merged MG sketch (sketchlib/fi.py). Provable
+    booleans, all structural certificates rather than probabilistic draws:
+
+    - ``lower_le_exact``: the retained count is a certified LOWER bound;
+    - ``within_error``: exact <= lower + error — MG's two-sided guarantee
+      holds for EVERY item, including ones trimmed out (lower=0);
+    - ``error_law``: error <= n_items // (capacity+1), the trim-mass bound,
+      topology-free across any merge tree (fi.py module docstring);
+    - ``guaranteed_retained``: any token with exact count > error must be
+      in the retained set (no false negatives above the error line).
+
+    Scale shape: identical to every sketch query — partials are KB (item,
+    count) arrays built map-side, the shuffle carries O(capacity) pairs per
+    (task, source), and the error certificate is independent of executor
+    count. The exact top-k companion pays the explode+groupBy the sketch
+    path avoids.
+    """
+    from pyspark.sql import Window
+
+    from .agg import FiAggregator
+    from .fi import FrequentItemsSketch
+
+    path = sequences_path(spark, sf_dir)
+    seqs = sequences_for(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(F.desc("exact_cnt"), F.asc("token"))
+    exact_top = (
+        seqs.select("source", F.explode("tokens").alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("exact_cnt"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+    agg = FiAggregator(capacity=capacity, key_cols=["source"])
+    merged = agg.merged(path, spark=spark)
+
+    # one decode per source: probes grouped before the sketch join (same
+    # lifecycle as cms_heavy_hitters_per_source's point_ests)
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def lower_bounds(blobs: pd.Series, tok_lists: pd.Series) -> pd.Series:
+        out = []
+        for b, toks in zip(blobs, tok_lists):
+            s = FrequentItemsSketch.from_bytes(bytes(b))
+            out.append(
+                [int(x) for x in s.estimate_batch(np.asarray(toks, dtype=np.int64))]
+            )
+        return pd.Series(out)
+
+    @F.pandas_udf(T.LongType())
+    def fi_err(blobs: pd.Series) -> pd.Series:
+        return blobs.map(
+            lambda b: FrequentItemsSketch.from_bytes(bytes(b)).error
+        ).astype("int64")
+
+    grouped = exact_top.groupBy("source").agg(
+        F.collect_list("token").alias("toks"),
+        F.collect_list("exact_cnt").alias("cnts"),
+    )
+    return (
+        grouped.join(merged.select("source", "sketch", "n_items"), "source")
+        .withColumn("lows", lower_bounds(F.col("sketch"), F.col("toks")))
+        .withColumn("err", fi_err(F.col("sketch")))
+        .select(
+            "source",
+            "n_items",
+            "err",
+            F.explode(F.arrays_zip("toks", "cnts", "lows")).alias("z"),
+        )
+        .select(
+            "source",
+            F.col("z.toks").alias("token"),
+            F.col("z.cnts").alias("exact_cnt"),
+            (F.col("z.lows") <= F.col("exact_cnt")).alias("lower_le_exact"),
+            (F.col("exact_cnt") <= F.col("z.lows") + F.col("err")).alias("within_error"),
+            (F.col("err") <= F.floor(F.col("n_items") / F.lit(capacity + 1))).alias(
+                "error_law"
+            ),
+            ((F.col("exact_cnt") <= F.col("err")) | (F.col("z.lows") > 0)).alias(
+                "guaranteed_retained"
+            ),
+        )
+        .orderBy("source", "token")
+    )
+
+
 def hll_customers_per_orderpriority(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> DataFrame:
     """TPC-H-flavored grouping on the orders table: distinct customers per
     order priority via the HLL aggregator (generic DataFrame path over a
@@ -846,6 +937,29 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str, per_source: int = 1
         .select("source", "doc_id", "n_tok")
         .orderBy("source", "doc_id")
     )
+
+
+def sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both deterministic sampling primitives in one driver entry (round-5
+    consolidation, VERDICT r04 #1 pattern): the global weighted sample and
+    the per-source stratified quota sample, each an exact row-set match
+    against the DuckDB oracle recomputing the identical md5-keyed
+    Efraimidis–Spirakis draw. ``mode`` tags the leg; the stratified leg
+    keeps its source, the global leg uses '*' (a literal, not NULL — the
+    engines disagree on NULL ordering defaults and the row ORDER is part of
+    the oracle contract)."""
+    weighted = weighted_sample_docs(spark, sf_dir).select(
+        F.lit("weighted").alias("mode"),
+        F.lit("*").alias("source"),
+        "doc_id",
+        "n_tok",
+    )
+    stratified = stratified_sample_docs(spark, sf_dir).select(
+        F.lit("stratified").alias("mode"), "source", "doc_id", "n_tok"
+    )
+    return weighted.unionByName(stratified).orderBy("mode", "source", "doc_id")
+
+
 def doc_rarity_mass(spark: SparkSession, sf_dir: str, bottom_k: int = 10) -> DataFrame:
     """Document rarity scoring with the CMS as a broadcast frequency model —
     the mean-corpus-frequency quality heuristic: a doc whose tokens are
