@@ -408,3 +408,43 @@ def test_hll_jaccard_estimate_function(sql):
     assert rows[0]["j"] == pytest.approx(HllSketch.jaccard_estimate(a, b), abs=0)
     assert rows[1]["j"] == 0.0
     assert rows[2]["j"] is None
+
+
+def test_fi_functions(sql):
+    from sketchlib.fi import FrequentItemsSketch
+
+    s = FrequentItemsSketch.empty(capacity=8)
+    s.update_batch(
+        np.concatenate(
+            [
+                np.repeat(np.arange(3, dtype=np.int64), 500),  # 3 heavy items
+                np.arange(100, 400, dtype=np.int64),  # 300 singletons force trims
+            ]
+        )
+    )
+    _one_row_view(sql, "fview", {"fi": s.to_bytes(), "v": 1})
+    r = sql.sql(
+        "SELECT fi_point_lower(fi, v) AS lo, fi_point_lower(fi, 999999) AS miss, "
+        "fi_error(fi) AS err FROM fview"
+    ).collect()[0]
+    # two-sided certificate in pure SQL: lo <= 500 <= lo + err, absent item
+    # lower-bounds to 0, error bounded by the trim-mass law
+    assert r["lo"] <= 500 <= r["lo"] + r["err"]
+    assert r["miss"] == 0
+    assert 0 < r["err"] <= s.total // (s.capacity + 1)
+
+
+def test_fi_functions_null_guard(sql):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("fi", T.BinaryType(), True),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    sql.createDataFrame([(None, 5)], schema).createOrReplaceTempView("fnull")
+    r = sql.sql(
+        "SELECT fi_point_lower(fi, v) AS lo, fi_error(fi) AS err FROM fnull"
+    ).collect()[0]
+    assert r["lo"] is None and r["err"] is None
