@@ -213,14 +213,17 @@ class FrequentItemsSketch:
             raise ValueError("cannot merge frequent-items sketches with different configs")
 
     def merge(self, other: "FrequentItemsSketch") -> "FrequentItemsSketch":
-        """Pairwise merge: exact sum of retained pairs, error/total add, one
-        trim back to capacity (Agarwal et al. 2012 §3). For topology-
-        independent bulk merging use ``merge_blobs``."""
+        """Pairwise merge: exact sum of retained pairs, error/total add,
+        trim back to capacity only past the 4x exact threshold (Agarwal et
+        al. 2012 §3, with update_batch's trim policy so merging stays exact
+        for small domains). For topology-independent bulk merging use
+        ``merge_blobs``."""
         self._check(other)
         self._combine(other.items.copy(), other.counts.copy())
         self.error += other.error
         self.total += other.total
-        self._trim(self.capacity)
+        if len(self.items) > self._trim_at:
+            self._trim(self.capacity)
         return self
 
     # -- codec ------------------------------------------------------------------
@@ -287,10 +290,14 @@ class FrequentItemsSketch:
         """Topology-independent bulk merge: accumulate every partial's
         retained pairs EXACTLY (periodic unique+bincount compaction, never a
         lossy intermediate trim), sum errors/totals, then ONE final trim to
-        capacity. The result is a pure function of the blob multiset — the
-        property the distributed merge stage needs for byte-deterministic
-        results at any parallelism (same approach as KLL's canonical
-        sorted-blob merges, SURVEY.md §4.3).
+        capacity — applied only past the 4x exact threshold, the same policy
+        as update_batch, so (a) small-domain merges stay EXACT (error 0) and
+        (b) a single-blob decode (the streaming state restore path) is an
+        IDENTITY — streaming state bytes equal batch bytes. The result is a
+        pure function of the blob multiset — the property the distributed
+        merge stage needs for byte-deterministic results at any parallelism
+        (same approach as KLL's canonical sorted-blob merges, SURVEY.md
+        §4.3).
 
         ``trim=False`` skips the final trim: used for INTERMEDIATE (salted
         stage-1) merges, whose exact pair-union keeps the whole salted merge
@@ -323,6 +330,6 @@ class FrequentItemsSketch:
                 pend_i, pend_c, pending = [], [], 0
         if pending:
             out._combine(np.concatenate(pend_i), np.concatenate(pend_c))
-        if trim:
+        if trim and len(out.items) > out._trim_at:
             out._trim(capacity)
         return out

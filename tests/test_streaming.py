@@ -601,3 +601,69 @@ def test_streaming_bloom_dedup_cross_batch(spark, tmp_path):
     assert got == {(10, 3), (20, 1), (30, 5), (40, 7)}
     assert len(rows) == len({r["fp"] for r in rows})  # unique survivors
     spark.catalog.dropTempView("bloom_dedup")
+
+def test_generic_streaming_fi_byte_parity(spark, tmp_path):
+    """Frequent-items through the generic streaming wrapper. In the exact
+    regime (distinct domain < 4x capacity: no trims ever) the per-key state
+    is chunking-independent, so the final streaming state must be
+    BYTE-identical to the one-shot batch sketch — which also pins that the
+    state restore path (merge_blobs on a single blob) is an identity and
+    never applies a spurious trim between micro-batches."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from sketchlib.agg import FiAggregator
+    from sketchlib.fi import FrequentItemsSketch
+    from sketchlib.streaming import sketch_streaming
+
+    rng = np.random.default_rng(12)
+    pdf = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b"], 4_000),
+            "v": rng.integers(0, 1_000, 4_000).astype("int64"),  # < 4*512 distinct
+        }
+    )
+    schema = T.StructType(
+        [T.StructField("k", T.StringType(), False), T.StructField("v", T.LongType(), False)]
+    )
+    in_dir = str(tmp_path / "fi_in")
+    os.makedirs(in_dir)
+    half = len(pdf) // 2
+    for part in (pdf.iloc[:half], pdf.iloc[half:]):
+        spark.createDataFrame(part, schema=schema).coalesce(1).write.mode("append").parquet(
+            in_dir
+        )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    agg = FiAggregator(capacity=512, key_cols=[], value_col="v", value_kind="int64")
+    est = sketch_streaming(
+        stream,
+        agg,
+        key_col="k",
+        finalize_fields=[
+            T.StructField("err", T.LongType(), False),
+            T.StructField("blob", T.BinaryType(), False),
+        ],
+        finalize_fn=lambda s: {"err": s.error, "blob": s.to_bytes()},
+    )
+    q = (
+        est.writeStream.format("memory")
+        .queryName("fi_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "fi_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from fi_stream").collect()
+    finally:
+        q.stop()
+    latest = {}
+    for r in rows:
+        if r["k"] not in latest or r["n_rows"] > latest[r["k"]]["n_rows"]:
+            latest[r["k"]] = r
+    for key, grp in pdf.groupby("k"):
+        batch = FrequentItemsSketch.empty(512)
+        batch.update_batch(grp["v"].to_numpy(), kind="int64")
+        assert bytes(latest[key]["blob"]) == batch.to_bytes(), key
+        assert latest[key]["err"] == 0  # exact regime end-to-end
+        assert latest[key]["n_rows"] == len(grp)
