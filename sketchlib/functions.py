@@ -335,6 +335,7 @@ def register(spark: SparkSession, prefix: str = "", force: bool = False) -> None
         eu = np.zeros(len(both_idx), np.int64)
         ei = np.zeros(len(both_idx), np.int64)
         jac = np.zeros(len(both_idx), np.float64)
+        ed = np.zeros(len(both_idx), np.int64)
         by_cfg: dict[tuple, list[int]] = {}
         for pos, i in enumerate(both_idx):
             by_cfg.setdefault((a_list[i][:20], b_list[i][:20]), []).append(pos)
@@ -343,14 +344,14 @@ def register(spark: SparkSession, prefix: str = "", force: bool = False) -> None
             bv, kb, sb = values_from_blobs([b_list[both_idx[p]] for p in poss])
             if (ka, sa) != (kb, sb):
                 raise ValueError("cannot combine KMV sketches with different (k, seed)")
-            geu, gei, gjac = pair_set_algebra(av, bv, ka)
+            geu, gei, gjac, ged = pair_set_algebra(av, bv, ka)
             pos_arr = np.asarray(poss)
-            eu[pos_arr], ei[pos_arr], jac[pos_arr] = geu, gei, gjac
-        return a_list, b_list, both_idx, (eu, ei, jac)
+            eu[pos_arr], ei[pos_arr], jac[pos_arr], ed[pos_arr] = geu, gei, gjac, ged
+        return a_list, b_list, both_idx, (eu, ei, jac, ed)
 
     @F.pandas_udf(T.DoubleType())
     def kmv_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
-        a_list, b_list, both_idx, (_, _, jac) = _kmv_pairs(a, b)
+        a_list, b_list, both_idx, (_, _, jac, _) = _kmv_pairs(a, b)
         out = [None] * len(a_list)
         for pos, i in enumerate(both_idx):
             out[i] = float(jac[pos])
@@ -366,7 +367,7 @@ def register(spark: SparkSession, prefix: str = "", force: bool = False) -> None
 
     @F.pandas_udf(T.LongType())
     def kmv_intersection_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
-        a_list, b_list, both_idx, (_, ei, _) = _kmv_pairs(a, b)
+        a_list, b_list, both_idx, (_, ei, _, _) = _kmv_pairs(a, b)
         out = [None] * len(a_list)
         for pos, i in enumerate(both_idx):
             out[i] = int(ei[pos])
@@ -377,7 +378,7 @@ def register(spark: SparkSession, prefix: str = "", force: bool = False) -> None
 
     @F.pandas_udf(T.LongType())
     def kmv_union_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
-        a_list, b_list, both_idx, (eu, _, _) = _kmv_pairs(a, b)
+        a_list, b_list, both_idx, (eu, _, _, _) = _kmv_pairs(a, b)
         out = [None] * len(a_list)
         for pos, i in enumerate(both_idx):
             out[i] = int(eu[pos])
@@ -418,6 +419,21 @@ def register(spark: SparkSession, prefix: str = "", force: bool = False) -> None
             lambda b: FrequentItemsSketch.from_bytes(bytes(b)).error,
             na_action="ignore",
         ).astype("Int64")
+
+    @F.pandas_udf(T.LongType())
+    def kmv_difference_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
+        """|A \\ B| — completes the SQL set algebra. One-sided NULL follows
+        the empty-set convention: A minus the absent set is A's estimate;
+        the absent set minus B is 0."""
+        a_list, b_list, both_idx, (_, _, _, ed) = _kmv_pairs(a, b)
+        out = [None] * len(a_list)
+        for pos, i in enumerate(both_idx):
+            out[i] = int(ed[pos])
+        for i in range(len(a_list)):
+            x, y = a_list[i], b_list[i]
+            if (x is None) != (y is None):
+                out[i] = KmvSketch.from_bytes(x).estimate() if x is not None else 0
+        return pd.Series(out, dtype="Int64")
 
     @F.pandas_udf(T.DoubleType())
     def minhash_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -461,6 +477,7 @@ def register(spark: SparkSession, prefix: str = "", force: bool = False) -> None
         ("kmv_jaccard", kmv_jaccard),
         ("kmv_intersection_estimate", kmv_intersection_estimate),
         ("kmv_union_estimate", kmv_union_estimate),
+        ("kmv_difference_estimate", kmv_difference_estimate),
         ("fi_point_lower", fi_point_lower),
         ("fi_error", fi_error),
         ("minhash_jaccard", minhash_jaccard),

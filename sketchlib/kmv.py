@@ -140,6 +140,23 @@ class KmvSketch:
         u = KmvSketch.union(a, b)
         return int(round(KmvSketch.jaccard(a, b) * u.estimate()))
 
+    @staticmethod
+    def difference_estimate(a: "KmvSketch", b: "KmvSketch") -> int:
+        """|A \\ B| estimate — the same union-sketch ratio estimator as
+        jaccard/intersection: the fraction of the union sketch's retained
+        hashes that came from ``a`` only, scaled by the union estimate.
+        Completes the set algebra (union/intersection/jaccard/difference);
+        A\\B + B\\A + A∩B partition the union by construction, so the three
+        ratio estimates are self-consistent (they share one denominator)."""
+        a._check(b)
+        u = KmvSketch.union(a, b)
+        if len(u.values) == 0:
+            return 0
+        only_a = np.isin(u.values, a.values, assume_unique=True) & ~np.isin(
+            u.values, b.values, assume_unique=True
+        )
+        return int(round(float(only_a.sum()) / float(len(u.values)) * u.estimate()))
+
     # -- codec ------------------------------------------------------------------
     # header 'p' field is log2-shaped elsewhere; k need not be a power of two,
     # so p carries 0 (raw) or 1 (delta-compressed) and k rides the payload.
@@ -265,8 +282,9 @@ def _union_values(a: np.ndarray, b: np.ndarray, k: int) -> np.ndarray:
 
 def pair_set_algebra(
     a_vals: list[np.ndarray], b_vals: list[np.ndarray], k: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(union_est, intersection_est, jaccard) arrays for pre-decoded pairs.
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(union_est, intersection_est, jaccard, difference_est) arrays for
+    pre-decoded pairs; difference is |A \\ B| (order matters).
 
     Per-pair work is pure numpy set ops over <=k-element arrays; the Python
     loop only sequences them (no blob decode, no object construction).
@@ -276,17 +294,20 @@ def pair_set_algebra(
     est_u = np.zeros(n, dtype=np.int64)
     est_i = np.zeros(n, dtype=np.int64)
     jac = np.zeros(n, dtype=np.float64)
+    est_d = np.zeros(n, dtype=np.int64)
     for i in range(n):
         u = _union_values(a_vals[i], b_vals[i], k)
         eu = _estimate_values(u, k)
         if len(u) == 0:
             j = 1.0  # both empty: identical sets
+            d = 0.0
         else:
-            both = np.isin(u, a_vals[i], assume_unique=True) & np.isin(
-                u, b_vals[i], assume_unique=True
-            )
-            j = float(both.sum()) / float(len(u))
+            in_a = np.isin(u, a_vals[i], assume_unique=True)
+            in_b = np.isin(u, b_vals[i], assume_unique=True)
+            j = float((in_a & in_b).sum()) / float(len(u))
+            d = float((in_a & ~in_b).sum()) / float(len(u))
         est_u[i] = eu
         est_i[i] = int(round(j * eu))
         jac[i] = j
-    return est_u, est_i, jac
+        est_d[i] = int(round(d * eu))
+    return est_u, est_i, jac, est_d

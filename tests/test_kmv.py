@@ -179,3 +179,50 @@ def test_delta_codec_roundtrip_and_determinism():
     for chunk in np.array_split(x, 7):
         b.update_batch(chunk)
     assert a.to_bytes() == b.to_bytes()
+
+
+def test_difference_estimate_accuracy_and_laws():
+    k = 2048
+    n = 120_000
+    overlap = 40_000  # |A\B| = |B\A| = 80k
+    a = _sketch_of(np.arange(0, n, dtype=np.int32), k=k)
+    b = _sketch_of(np.arange(n - overlap, 2 * n - overlap, dtype=np.int32), k=k)
+    true_d = n - overlap
+    true_union = 2 * n - overlap
+    frac = true_d / true_union
+    d_ab = KmvSketch.difference_estimate(a, b)
+    bound = 4 * np.sqrt(frac * (1 - frac) / k) * true_union + 3 * KmvSketch.std_error(
+        k
+    ) * true_d
+    assert abs(d_ab - true_d) <= bound, (d_ab, true_d, bound)
+    # self-consistency: A\B + B\A + A∩B share the union denominator, so the
+    # three estimates sum to (+-1 rounding each) the union estimate
+    parts = (
+        d_ab
+        + KmvSketch.difference_estimate(b, a)
+        + KmvSketch.intersection_estimate(a, b)
+    )
+    assert abs(parts - KmvSketch.union(a, b).estimate()) <= 3
+    # identities
+    assert KmvSketch.difference_estimate(a, a) == 0
+    empty = KmvSketch.empty(k, 314)
+    assert KmvSketch.difference_estimate(empty, a) == 0
+    assert KmvSketch.difference_estimate(empty, empty) == 0
+    assert abs(KmvSketch.difference_estimate(a, empty) / n - 1.0) <= 3 * KmvSketch.std_error(k)
+    with pytest.raises(ValueError):
+        KmvSketch.difference_estimate(a, KmvSketch.empty(k, 999))
+
+
+def test_pair_set_algebra_difference_matches_methods():
+    from sketchlib.kmv import pair_set_algebra
+
+    k = 512
+    sketches = [
+        _sketch_of(np.arange(i * 10_000, (i + 3) * 10_000, dtype=np.int32), k=k)
+        for i in range(4)
+    ]
+    a_vals = [s.values for s in sketches]
+    b_vals = [sketches[(i + 1) % 4].values for i in range(4)]
+    _, _, _, ed = pair_set_algebra(a_vals, b_vals, k)
+    for i in range(4):
+        assert ed[i] == KmvSketch.difference_estimate(sketches[i], sketches[(i + 1) % 4])

@@ -448,3 +448,37 @@ def test_fi_functions_null_guard(sql):
         "SELECT fi_point_lower(fi, v) AS lo, fi_error(fi) AS err FROM fnull"
     ).collect()[0]
     assert r["lo"] is None and r["err"] is None
+
+
+def test_kmv_difference_function(sql):
+    from sketchlib.kmv import KmvSketch
+
+    a = KmvSketch.empty(1024)
+    a.update_batch(np.arange(0, 60_000, dtype=np.int32))
+    b = KmvSketch.empty(1024)
+    b.update_batch(np.arange(30_000, 90_000, dtype=np.int32))
+    _one_row_view(sql, "dview", {"a": a.to_bytes(), "b": b.to_bytes()})
+    r = sql.sql(
+        "SELECT kmv_difference_estimate(a, b) AS dab, "
+        "kmv_difference_estimate(b, a) AS dba, "
+        "kmv_difference_estimate(a, a) AS self FROM dview"
+    ).collect()[0]
+    assert r["self"] == 0
+    assert r["dab"] == KmvSketch.difference_estimate(a, b)
+    assert r["dba"] == KmvSketch.difference_estimate(b, a)
+    # NULL convention: A minus absent = estimate(A); absent minus B = 0
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("a", T.BinaryType(), True), T.StructField("b", T.BinaryType(), True)]
+    )
+    sql.createDataFrame(
+        [(bytearray(a.to_bytes()), None), (None, bytearray(b.to_bytes())), (None, None)],
+        schema,
+    ).createOrReplaceTempView("dnull")
+    rows = sql.sql(
+        "SELECT kmv_difference_estimate(a, b) AS d FROM dnull"
+    ).collect()
+    assert rows[0]["d"] == a.estimate()
+    assert rows[1]["d"] == 0
+    assert rows[2]["d"] is None
