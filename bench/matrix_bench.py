@@ -81,7 +81,7 @@ def main() -> None:
     ksample = rng.choice(n_pairs, size=min(500, n_pairs), replace=False)
     t0 = time.perf_counter()
     vals, k, _ = values_from_blobs(kblobs)
-    keu, kei, kj = pair_set_algebra([vals[i] for i in ia], [vals[i] for i in ib], k)
+    keu, kei, kj, ked = pair_set_algebra([vals[i] for i in ia], [vals[i] for i in ib], k)
     t_kbatch = time.perf_counter() - t0
     t0 = time.perf_counter()
     for j in ksample:
@@ -90,6 +90,7 @@ def main() -> None:
         assert KmvSketch.union(sa, sb).estimate() == keu[j]
         assert KmvSketch.intersection_estimate(sa, sb) == kei[j]
         assert KmvSketch.jaccard(sa, sb) == kj[j]
+        assert KmvSketch.difference_estimate(sa, sb) == ked[j]
     t_kscalar = (time.perf_counter() - t0) * (n_pairs / len(ksample))
 
     out = {

@@ -1468,6 +1468,13 @@ class FiAggregator(SketchAggregator):
         value_kind: str = "tokens",
     ):
         super().__init__(key_cols, value_col, value_kind)
+        if value_kind == "double":
+            # fi._as_items has no float domain — fail here, not deep inside
+            # an executor task on the first batch
+            raise ValueError(
+                "FiAggregator counts discrete items; value_kind 'double' is "
+                "not supported (use int64/int32/tokens/string)"
+            )
         self.capacity = int(capacity)
         self.item_kind = "string" if value_kind == "string" else "int64"
         FrequentItemsSketch.empty(self.capacity, self.item_kind)  # validate

@@ -99,6 +99,10 @@ class FrequentItemsSketch:
         self.total = int(self.total)
         if self.items is None:
             self.items = self._empty_items()
+        else:
+            self.items = np.asarray(
+                self.items, dtype=np.int64 if self.item_kind == "int64" else object
+            )
         if self.counts is None:
             self.counts = np.zeros(0, dtype=np.int64)
         self.counts = np.asarray(self.counts, dtype=np.int64)
@@ -155,9 +159,17 @@ class FrequentItemsSketch:
                 )
             if np.any(weights < 0):
                 raise ValueError("weights must be non-negative")
-            uniq, inv = np.unique(vals, return_inverse=True)
-            cnt = np.bincount(inv, weights=weights, minlength=len(uniq)).astype(np.int64)
-            mass = int(weights.sum())
+            # exact int64 sum (np.add.at) — bincount(weights=)'s float64
+            # accumulator would round past 2^53; zero-weight items are
+            # dropped so they neither occupy retained slots nor perturb the
+            # canonical bytes (a weight-0 sighting is no sighting)
+            uniq, cnt = _sum_by_unique(vals, weights)
+            keep = cnt > 0
+            uniq, cnt = uniq[keep], cnt[keep]
+            mass = int(cnt.sum())
+            if len(uniq) == 0:
+                self.total += mass
+                return
         else:
             uniq, cnt = np.unique(vals, return_counts=True)
             cnt = cnt.astype(np.int64)

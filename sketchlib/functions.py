@@ -404,8 +404,12 @@ def register(spark: SparkSession, prefix: str = "", force: bool = False) -> None
             by_blob.setdefault(bytes(b), []).append(i)
         for blob, idx in by_blob.items():
             s = FrequentItemsSketch.from_bytes(blob)
-            probes = np.array([int(values.iloc[i]) for i in idx], dtype=np.int64)
-            lows = s.estimate_batch(probes)
+            if s.item_kind == "string":
+                probes = np.array([str(values.iloc[i]) for i in idx], dtype=object)
+                lows = s.estimate_batch(probes, kind="string")
+            else:
+                probes = np.array([int(values.iloc[i]) for i in idx], dtype=np.int64)
+                lows = s.estimate_batch(probes)
             for i, lo in zip(idx, lows):
                 out[i] = int(lo)
         return pd.Series(out, dtype="Int64")

@@ -205,6 +205,46 @@ def test_weighted_updates():
         s.update_batch(np.array([1]), weights=np.array([-1]))
 
 
+def test_weighted_updates_exact_past_2_53():
+    # the int64 np.add.at accumulator: bincount(weights=)'s float64 path
+    # would silently round 2^53 + 1 -> 2^53 (review finding)
+    s = FrequentItemsSketch.empty(16)
+    s.update_batch(
+        np.array([7, 7], dtype=np.int64),
+        weights=np.array([1 << 53, 1], dtype=np.int64),
+    )
+    assert dict(s.top_items()) == {7: (1 << 53) + 1}
+
+
+def test_zero_weight_is_no_sighting():
+    # weight-0 items must not occupy retained slots or perturb canonical
+    # bytes (review finding)
+    s = FrequentItemsSketch.empty(16)
+    s.update_batch(np.array([5, 6], dtype=np.int64), weights=np.array([0, 4]))
+    assert dict(s.top_items()) == {6: 4}
+    assert s.total == 4
+    empty = FrequentItemsSketch.empty(16)
+    empty.update_batch(np.array([6], dtype=np.int64), weights=np.array([4]))
+    assert s.to_bytes() == empty.to_bytes()
+    all_zero = FrequentItemsSketch.empty(16)
+    all_zero.update_batch(np.array([1, 2], dtype=np.int64), weights=np.array([0, 0]))
+    assert all_zero.to_bytes() == FrequentItemsSketch.empty(16).to_bytes()
+
+
+def test_ctor_normalizes_list_inputs():
+    s = FrequentItemsSketch(capacity=8, items=[1, 2], counts=[3, 4])
+    assert s.top_items() == [(2, 4), (1, 3)]
+    assert FrequentItemsSketch.from_bytes(s.to_bytes()).top_items() == s.top_items()
+
+
+def test_aggregator_rejects_double_kind():
+    pytest.importorskip("pyspark")
+    from sketchlib.agg import FiAggregator
+
+    with pytest.raises(ValueError, match="double"):
+        FiAggregator(value_kind="double", value_col="price")
+
+
 def test_canonical_bytes_independent_of_build_history():
     # same final retained state reached by different chunkings while the
     # domain stays small (exact regime) -> identical bytes

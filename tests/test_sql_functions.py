@@ -434,6 +434,29 @@ def test_fi_functions(sql):
     assert 0 < r["err"] <= s.total // (s.capacity + 1)
 
 
+def test_fi_functions_string_mode(sql):
+    from sketchlib.fi import FrequentItemsSketch
+
+    s = FrequentItemsSketch.empty(capacity=16, item_kind="string")
+    s.update_batch(["alpha"] * 40 + ["beta"] * 7, kind="string")
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("fi", T.BinaryType(), False),
+            T.StructField("w", T.StringType(), False),
+        ]
+    )
+    sql.createDataFrame([(bytearray(s.to_bytes()), "alpha")], schema).createOrReplaceTempView(
+        "fsview"
+    )
+    r = sql.sql(
+        "SELECT fi_point_lower(fi, w) AS lo, fi_point_lower(fi, 'nope') AS miss, "
+        "fi_error(fi) AS err FROM fsview"
+    ).collect()[0]
+    assert r["lo"] == 40 and r["miss"] == 0 and r["err"] == 0
+
+
 def test_fi_functions_null_guard(sql):
     from pyspark.sql import types as T
 
