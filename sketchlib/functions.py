@@ -100,6 +100,14 @@ def _hll_pair_estimates(a: pd.Series, b: pd.Series, op: str) -> pd.Series:
                 # is non-empty, 1.0 when it is itself empty (two empty sets
                 # are identical) — same convention as kmv_jaccard
                 res[one_sided] = np.where(single_est == 0, 1.0, 0.0)
+        elif op == "difference":
+            # A minus the absent (empty) set is A's estimate; the absent
+            # set minus B is 0 (already zeros) — same as kmv_difference
+            a_present = one_sided & ~a_null
+            if a_present.any():
+                res[a_present] = _hll_estimates_np(
+                    [a_np[i] for i in np.flatnonzero(a_present)]
+                )
         # intersection with the absent (empty) side is 0 — already zeros
     both = valid & ~one_sided
     if both.any():
@@ -123,6 +131,10 @@ def _hll_pair_estimates(a: pd.Series, b: pd.Series, op: str) -> pd.Series:
             est_u = estimates_from_histograms(histograms_from_registers(u), p)
             if op == "union":
                 res[idx] = est_u
+            elif op == "difference":
+                # |A \ B| = |A∪B| - |B| by inclusion–exclusion, clamped
+                est_b = estimates_from_histograms(histograms_from_registers(rb), p)
+                res[idx] = np.maximum(0, est_u - est_b)
             else:
                 est_a = estimates_from_histograms(histograms_from_registers(ra), p)
                 est_b = estimates_from_histograms(histograms_from_registers(rb), p)
@@ -247,6 +259,14 @@ def register(spark: SparkSession, prefix: str = "", force: bool = False) -> None
     @F.pandas_udf(T.LongType())
     def hll_intersection_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
         return _hll_pair_estimates(a, b, "intersection")
+
+    @F.pandas_udf(T.LongType())
+    def hll_difference_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
+        """|A \\ B| = |A∪B| - |B| (inclusion–exclusion, clamped at 0); the
+        KMV variant is the tighter native ratio estimator. NULL convention
+        matches kmv_difference_estimate: A minus absent = estimate(A),
+        absent minus B = 0, both NULL = NULL."""
+        return _hll_pair_estimates(a, b, "difference")
 
     @F.pandas_udf(T.DoubleType())
     def hll_jaccard_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -468,6 +488,7 @@ def register(spark: SparkSession, prefix: str = "", force: bool = False) -> None
         ("hll_merge_pair", hll_merge_pair),
         ("hll_union_estimate", hll_union_estimate),
         ("hll_intersection_estimate", hll_intersection_estimate),
+        ("hll_difference_estimate", hll_difference_estimate),
         ("hll_jaccard_estimate", hll_jaccard_estimate),
         ("cms_inner_product", cms_inner_product),
         ("kll_median", kll_median),

@@ -541,6 +541,16 @@ class HllSketch:
         return max(0, a.cardinality() + b.cardinality() - HllSketch.union_estimate(a, b))
 
     @staticmethod
+    def difference_estimate(a: "HllSketch", b: "HllSketch") -> int:
+        """|A \\ B| by inclusion–exclusion: |A∪B| - |B| (clamped at 0).
+
+        Completes the set algebra alongside union/intersection/jaccard;
+        same caveat as intersection — the absolute error scales with
+        |A ∪ B|. KmvSketch.difference_estimate is the tighter native
+        ratio estimator when a KMV sketch is available."""
+        return max(0, HllSketch.union_estimate(a, b) - b.cardinality())
+
+    @staticmethod
     def jaccard_estimate(a: "HllSketch", b: "HllSketch") -> float:
         """|A ∩ B| / |A ∪ B| with the same inclusion–exclusion caveat.
 

@@ -359,3 +359,20 @@ def test_jaccard_empty_set_convention():
     s = HllSketch.empty(12)
     s.update_batch(np.arange(1000, dtype=np.int32))
     assert HllSketch.jaccard_estimate(s, HllSketch.empty(12)) == 0.0
+
+
+def test_difference_estimate():
+    from sketchlib.hll import HllSketch
+    import numpy as np
+
+    a = HllSketch.empty(14)
+    a.update_batch(np.arange(0, 60_000, dtype=np.int32))
+    b = HllSketch.empty(14)
+    b.update_batch(np.arange(30_000, 90_000, dtype=np.int32))
+    d = HllSketch.difference_estimate(a, b)
+    # |A\B| = 30k; three estimates combine, so allow 3 sigma on the union
+    assert abs(d - 30_000) <= 3 * HllSketch.std_error(14) * 90_000
+    assert HllSketch.difference_estimate(a, a) == 0
+    empty = HllSketch.empty(14)
+    assert HllSketch.difference_estimate(empty, a) == 0
+    assert HllSketch.difference_estimate(a, empty) == a.cardinality()

@@ -505,3 +505,32 @@ def test_kmv_difference_function(sql):
     assert rows[0]["d"] == a.estimate()
     assert rows[1]["d"] == 0
     assert rows[2]["d"] is None
+
+
+def test_hll_difference_function(sql):
+    from sketchlib.hll import HllSketch
+
+    a = HllSketch.empty(12)
+    a.update_batch(np.arange(0, 40_000, dtype=np.int32))
+    b = HllSketch.empty(12)
+    b.update_batch(np.arange(20_000, 60_000, dtype=np.int32))
+    _one_row_view(sql, "hdview", {"a": a.to_bytes(), "b": b.to_bytes()})
+    r = sql.sql(
+        "SELECT hll_difference_estimate(a, b) AS dab, "
+        "hll_difference_estimate(a, a) AS self FROM hdview"
+    ).collect()[0]
+    assert r["self"] == 0
+    assert r["dab"] == HllSketch.difference_estimate(a, b)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("a", T.BinaryType(), True), T.StructField("b", T.BinaryType(), True)]
+    )
+    sql.createDataFrame(
+        [(bytearray(a.to_bytes()), None), (None, bytearray(b.to_bytes())), (None, None)],
+        schema,
+    ).createOrReplaceTempView("hdnull")
+    rows = sql.sql("SELECT hll_difference_estimate(a, b) AS d FROM hdnull").collect()
+    assert rows[0]["d"] == a.cardinality()
+    assert rows[1]["d"] == 0
+    assert rows[2]["d"] is None
