@@ -45,8 +45,8 @@ _SEQ_ORACLE_QUERIES = {
     "source_jaccard_matrix",
     "corpus_profile_per_source",
     "doc_rarity_mass",
-    "weighted_sample_docs",
-    "stratified_sample_docs",
+    "sampled_docs",
+    "fi_token_topk_accuracy",
     "cms_token_freq_topk",
     "cms_heavy_hitters_per_source",
     "sql_over_checkpoint",
