@@ -3,19 +3,23 @@
 A user of the reference extension (``from HLL import HyperLogLog``) can
 switch to ``from sketchlib.compat import HyperLogLog`` and keep their code:
 same constructor signature (src/hll.c:694-771), same method set
-(src/hll.c:1000-1032), same pickle round-trip semantics. Internally it is
-the library's vectorized dense HllSketch — the reference's sparse in-flight
-machinery is an object-local memory optimization that vectorization
-supersedes (SURVEY.md §4.1), so ``sparse``/``max_sparse_list_size``/
-``max_sparse_buffer_size`` are accepted, remembered for ``_get_meta()``
-fidelity, and otherwise no-ops. Estimates, hashes, register contents and
-merge results are bit-identical to the reference (tests/test_reference_live
-locks that for the core; test_compat locks this shim).
+(src/hll.c:1000-1032), same pickle round-trip semantics. ``sparse=True``
+(the reference default) runs HllSketch's real sparse lifecycle — buffered
+register updates flushed on read or when the buffer fills
+(src/hll.c:315-507), and the sparse→dense transform at
+``max_sparse_list_size`` (src/hll.c:409-455, 513-524) — including the
+reference quirk that ``add()`` returns False for every sparse-mode call
+(setRegister returns 0 on the sparse branch, src/hll.c:513-545).
+Estimates, hashes, register contents and merge results are bit-identical
+to the reference (tests/test_reference_live locks that for the core, in
+both representations; test_compat locks this shim).
 """
 
 from __future__ import annotations
 
 import sys
+
+import numpy as np
 
 from .hll import HllSketch
 
@@ -33,10 +37,15 @@ class HyperLogLog:
         max_sparse_list_size: int = 0,
         max_sparse_buffer_size: int = 0,
     ):
-        self._sketch = HllSketch.empty(int(p), int(seed))
+        self._sketch = HllSketch(
+            p=int(p),
+            seed=int(seed),
+            sparse=bool(sparse),
+            max_sparse_list_size=int(max_sparse_list_size),
+            max_sparse_buffer_size=int(max_sparse_buffer_size),
+        )
         self._added = 0
-        # remembered for _get_meta parity; dense-vectorized in flight
-        self._is_sparse = bool(sparse)
+        # remembered so _get_meta reports sizing even for sparse=False ctors
         if max_sparse_list_size > 0:
             self._max_list_size = int(max_sparse_list_size)
         else:
@@ -56,9 +65,13 @@ class HyperLogLog:
     # -- reference methods (src/hll.c:1000-1032) ------------------------------
 
     def add(self, value) -> bool:
-        """Add a str/bytes/buffer element; True iff a register grew."""
+        """Add a str/bytes/buffer element; True iff a register grew —
+        except in sparse mode, where the reference always returns False
+        (the buffered set can't report growth, src/hll.c:513-545)."""
         self._added += 1
-        return self._sketch.add(value)
+        was_sparse = self._sketch.is_sparse
+        changed = self._sketch.add(value)
+        return changed and not was_sparse
 
     def cardinality(self) -> int:
         return self._sketch.cardinality()
@@ -70,16 +83,20 @@ class HyperLogLog:
         (src/hll.c:795-811) calls setRegister only where other > self, and
         setRegister increments the counter once per call (src/hll.c:516)."""
         a, b = self._sketch, other._sketch
-        if a.is_sparse:
-            # other's pairs that beat self's current value
-            grown = sum(
-                1
-                for i, r in zip(b.sparse_indices, b.sparse_ranks)
-                if int(r) > a.get_register(int(i))
-            )
-            self._added += grown
-        else:
+        if not a.is_sparse and not b.is_sparse:
             self._added += int((b.registers > a.registers).sum())
+        else:
+            # other's nonzero registers that beat self's current value,
+            # whatever representation each side is in
+            if b.is_sparse:
+                b._flush_buffer()
+                b_idx, b_val = b.sparse_indices, b.sparse_ranks
+            else:
+                b_idx = np.flatnonzero(b.registers)
+                b_val = b.registers[b_idx]
+            self._added += sum(
+                1 for i, r in zip(b_idx, b_val) if int(r) > a.get_register(int(i))
+            )
         a.merge(b)
 
     def hash(self, value) -> int:
@@ -98,16 +115,18 @@ class HyperLogLog:
         return [int(x) for x in self._sketch.histogram()]
 
     def _get_meta(self) -> dict:
-        """Reference debug-metadata dict (src/hll.c:569-591): same keys; the
-        sparse/cache internals report the dense-vectorized reality (0)."""
+        """Reference debug-metadata dict (src/hll.c:569-591): same keys;
+        list/buffer/sparse fields report the live representation state
+        (cache fields report 0 — estimates are never cached here)."""
         v = sys.version_info
+        sk = self._sketch
         return {
             "added": self._added,
-            "list_size": 0,
-            "buffer_size": 0,
+            "list_size": len(sk.sparse_indices) if sk.is_sparse else 0,
+            "buffer_size": len(sk._pending) if sk.is_sparse else 0,
             "cache": 0,
             "is_cached": 0,
-            "is_sparse": int(self._is_sparse),
+            "is_sparse": int(sk.is_sparse),
             "max_list_size": self._max_list_size,
             # the reference reports maxListSize under both keys (src/hll.c:586)
             "max_buffer_size": self._max_list_size,
@@ -123,14 +142,30 @@ class HyperLogLog:
         return {
             "blob": self._sketch.to_bytes(),
             "added": self._added,
-            "is_sparse": self._is_sparse,
+            # live representation flag, like the reference pickle's isSparse
+            # field (src/hll.c:826-909)
+            "is_sparse": int(self._sketch.is_sparse),
             "max_list_size": self._max_list_size,
             "max_buffer_size": self._max_buffer_size,
         }
 
     def __setstate__(self, state: dict) -> None:
-        self._sketch = HllSketch.from_bytes(state["blob"])
+        sk = HllSketch.from_bytes(state["blob"])
+        if state["is_sparse"] and not sk.is_sparse:
+            # the blob codec is representation-agnostic (decodes dense at
+            # dense-representable p); restore the pickled sparse mode like
+            # the reference's __setstate__ (src/hll.c:915-985)
+            sp = HllSketch(
+                p=sk.p,
+                seed=sk.seed,
+                sparse=True,
+                max_sparse_list_size=state["max_list_size"],
+                max_sparse_buffer_size=state["max_buffer_size"],
+            )
+            nz = np.flatnonzero(sk.registers)
+            sp._sparse_update(nz, sk.registers[nz])
+            sk = sp
+        self._sketch = sk
         self._added = state["added"]
-        self._is_sparse = state["is_sparse"]
         self._max_list_size = state["max_list_size"]
         self._max_buffer_size = state["max_buffer_size"]

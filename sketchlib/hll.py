@@ -8,16 +8,25 @@ register index, clz-rank registers, element-wise-max merge
 tests/test_hll.py against FIXTURES.md §3 (captured from the built C
 extension).
 
-Representation: a dense ``uint8[2^p]`` numpy array in flight for p <= 26 —
-the reference's sparse linked-list mode (src/hll.c:257-507) is an
-object-local memory optimization that vectorization makes moot for dense-
-representable p (SURVEY.md §4.1); at-rest blobs are raw registers behind a
-small versioned header. For p > 26 (where a dense array would exceed
-64 MiB, up to 2^63 at the contract maximum) the sketch holds a sorted
-sparse (index, rank) pair array instead, mirroring how the reference's
-sparse list is what makes its p=63 contract usable (src/hll.c:36-40,
-708-712); all operations (add/update/merge/estimate/codec) work on it
-without ever allocating 2^p registers.
+Representation: dense ``uint8[2^p]`` numpy registers by default for
+p <= 26, or — with ``sparse=True``, the reference's constructor default
+(src/hll.c:696-760) — the full sparse lifecycle: a sorted (index, rank)
+pair array plus a bounded insertion buffer of pending max-updates, flushed
+into the sorted array when full or on any read (reference
+flushRegisterBuffer, src/hll.c:315-407 / getSparseRegister,
+src/hll.c:456-485), and a sparse→dense transform once the sorted array
+reaches ``max_sparse_list_size`` (reference transformToDense,
+src/hll.c:409-455, trigger src/hll.c:513-524; default sizing
+min(2^p/4, 2^20), src/hll.c:726-760). The distributed aggregation paths
+(agg.py) always build dense partials — there the Arrow batch is the buffer
+and vectorization makes the object-local sparse machinery moot
+(SURVEY.md §4.1) — so ``sparse=True`` is the single-object parity surface,
+not the hot path. For p > 26 (where a dense array would exceed 64 MiB, up
+to 2^63 at the contract maximum) the sketch is held sparse unconditionally
+and the transform never fires, mirroring how the reference's sparse list
+is what makes its p=63 contract usable (src/hll.c:36-40, 708-712); all
+operations (add/update/merge/estimate/codec) work on it without ever
+allocating 2^p registers.
 """
 
 from __future__ import annotations
@@ -236,6 +245,9 @@ class HllSketch:
     p: int = DEFAULT_P
     seed: int = DEFAULT_SEED
     registers: np.ndarray = field(default=None, repr=False)  # type: ignore[assignment]
+    sparse: bool = False
+    max_sparse_list_size: int = 0
+    max_sparse_buffer_size: int = 0
 
     def __post_init__(self) -> None:
         if not (2 <= int(self.p) <= 63):
@@ -250,8 +262,28 @@ class HllSketch:
                     f"p={self.p} > {DENSE_MAX_P} is held sparse; "
                     f"dense register arrays are not supported there"
                 )
+        elif self.sparse and self.registers is not None:
+            raise ValueError("sparse=True cannot wrap a dense register array")
+        if self.sparse or self.p > DENSE_MAX_P:
+            self.registers = None
             self.sparse_indices = np.empty(0, dtype=np.int64)
             self.sparse_ranks = np.empty(0, dtype=np.uint8)
+            self._pending: dict[int, int] = {}
+            # reference default sizing, src/hll.c:726-760
+            if self.max_sparse_list_size > 0:
+                self._max_list = int(self.max_sparse_list_size)
+            else:
+                default = (1 << self.p) // 4
+                if default > (1 << 20):
+                    self._max_list = 1 << 20
+                elif default <= 4:
+                    self._max_list = 2
+                else:
+                    self._max_list = default
+            if self.max_sparse_buffer_size > 0:
+                self._max_buf = int(self.max_sparse_buffer_size)
+            else:
+                self._max_buf = max(1, min(self._max_list // 2, 200_000))
         elif self.registers is None:
             self.registers = np.zeros(1 << self.p, dtype=np.uint8)
         else:
@@ -263,8 +295,10 @@ class HllSketch:
 
     @property
     def is_sparse(self) -> bool:
-        """True when p > DENSE_MAX_P: registers live as sorted (idx, rank)
-        pairs and ``self.registers`` is None."""
+        """True while registers live as sorted (idx, rank) pairs (plus a
+        pending-update buffer) and ``self.registers`` is None: always for
+        p > DENSE_MAX_P, and for ``sparse=True`` sketches until the
+        sparse→dense transform fires."""
         return self.registers is None
 
     def _sparse_update(self, idx: np.ndarray, ranks: np.ndarray) -> None:
@@ -277,6 +311,55 @@ class HllSketch:
         maxv = np.zeros(len(uniq), dtype=np.uint8)
         np.maximum.at(maxv, inv, all_rank)
         self.sparse_indices, self.sparse_ranks = uniq, maxv
+
+    def _flush_buffer(self) -> None:
+        """Apply buffered register max-updates to the sorted sparse arrays
+        (reference flushRegisterBuffer, src/hll.c:315-407). Reads flush too,
+        exactly like the reference's getSparseRegister (src/hll.c:456-463)."""
+        if not self._pending:
+            return
+        idx = np.fromiter(self._pending.keys(), dtype=np.int64, count=len(self._pending))
+        rnk = np.fromiter(self._pending.values(), dtype=np.uint8, count=len(self._pending))
+        self._pending.clear()
+        self._sparse_update(idx, rnk)
+
+    def _maybe_densify(self) -> None:
+        """Sparse→dense transform at the reference threshold: once the sorted
+        list reaches ``max_sparse_list_size`` (transformToDense,
+        src/hll.c:409-455; trigger src/hll.c:513-524). Never fires at
+        p > DENSE_MAX_P, where 2^p registers must not be allocated."""
+        if self.p > DENSE_MAX_P or not self.is_sparse:
+            return
+        if len(self.sparse_indices) >= self._max_list:
+            regs = np.zeros(1 << self.p, dtype=np.uint8)
+            regs[self.sparse_indices] = self.sparse_ranks
+            self.registers = regs
+            self.sparse_indices = None  # type: ignore[assignment]
+            self.sparse_ranks = None  # type: ignore[assignment]
+            self._pending = {}
+
+    def _sparse_lookup(self, i: int) -> int:
+        """Register value from the (flushed) sorted sparse arrays."""
+        pos = int(np.searchsorted(self.sparse_indices, i))
+        if pos < len(self.sparse_indices) and int(self.sparse_indices[pos]) == i:
+            return int(self.sparse_ranks[pos])
+        return 0
+
+    def copy(self) -> "HllSketch":
+        """Representation-preserving deep copy."""
+        if not self.is_sparse:
+            return HllSketch(p=self.p, seed=self.seed, registers=self.registers.copy())
+        self._flush_buffer()
+        out = HllSketch(
+            p=self.p,
+            seed=self.seed,
+            sparse=True,
+            max_sparse_list_size=self.max_sparse_list_size,
+            max_sparse_buffer_size=self.max_sparse_buffer_size,
+        )
+        out.sparse_indices = self.sparse_indices.copy()
+        out.sparse_ranks = self.sparse_ranks.copy()
+        return out
 
     # -- constructors -------------------------------------------------------
 
@@ -296,10 +379,8 @@ class HllSketch:
         if not (0 <= i < self.size):
             raise IndexError(f"register index {i} out of range [0, {self.size})")
         if self.is_sparse:
-            pos = int(np.searchsorted(self.sparse_indices, i))
-            if pos < len(self.sparse_indices) and int(self.sparse_indices[pos]) == i:
-                return int(self.sparse_ranks[pos])
-            return 0
+            self._flush_buffer()
+            return self._sparse_lookup(i)
         return int(self.registers[i])
 
     def histogram(self) -> np.ndarray:
@@ -310,6 +391,7 @@ class HllSketch:
         float64 (the zero-bin count 2^p - nnz can exceed int64 at p=63;
         the estimator consumes the bins as floats anyway)."""
         if self.is_sparse:
+            self._flush_buffer()
             hist = np.bincount(self.sparse_ranks, minlength=65)[:65].astype(np.float64)
             hist[0] = float(1 << self.p) - float(len(self.sparse_indices))
             return hist
@@ -323,7 +405,9 @@ class HllSketch:
             return
         idx, rank = hll_index_rank(np.asarray(hashes, dtype=np.uint64), self.p)
         if self.is_sparse:
+            self._flush_buffer()
             self._sparse_update(idx, rank)
+            self._maybe_densify()
         else:
             update_registers(self.registers, idx, rank)
 
@@ -346,7 +430,13 @@ class HllSketch:
 
         int values are hashed as 4-byte LE int32 (the library convention for
         tokens); str/bytes exactly as the reference's buffer parse. Returns
-        True iff a register changed (dense-mode semantics).
+        True iff a register grew — in sparse mode the growing update is
+        buffered (reference setSparseRegister, src/hll.c:488-506) and only
+        folded into the sorted pair array when the buffer fills or on the
+        next read. (The reference's own add() returns False for every
+        sparse-mode call, src/hll.c:513-545 — this library keeps the more
+        informative dense-mode contract in both representations; the compat
+        shim reproduces the reference quirk.)
         """
         if isinstance(value, (bytearray, memoryview)):
             # reference parses any buffer via "s#" (src/hll.c:636)
@@ -359,10 +449,17 @@ class HllSketch:
         payload = (h << self.p) & ((1 << 64) - 1)
         rank = min((64 - payload.bit_length() if payload else 64) + 1, 64 - self.p + 1)
         if self.is_sparse:
-            if rank > self.get_register(idx):
-                self._sparse_update(
-                    np.array([idx], dtype=np.int64), np.array([rank], dtype=np.uint8)
-                )
+            # pending entries always dominate the sorted list for their index
+            # (they are only created when strictly larger), so checking the
+            # buffer first is exact without a flush
+            cur = self._pending.get(idx)
+            if cur is None:
+                cur = self._sparse_lookup(idx)
+            if rank > cur:
+                self._pending[idx] = rank
+                if len(self._pending) >= self._max_buf:
+                    self._flush_buffer()
+                    self._maybe_densify()
                 return True
             return False
         if rank > self.registers[idx]:
@@ -386,25 +483,37 @@ class HllSketch:
             raise ValueError(f"cannot merge sketches with different seeds: {self.seed} vs {other.seed}")
 
     def merge(self, other: "HllSketch") -> "HllSketch":
-        """In-place element-wise max merge (src/hll.c:776-815); returns self."""
+        """In-place element-wise max merge (src/hll.c:776-815); returns self.
+
+        Handles every representation combination like the reference's merge
+        loop (which reads/writes through the repr-agnostic get/setRegister,
+        src/hll.c:791-811): a sparse self can densify mid-merge once the
+        merged pair list crosses the transform threshold."""
         self._check_mergeable(other)
+        if other.is_sparse:
+            other._flush_buffer()
         if self.is_sparse:
-            # equal size => equal p => both sparse (repr is a function of p)
-            self._sparse_update(other.sparse_indices, other.sparse_ranks)
+            self._flush_buffer()
+            if other.is_sparse:
+                self._sparse_update(other.sparse_indices, other.sparse_ranks)
+            else:
+                nz = np.flatnonzero(other.registers)
+                self._sparse_update(nz, other.registers[nz])
+            self._maybe_densify()
+            return self
+        if other.is_sparse:
+            update_registers(self.registers, other.sparse_indices, other.sparse_ranks)
             return self
         np.maximum(self.registers, other.registers, out=self.registers)
         return self
 
     def __or__(self, other: "HllSketch") -> "HllSketch":
         self._check_mergeable(other)
-        if self.is_sparse:
-            out = HllSketch.empty(self.p, self.seed)
-            out._sparse_update(self.sparse_indices, self.sparse_ranks)
-            out._sparse_update(other.sparse_indices, other.sparse_ranks)
-            return out
-        return HllSketch(
-            p=self.p, seed=self.seed, registers=np.maximum(self.registers, other.registers)
-        )
+        if not self.is_sparse and not other.is_sparse:
+            return HllSketch(
+                p=self.p, seed=self.seed, registers=np.maximum(self.registers, other.registers)
+            )
+        return self.copy().merge(other)
 
     def cardinality(self) -> int:
         """Bias-corrected cardinality estimate (src/hll.c:653-678)."""
@@ -433,28 +542,38 @@ class HllSketch:
         ``mode=None`` auto-picks min(dense, sparse) as in round 1, so
         existing checkpoint bytes are unchanged.
 
-        Sparse-representation sketches (p > DENSE_MAX_P) always encode as
+        Sparse-representation sketches at p > DENSE_MAX_P always encode as
         mode 3 (sparse64: u64 count + sorted i64 indices + u8 ranks —
-        register indices above p=32 don't fit mode 1's u32).
+        register indices above p=32 don't fit mode 1's u32). Runtime-sparse
+        sketches at dense-representable p (``sparse=True``) encode
+        byte-identically to their dense twin — the at-rest codec is
+        representation-agnostic, like the rest of the library's blobs.
         """
-        if self.is_sparse:
-            if mode not in (None, "sparse"):
-                raise ValueError(
-                    f"p={self.p} sketches are sparse-only; mode {mode!r} unsupported"
-                )
-            return (
-                pack_header(KIND_HLL, self.p, self.seed)
-                + b"\x03"
-                + struct.pack("<Q", len(self.sparse_indices))
-                + self.sparse_indices.astype(np.int64).tobytes()
-                + self.sparse_ranks.tobytes()
-            )
-        nz = np.flatnonzero(self.registers)
-        dense_size = 1 << self.p
         head = pack_header(KIND_HLL, self.p, self.seed)
+        if self.is_sparse:
+            self._flush_buffer()
+            if self.p > DENSE_MAX_P:
+                if mode not in (None, "sparse"):
+                    raise ValueError(
+                        f"p={self.p} sketches are sparse-only; mode {mode!r} unsupported"
+                    )
+                return (
+                    head
+                    + b"\x03"
+                    + struct.pack("<Q", len(self.sparse_indices))
+                    + self.sparse_indices.astype(np.int64).tobytes()
+                    + self.sparse_ranks.tobytes()
+                )
+            keep = self.sparse_ranks > 0
+            nz = self.sparse_indices[keep]
+            nzv = self.sparse_ranks[keep]
+        else:
+            nz = np.flatnonzero(self.registers)
+            nzv = self.registers[nz] if len(nz) else np.empty(0, dtype=np.uint8)
+        dense_size = 1 << self.p
         if mode == "packed6":
             bits = np.unpackbits(
-                self.registers[:, None], axis=1, bitorder="little"
+                self._dense_registers()[:, None], axis=1, bitorder="little"
             )[:, :6]
             return head + b"\x02" + np.packbits(bits.reshape(-1), bitorder="little").tobytes()
         if mode not in (None, "dense", "sparse"):
@@ -465,10 +584,22 @@ class HllSketch:
                 b"\x01"
                 + struct.pack("<I", len(nz))
                 + nz.astype(np.uint32).tobytes()
-                + self.registers[nz].tobytes()
+                + nzv.tobytes()
             )
             return head + body
-        return head + b"\x00" + self.registers.tobytes()
+        return head + b"\x00" + self._dense_registers().tobytes()
+
+    def _dense_registers(self) -> np.ndarray:
+        """Dense register view: the live array, or a scatter of the (flushed)
+        sparse pairs for runtime-sparse sketches at dense-representable p."""
+        if self.registers is not None:
+            return self.registers
+        if self.p > DENSE_MAX_P:
+            raise ValueError(f"p={self.p} cannot materialize 2^p registers")
+        self._flush_buffer()
+        regs = np.zeros(1 << self.p, dtype=np.uint8)
+        regs[self.sparse_indices] = self.sparse_ranks
+        return regs
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "HllSketch":

@@ -94,3 +94,73 @@ def test_live_shim_parity(ref_hll):  # noqa: F811
     ours.merge(ours2)
     assert ours._get_meta()["added"] == ref._get_meta()["added"]
     assert ours.cardinality() == ref.cardinality()
+
+
+def test_shim_sparse_lifecycle():
+    """sparse=True (the reference ctor default) runs the real buffered
+    sparse lifecycle through the shim: add() returns False while sparse
+    (src/hll.c:513-545), _get_meta reports live list/buffer sizes, the
+    transform flips is_sparse, and pickle preserves the representation."""
+    import struct as st
+
+    h = HyperLogLog(12)  # sparse by default, max list 1024, max buffer 512
+    early = [h.add(st.pack("<i", i)) for i in range(100)]
+    assert not any(early)  # reference sparse-mode quirk
+    m = h._get_meta()
+    assert m["is_sparse"] == 1
+    assert m["buffer_size"] + m["list_size"] > 0
+    assert m["added"] == 100
+    # pickle round-trip keeps the sparse representation (reference
+    # __setstate__ restores isSparse, src/hll.c:915-985)
+    r = pickle.loads(pickle.dumps(h))
+    assert r._get_meta()["is_sparse"] == 1
+    assert r.cardinality() == h.cardinality()
+    assert [r.get_register(i) for i in range(256)] == [
+        h.get_register(i) for i in range(256)
+    ]
+    # push past the transform threshold
+    for i in range(100, 3_000):
+        h.add(st.pack("<i", i))
+    m2 = h._get_meta()
+    assert m2["is_sparse"] == 0 and m2["list_size"] == 0 and m2["buffer_size"] == 0
+    # final registers identical to a dense-from-the-start twin
+    dense_twin = HyperLogLog(12, 314, False)
+    for i in range(3_000):
+        dense_twin.add(st.pack("<i", i))
+    assert [h.get_register(i) for i in range(1 << 12)] == [
+        dense_twin.get_register(i) for i in range(1 << 12)
+    ]
+    # dense-mode add reports growth again: a fresh key that grows some
+    # register returns True eventually; a repeat of it returns False
+    assert h.add(st.pack("<i", 2_999)) is False  # already present
+    grew = h.add(st.pack("<i", 1 << 29))
+    assert h.add(st.pack("<i", 1 << 29)) is False
+    assert grew in (True, False)
+
+
+def test_shim_sparse_dense_merge_added_counter():
+    """merge's added-counter law (one bump per register actually grown)
+    holds across representation combinations."""
+    import struct as st
+
+    def build(sparse, lo, hi):
+        h = HyperLogLog(10, 314, sparse)
+        for i in range(lo, hi):
+            h.add(st.pack("<i", i))
+        return h
+
+    for sa in (True, False):
+        for sb in (True, False):
+            a = build(sa, 0, 200)
+            b = build(sb, 100, 300)
+            grown = sum(
+                1 for i in range(1 << 10) if b.get_register(i) > a.get_register(i)
+            )
+            before = a._get_meta()["added"]
+            a.merge(b)
+            assert a._get_meta()["added"] == before + grown, (sa, sb)
+            # final state == dense-built union
+            u = build(False, 0, 300)
+            assert [a.get_register(i) for i in range(1 << 10)] == [
+                u.get_register(i) for i in range(1 << 10)
+            ], (sa, sb)

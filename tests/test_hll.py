@@ -376,3 +376,86 @@ def test_difference_estimate():
     empty = HllSketch.empty(14)
     assert HllSketch.difference_estimate(empty, a) == 0
     assert HllSketch.difference_estimate(a, empty) == a.cardinality()
+
+
+def test_sparse_runtime_lifecycle_small_p():
+    """sparse=True at dense-representable p (reference ctor default,
+    src/hll.c:696-760): buffered adds, flush-on-read, representation-
+    agnostic at-rest bytes, and the sparse->dense transform at
+    max_sparse_list_size (src/hll.c:409-455, 513-524)."""
+    s = HllSketch(p=12, sparse=True)
+    d = HllSketch.empty(12)
+    toks = np.arange(400, dtype=np.int32)
+    import struct as st
+
+    for t in toks.tolist():
+        s.add(st.pack("<i", t))
+    d.update_batch(toks)
+    assert s.is_sparse
+    assert s.cardinality() == d.cardinality()
+    assert s.to_bytes() == d.to_bytes()  # byte-identical to the dense twin
+    assert s.to_bytes(mode="dense") == d.to_bytes(mode="dense")
+    assert s.to_bytes(mode="packed6") == d.to_bytes(mode="packed6")
+    assert [s.get_register(i) for i in range(0, 1 << 12, 37)] == [
+        int(d.registers[i]) for i in range(0, 1 << 12, 37)
+    ]
+    # crossing max_sparse_list_size (default 2^12/4 = 1024) densifies
+    more = np.arange(400, 20_000, dtype=np.int32)
+    s.update_batch(more)
+    d.update_batch(more)
+    assert not s.is_sparse
+    assert np.array_equal(s.registers, d.registers)
+
+
+def test_sparse_buffer_semantics():
+    """The insertion buffer defers list folds until it fills or a read
+    arrives; add() still reports growth exactly (checked against the
+    buffer + sorted list, never stale)."""
+    s = HllSketch(p=8, sparse=True, max_sparse_list_size=200, max_sparse_buffer_size=4)
+    assert s.add(b"x") is True
+    assert s.add(b"x") is False  # pending entry dominates: repeat not growth
+    assert len(s._pending) == 1 and len(s.sparse_indices) == 0
+    s.get_register(0)  # any read flushes (reference getSparseRegister)
+    assert len(s._pending) == 0 and len(s.sparse_indices) == 1
+    assert s.add(b"x") is False  # now found in the sorted list
+    # fill the buffer: 4th distinct pending entry triggers the flush
+    grew = [s.add(f"k{i}".encode()) for i in range(8)]
+    assert all(grew) and len(s._pending) < 4
+    assert s.is_sparse  # well under max_sparse_list_size
+
+
+def test_sparse_dense_merge_combos():
+    """merge()/| handle all four representation combinations with identical
+    final register state (reference merge walks get/setRegister,
+    src/hll.c:791-811), and a sparse self densifies mid-merge when the
+    merged list crosses the threshold."""
+    ta = np.arange(300, dtype=np.int32)
+    tb = np.arange(150, 450, dtype=np.int32)
+    builds = {}
+    for name, toks in (("a", ta), ("b", tb)):
+        sp = HllSketch(p=10, sparse=True)
+        sp.update_batch(toks)
+        dn = HllSketch.empty(10)
+        dn.update_batch(toks)
+        builds[name] = (sp, dn)
+    expect = np.maximum(builds["a"][1].registers, builds["b"][1].registers)
+    for left in builds["a"]:
+        for right in builds["b"]:
+            out = left | right  # non-mutating: copies under the hood
+            got = out.registers if not out.is_sparse else out._dense_registers()
+            assert np.array_equal(got, expect)
+            mid = left.copy().merge(right)  # in-place form
+            gotm = mid.registers if not mid.is_sparse else mid._dense_registers()
+            assert np.array_equal(gotm, expect)
+    # mid-merge densify: two sparse halves (each ~560 distinct indices at
+    # p=12, under the 1024 threshold) whose union crosses it
+    h1 = HllSketch(p=12, sparse=True)
+    h2 = HllSketch(p=12, sparse=True)
+    h1.update_batch(np.arange(600, dtype=np.int32))
+    h2.update_batch(np.arange(5_000, 5_600, dtype=np.int32))
+    assert h1.is_sparse and h2.is_sparse
+    h1.merge(h2)
+    full = HllSketch.empty(12)
+    full.update_batch(np.concatenate([np.arange(600), np.arange(5_000, 5_600)]).astype(np.int32))
+    assert not h1.is_sparse  # union nnz >= 1024 triggered the transform
+    assert np.array_equal(h1.registers, full.registers)

@@ -115,3 +115,45 @@ def test_live_merge_parity(ref_hll):
     ref_regs = np.array([ref_a.get_register(i) for i in range(1 << 12)], dtype=np.uint8)
     assert np.array_equal(ours_a.registers, ref_regs)
     assert ours_a.cardinality() == ref_a.cardinality()
+
+
+def test_live_sparse_lifecycle_parity(ref_hll):
+    """Drive the built reference and our sparse-runtime sketch through the
+    full sparse lifecycle with the SAME add() sequence: buffered sparse
+    phase, flush-on-read, and the sparse->dense transform. Registers,
+    estimates, and the sparse-mode add()-returns-False quirk must agree at
+    every checkpoint (repr-transition timing is each impl's own business;
+    state parity is what the contract requires)."""
+    from sketchlib.compat import HyperLogLog as Shim
+
+    p, seed = 10, 314
+    rng = np.random.default_rng(42)
+    tokens = rng.integers(0, 5_000, 2_000).astype(np.int32)
+    ref = ref_hll.HyperLogLog(p=p, seed=seed, sparse=True)
+    ours = Shim(p=p, seed=seed, sparse=True)
+
+    checkpoints = (30, 120, len(tokens))  # mid-sparse, later, post-transform
+    done = 0
+    for stop in checkpoints:
+        for t in tokens[done:stop].tolist():
+            buf = struct.pack("<i", t)
+            r_ret = ref.add(buf)
+            o_ret = ours.add(buf)
+            # each side returns False for every add made while IT is sparse
+            if ref._get_meta()["is_sparse"]:
+                assert r_ret is False
+            if ours._get_meta()["is_sparse"]:
+                assert o_ret is False
+        done = stop
+        ref_regs = [ref.get_register(i) for i in range(1 << p)]
+        our_regs = [ours.get_register(i) for i in range(1 << p)]
+        assert ref_regs == our_regs, f"register divergence at add #{stop}"
+        assert ref.cardinality() == ours.cardinality()
+
+    # both must have crossed the transform by the end (default max list
+    # size is 2^p/4 = 256 and ~1800 distinct indices were touched)
+    assert ref._get_meta()["is_sparse"] == 0
+    assert ours._get_meta()["is_sparse"] == 0
+    # post-transform adds report growth again, identically
+    fresh = struct.pack("<i", 1 << 30)
+    assert ref.add(fresh) == ours.add(fresh)
