@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50-row driver pass (VERDICT r04 #1): estimate queries folded into
         # their *_accuracy companions, law/overlap/matrix/ann/multimodal/
         # streaming-dedup pairs fused — every code path stays oracle-checked.
+        "dedup_clusters": Q.dedup_clusters,
+        "exact_dedup_documents": Q.exact_dedup_documents,
         "fi_token_topk_accuracy": Q.fi_token_topk_accuracy,
         "sampled_docs": Q.sampled_docs,
         "training_mix_pack": Q.training_mix_pack,
@@ -98,9 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup/similarity block
         "minhash_jaccard_consistency": Q.minhash_jaccard_consistency,
         "simhash_fingerprints_docs": Q.simhash_fingerprints_docs,
-        "exact_dedup_documents": Q.exact_dedup_documents,
         "embedding_near_dup_pairs": Q.embedding_near_dup_pairs,
-        "fingerprint_distinct_docs": Q.fingerprint_distinct_docs,
         "lang_id_distribution": Q.lang_id_distribution,
         "curation_pipeline": Q.curation_pipeline,
         "duplicate_ngram_spans": Q.duplicate_ngram_spans,
@@ -140,6 +140,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dedup_clusters": r"""
+            WITH RECURSIVE
+              w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                   t -> t != '') AS ws
+                FROM documents),
+              g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, len(ws) - 2),
+                           i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS grams
+                FROM w WHERE len(ws) >= 3),
+              dg AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram FROM g),
+              rare AS (SELECT gram FROM dg GROUP BY gram
+                       HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 50),
+              pairs AS (
+                SELECT x.doc_id AS a, y.doc_id AS b,
+                       COUNT(*) AS shared,
+                       ANY_VALUE(x.n_grams) AS na, ANY_VALUE(y.n_grams) AS nb
+                FROM dg x JOIN dg y ON x.gram = y.gram AND x.doc_id < y.doc_id
+                WHERE x.gram IN (SELECT gram FROM rare)
+                GROUP BY x.doc_id, y.doc_id),
+              edges AS (SELECT a, b FROM pairs WHERE 3 * shared >= na + nb),
+              esym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+              reach AS (
+                SELECT a AS node, b AS r FROM esym
+                UNION
+                SELECT t.node, e.b AS r FROM reach t JOIN esym e ON t.r = e.a),
+              labels AS (SELECT node, LEAST(node, MIN(r)) AS cluster_id
+                         FROM reach GROUP BY node)
+            SELECT cluster_id, COUNT(*) AS size
+            FROM labels GROUP BY cluster_id ORDER BY cluster_id
+        """,
         "training_mix_pack": r"""
             WITH d0 AS (
               SELECT doc_id, source,
@@ -558,15 +592,11 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS flagged_ge_exact,
                    TRUE AS all_exact_contaminated_flagged
         """,
-        "fingerprint_distinct_docs": """
-            SELECT COUNT(DISTINCT text) AS distinct_texts,
-                   TRUE AS fingerprints_injective
-            FROM documents
-        """,
         "exact_dedup_documents": """
             SELECT COUNT(*) AS n_docs,
                    COUNT(DISTINCT text) AS n_after_dedup,
-                   TRUE AS matches_distinct_text
+                   TRUE AS matches_distinct_text,
+                   TRUE AS fingerprints_injective
             FROM documents
         """,
         "curation_pipeline": r"""

@@ -450,3 +450,167 @@ def word_span_bloom_scores(
             )
 
     return df.select(doc_col, words_col).mapInArrow(score, out_schema)
+
+
+# ---- exact n-gram similarity join + connected-components clustering ----------
+
+
+def ngram_jaccard_edges(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: tuple[int, int] = (1, 2),
+    df_cap: int = 50,
+) -> DataFrame:
+    """EXACT word-n-gram Jaccard similarity join — the deterministic
+    companion to the probabilistic MinHash+LSH path (near_dup_pairs).
+
+    Classic inverted-index shape (Vernica et al., SIGMOD 2010 family):
+    explode each document's DISTINCT n-grams, group by gram, and emit the
+    per-gram document pairs; summing pair hits gives the exact intersection
+    size, so the Jaccard test is exact integer arithmetic — no hashing, no
+    estimate, reproducible bit-for-bit in any SQL engine (the driver oracle
+    runs the identical computation in DuckDB).
+
+    Scale levers (the 100 TB story):
+    - ``df_cap`` drops grams occurring in more than ``df_cap`` documents —
+      the standard frequency cut that bounds per-gram pair fan-out at
+      C(df_cap, 2) and removes exactly the grams with no discriminative
+      power. The cut is part of the operator's CONTRACT (applied identically
+      in the oracle), not a silent approximation.
+    - one shuffle on gram (the groupBy builds the inverted index), one
+      shuffle on (a, b) for the intersection counts; pair generation happens
+      JVM-side inside the gram groups (array transform), never in Python.
+    - shuffled rows carry (doc_id, n_grams) — never document text.
+
+    ``threshold`` is a rational (num, den): an edge requires
+    jaccard = shared / (na + nb - shared) >= num/den, evaluated as
+    (den + num) * shared >= num * (na + nb) in exact integer arithmetic so
+    there is no float-boundary disagreement with the oracle.
+
+    Returns (a, b, shared, na, nb) with a < b.
+    """
+    num, den = int(threshold[0]), int(threshold[1])
+    if num <= 0 or den <= 0:
+        raise ValueError(f"threshold must be a positive rational, got {threshold}")
+    ws = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != F.lit("")
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i, n)),
+        )
+    )
+    g = (
+        docs.select(F.col(id_col).alias("doc_id"), ws.alias("ws"))
+        .where(F.size("ws") >= n)
+        .select("doc_id", grams.alias("grams"))
+        .select(
+            "doc_id", F.size("grams").alias("n_grams"), F.explode("grams").alias("gram")
+        )
+    )
+    # inverted index: per-gram posting lists, frequency-cut, JVM-side pair
+    # generation (collect_list order doesn't matter: pairs are oriented by
+    # VALUE comparison a < b, and the (a, b) groupBy absorbs any order)
+    by_gram = g.groupBy("gram").agg(
+        F.collect_list(F.struct(F.col("doc_id"), F.col("n_grams"))).alias("ds")
+    )
+    pair = F.explode(
+        F.filter(
+            F.flatten(
+                F.transform(
+                    "ds",
+                    lambda x: F.transform(
+                        "ds",
+                        lambda y: F.struct(
+                            x["doc_id"].alias("a"),
+                            y["doc_id"].alias("b"),
+                            x["n_grams"].alias("na"),
+                            y["n_grams"].alias("nb"),
+                        ),
+                    ),
+                )
+            ),
+            lambda p: p["a"] < p["b"],
+        )
+    )
+    pairs = (
+        by_gram.where((F.size("ds") >= 2) & (F.size("ds") <= df_cap))
+        .select(pair.alias("p"))
+        .select("p.a", "p.b", "p.na", "p.nb")
+    )
+    shared = pairs.groupBy("a", "b", "na", "nb").agg(F.count("*").alias("shared"))
+    return shared.where(
+        (den + num) * F.col("shared") >= num * (F.col("na") + F.col("nb"))
+    ).select("a", "b", "shared", "na", "nb")
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Distributed connected components by iterative min-label propagation:
+    every node's label converges to the smallest node id reachable from it
+    (= a canonical component id). The duplicate-CLUSTER collapse real
+    pipelines run on near-dup edges — pairwise survivor picks under-merge
+    when duplicates chain (a~b, b~c but a!~c).
+
+    Each iteration is one hash join (edges ⋈ labels on node id) plus one
+    min-aggregate — both shuffle-partitioned on the node id, so at scale
+    the two land on the same partitioning and AQE coalesces the exchange.
+    Labels only ever decrease, so the exact sum of labels is a monotone
+    convergence witness: one Decimal(38) aggregate per iteration (overflow-
+    safe at any id range), stop when it stops falling. Iteration count is
+    the component diameter — small for duplicate clusters (pairs and small
+    cliques); ``max_iter`` guards pathological chains with a LOUD error
+    instead of a silent partial merge. Each round is localCheckpoint-ed to
+    truncate lineage (iterative plans otherwise grow exponentially) and the
+    previous round's blocks are released immediately.
+
+    Returns (node, label): one row per node incident to >= 1 edge.
+    """
+    from .session import release
+
+    esym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .persist()
+    )
+    labels = (
+        esym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        prev_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        for _ in range(max_iter):
+            prop = esym.join(labels, esym["src"] == labels["node"]).select(
+                F.col("dst").alias("node"), F.col("label")
+            )
+            new_labels = (
+                labels.unionByName(prop)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            cur_sum = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            release(labels)
+            labels = new_labels
+            if cur_sum == prev_sum:
+                return labels
+            prev_sum = cur_sum
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"(component diameter exceeds the guard; raise max_iter)"
+        )
+    finally:
+        esym.unpersist()

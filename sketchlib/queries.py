@@ -1393,19 +1393,71 @@ def near_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on text (hash-groupBy on a 64-bit fingerprint): totals
 
-    must match COUNT(DISTINCT text)."""
+    must match COUNT(DISTINCT text). Folds in the rolling-fingerprint
+    injectivity law (formerly the standalone fingerprint_distinct_docs
+    query): the 64-bit textstats fingerprint the dedup path would key on at
+    scale must be collision-free on this corpus (odds ~ n^2 / 2^64), i.e.
+    COUNT(DISTINCT fingerprint) == COUNT(DISTINCT text) — one scan covers
+    both laws."""
     from .dedup import exact_dedup
+    from .textstats import fingerprint64
 
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "doc_id", F.col("doc_id").cast("string")
     )
     kept = exact_dedup(docs, ["text"], keep_col="doc_id").count()
-    total = docs.count()
-    distinct_texts = docs.select("text").distinct().count()
+    row = docs.agg(
+        F.count("*").alias("total"),
+        F.countDistinct("text").alias("tx"),
+        F.countDistinct(fingerprint64(F.col("text"))).alias("fp"),
+    ).collect()[0]
     return spark.createDataFrame(
-        [(int(total), int(kept), bool(kept == distinct_texts))],
-        "n_docs long, n_after_dedup long, matches_distinct_text boolean",
+        [
+            (
+                int(row["total"]),
+                int(kept),
+                bool(kept == row["tx"]),
+                bool(row["fp"] == row["tx"]),
+            )
+        ],
+        "n_docs long, n_after_dedup long, matches_distinct_text boolean, "
+        "fingerprints_injective boolean",
     )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER collapse: exact word-3-gram Jaccard similarity join
+    (inverted index, frequency-cut at df<=50, integer-exact threshold 1/2)
+    followed by distributed connected components (iterative min-label
+    propagation) — the transitive closure real pipelines need because
+    pairwise survivor picks under-merge chained duplicates (a~b, b~c but
+    a!~c must still collapse to ONE cluster).
+
+    Every stage is deterministic and SQL-expressible, so the driver oracle
+    reproduces the full pipeline — gram explosion, frequency cut, exact
+    Jaccard edges, and the closure itself (recursive CTE) — and the result
+    hash-matches rows+schema+values. This is the exact companion to the
+    probabilistic near-dup path (near_dup_topk_pairs / near_dedup_documents);
+    the 100 TB composition is LSH candidates -> exact verify -> THIS
+    connected-components collapse on the verified edges.
+
+    Shuffle partitions are pinned low at toy SF (the CC loop's per-iteration
+    cost is task overhead on a few hundred label rows, measured 8 < 32);
+    the operators themselves are partition-agnostic.
+    """
+    from .dedup import connected_components, ngram_jaccard_edges
+
+    docs = load_table(spark, sf_dir, "documents")
+    with _streaming_conf(spark, "8"):
+        edges = ngram_jaccard_edges(
+            docs, n=3, threshold=(1, 2), df_cap=50
+        )
+        comp = connected_components(edges)
+        return (
+            comp.groupBy(F.col("label").alias("cluster_id"))
+            .agg(F.count("*").alias("size"))
+            .orderBy("cluster_id")
+        )
 
 
 def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1549,23 +1601,6 @@ def per_doc_sketch_storage(spark: SparkSession, sf_dir: str, p: int = 16) -> Dat
 
 
 # ---- text analysis over documents ---------------------------------------------------
-def fingerprint_distinct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit rolling fingerprint injectivity on this corpus: distinct
-
-    fingerprints == distinct texts (collision odds ~ n^2 / 2^64)."""
-    from .textstats import fingerprint64
-
-    docs = load_table(spark, sf_dir, "documents")
-    row = docs.agg(
-        F.countDistinct(fingerprint64(F.col("text"))).alias("fp"),
-        F.countDistinct("text").alias("tx"),
-    ).collect()[0]
-    return spark.createDataFrame(
-        [(int(row["tx"]), bool(row["fp"] == row["tx"]))],
-        "distinct_texts long, fingerprints_injective boolean",
-    )
-
-
 def lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-heuristic language ID distribution (rows-only: the corpus
 

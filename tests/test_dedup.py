@@ -340,3 +340,99 @@ def test_word_span_fps_full_64bit_and_clean_corpus(spark, tmp_path):
     assert len(out) == 10
     assert all(r["exact_dup_spans"] == 0 for r in out)
     assert all(r["never_undercounts"] and r["within_fpp_bound"] for r in out)
+
+
+# ---- exact n-gram similarity join + connected components ----------------------
+
+
+def _cc_pandas_oracle(edge_rows):
+    """Union-find reference for connected components."""
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_laws(spark):
+    from sketchlib.dedup import connected_components
+
+    # chain a-b-c-d must collapse to ONE cluster (the transitive case
+    # pairwise survivor picks get wrong), plus a separate pair and a
+    # larger braid with shortcut edges
+    edges = [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22), (22, 23)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["node"]: r["label"] for r in connected_components(df).collect()
+    }
+    assert got == _cc_pandas_oracle(edges)
+    # partition invariance: same labels at any parallelism
+    for parts in (1, 7):
+        got_p = {
+            r["node"]: r["label"]
+            for r in connected_components(df.repartition(parts)).collect()
+        }
+        assert got_p == got
+
+
+def test_connected_components_empty_and_guard(spark):
+    import pytest as _pytest
+
+    from sketchlib.dedup import connected_components
+
+    empty = spark.createDataFrame([], "a long, b long")
+    assert connected_components(empty).collect() == []
+    # a long chain exceeds a tiny max_iter: loud error, not a partial merge
+    chain = spark.createDataFrame([(i, i + 1) for i in range(12)], "a long, b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    full = {r["node"]: r["label"] for r in connected_components(chain).collect()}
+    assert set(full.values()) == {0} and len(full) == 13
+
+
+def test_ngram_jaccard_edges_exact(spark):
+    from sketchlib.dedup import ngram_jaccard_edges
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),          # 3 grams
+        (2, "alpha beta gamma delta zeta"),              # shares 2 of 3
+        (3, "alpha beta gamma delta epsilon"),           # exact dup of 1
+        (4, "totally different words here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"]): (r["shared"], r["na"], r["nb"])
+        for r in ngram_jaccard_edges(docs, threshold=(1, 2)).collect()
+    }
+    # doc1/doc3: identical gram sets (3 shared of 3) -> jaccard 1
+    assert got[(1, 3)] == (3, 3, 3)
+    # doc1/doc2: grams 'alpha beta gamma','beta gamma delta' shared of 3+3
+    # -> jaccard 2/4 = 0.5, EXACTLY at the 1/2 threshold (integer-edge case)
+    assert got[(1, 2)] == (2, 3, 3) and got[(2, 3)] == (2, 3, 3)
+    assert not any(4 in pair for pair in got)
+    # raising the threshold above 1/2 drops the boundary pairs
+    strict = {
+        (r["a"], r["b"])
+        for r in ngram_jaccard_edges(docs, threshold=(2, 3)).collect()
+    }
+    assert strict == {(1, 3)}
+    # df_cap removes ubiquitous grams from pairing: cap=2 kills the grams
+    # shared by docs 1,2,3 (df=3) so only the exact-dup pair (via df<=2
+    # grams... none remain) disappears too
+    capped = {
+        (r["a"], r["b"])
+        for r in ngram_jaccard_edges(docs, threshold=(1, 2), df_cap=2).collect()
+    }
+    assert capped == set()
+    with __import__("pytest").raises(ValueError):
+        ngram_jaccard_edges(docs, threshold=(0, 2))
