@@ -271,6 +271,7 @@ def oracle_sql() -> dict[str, str]:
             WITH m AS (
               SELECT source, lang,
                      length(text) AS chars_1,
+                     rep2_grams, rep2_dup_grams, rep2_top_gram,
                      len(words) AS words_1,
                      len(list_filter(words, t -> regexp_full_match(t, '[A-Za-z]+'))) AS alpha_1,
                      len(list_distinct(words)) AS dwords_1,
@@ -278,21 +279,47 @@ def oracle_sql() -> dict[str, str]:
                      length(text) -
                          length(regexp_replace(text, '[.,;:!?''"()\[\]-]', '', 'g')) AS punct_1,
                      list_sum(list_transform(words, t -> (length(t) + 3) // 4)) AS tok_1
-              FROM (SELECT source, lang, text,
-                           list_filter(regexp_split_to_array(trim(text), '\s+'),
-                                       t -> t != '') AS words
-                    FROM documents))
+              FROM (SELECT source, lang, text, words,
+                           COALESCE((SELECT SUM(c) FROM (
+                               SELECT COUNT(*) AS c FROM (
+                                 SELECT unnest(list_transform(
+                                     generate_series(1, len(lwords) - 1),
+                                     i -> concat_ws(' ', lwords[i], lwords[i+1]))) AS gram)
+                               GROUP BY gram) ), 0)::BIGINT AS rep2_grams,
+                           COALESCE((SELECT SUM(c) FILTER (c >= 2) FROM (
+                               SELECT COUNT(*) AS c FROM (
+                                 SELECT unnest(list_transform(
+                                     generate_series(1, len(lwords) - 1),
+                                     i -> concat_ws(' ', lwords[i], lwords[i+1]))) AS gram)
+                               GROUP BY gram) ), 0)::BIGINT AS rep2_dup_grams,
+                           COALESCE((SELECT MAX(c) FROM (
+                               SELECT COUNT(*) AS c FROM (
+                                 SELECT unnest(list_transform(
+                                     generate_series(1, len(lwords) - 1),
+                                     i -> concat_ws(' ', lwords[i], lwords[i+1]))) AS gram)
+                               GROUP BY gram) ), 0)::BIGINT AS rep2_top_gram
+                    FROM (SELECT source, lang, text,
+                                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                             t -> t != '') AS words,
+                                 list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                             t -> t != '') AS lwords
+                          FROM documents)))
             SELECT 'source' AS key_kind, source AS key,
                    COUNT(*) AS docs, SUM(chars_1)::BIGINT AS chars,
                    SUM(words_1)::BIGINT AS words, SUM(alpha_1)::BIGINT AS alpha_words,
                    SUM(dwords_1)::BIGINT AS distinct_words, MAX(maxw_1)::INT AS max_word_len,
-                   SUM(punct_1)::BIGINT AS punct, SUM(tok_1)::BIGINT AS bpe_tokens
+                   SUM(punct_1)::BIGINT AS punct, SUM(tok_1)::BIGINT AS bpe_tokens,
+                   SUM(rep2_grams)::BIGINT AS rep2_grams,
+                   SUM(rep2_dup_grams)::BIGINT AS rep2_dup_grams,
+                   MAX(rep2_top_gram)::BIGINT AS rep2_max_top_gram
             FROM m GROUP BY source
             UNION ALL
             SELECT 'lang', lang,
                    COUNT(*), SUM(chars_1)::BIGINT, SUM(words_1)::BIGINT,
                    SUM(alpha_1)::BIGINT, SUM(dwords_1)::BIGINT, MAX(maxw_1)::INT,
-                   SUM(punct_1)::BIGINT, SUM(tok_1)::BIGINT
+                   SUM(punct_1)::BIGINT, SUM(tok_1)::BIGINT,
+                   SUM(rep2_grams)::BIGINT, SUM(rep2_dup_grams)::BIGINT,
+                   MAX(rep2_top_gram)::BIGINT
             FROM m GROUP BY lang
             ORDER BY key_kind, key
         """,

@@ -2479,15 +2479,19 @@ def merge_law_identity(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> 
 
 
 def textstats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Integer-exact text-analysis rollup — quality features AND BPE-ish
-    token counts — per source AND per lang, from ONE codegen'd scan via
-    GROUPING SETS (no Python in the plan). Fuses round-4's
-    text_quality_per_source + bpe_token_count_per_lang; every measure
+    """Integer-exact text-analysis rollup — quality features, BPE-ish
+    token counts, AND Gopher-style intra-document repetition signals
+    (duplicate/top word-2-gram occurrences, Rae et al. 2021 §A1.1) — per
+    source AND per lang, from ONE codegen'd scan via GROUPING SETS (no
+    Python in the plan, zero extra shuffles: the repetition fold is a pure
+    projection). Fuses round-4's text_quality_per_source +
+    bpe_token_count_per_lang; every measure stays an integer so it
     reproduces exactly in the DuckDB oracle."""
-    from .textstats import quality_stats, token_count_bpe_ish
+    from .textstats import quality_stats, repetition_signals, token_count_bpe_ish
 
     docs = load_table(spark, sf_dir, "documents")
     q = quality_stats(docs).withColumn("tok", token_count_bpe_ish(F.col("text")))
+    q = repetition_signals(q, ns=(2,))
     g = (
         q.groupingSets([["source"], ["lang"]], "source", "lang")
         .agg(
@@ -2499,6 +2503,9 @@ def textstats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("q_max_word_len").alias("max_word_len"),
             F.sum("q_punct").alias("punct"),
             F.sum("tok").alias("bpe_tokens"),
+            F.sum("rep2_grams").alias("rep2_grams"),
+            F.sum("rep2_dup_grams").alias("rep2_dup_grams"),
+            F.max("rep2_top_gram").alias("rep2_max_top_gram"),
         )
     )
     return g.select(
@@ -2514,6 +2521,9 @@ def textstats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_word_len",
         "punct",
         "bpe_tokens",
+        "rep2_grams",
+        "rep2_dup_grams",
+        "rep2_max_top_gram",
     ).orderBy("key_kind", "key")
 
 

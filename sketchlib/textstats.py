@@ -127,3 +127,75 @@ def fingerprint64(text: Column) -> Column:
 
     shuffle-friendly stand-in for full-text comparisons in exact dedup."""
     return F.xxhash64(text)
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", ns: tuple[int, ...] = (2, 3)
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021 §A1.1
+    repetition filters), token-granular and integer-exact:
+
+    for each n in ``ns``, per document:
+    - ``rep{n}_grams``           total word-n-gram occurrences,
+    - ``rep{n}_dup_grams``       occurrences of n-grams appearing >= 2 times
+                                 (ALL occurrences counted, the Gopher
+                                 convention for "fraction in duplicate
+                                 n-grams" — the fraction is dup/total),
+    - ``rep{n}_top_gram``        the highest single n-gram occurrence count
+                                 ("top n-gram fraction" numerator).
+
+    Everything is a PURE codegen'd projection — array_sort on the per-doc
+    gram array plus one ``aggregate`` fold counting adjacent runs — so the
+    operator costs ZERO shuffles and streams at scan speed over 100 TB; the
+    per-source rollup downstream is the only exchange. Counts stay integers
+    (never emit the float fraction) so SQL oracles reproduce them
+    hash-exactly.
+    """
+    out = df
+    lower_words = words_col(F.lower(F.col(text_col)))
+    for n in ns:
+        # sequence(1, stop) DESCENDS when stop < 1 (would index 0): guard
+        # short docs to an empty gram array instead
+        # NB: the lambda must stay single-argument — a second (defaulted)
+        # parameter makes pyspark treat it as an (element, index) lambda.
+        # Closure capture of the loop's n is safe: F.transform invokes the
+        # lambda once, immediately, at expression-construction time.
+        grams = F.when(
+            F.size(lower_words) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(lower_words) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(lower_words, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        folded = F.aggregate(
+            F.array_sort(grams),
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("dup"),
+                F.lit(0).alias("top"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+                (
+                    acc["dup"]
+                    + F.when(
+                        (x == acc["prev"]) & (acc["run"] == 1), F.lit(2)
+                    )
+                    .when(x == acc["prev"], F.lit(1))
+                    .otherwise(F.lit(0))
+                ).alias("dup"),
+                F.greatest(
+                    acc["top"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                ).alias("top"),
+            ),
+        )
+        out = out.withColumn(f"_rep{n}", folded).select(
+            "*",
+            F.size(grams).cast("long").alias(f"rep{n}_grams"),
+            F.col(f"_rep{n}")["dup"].cast("long").alias(f"rep{n}_dup_grams"),
+            F.col(f"_rep{n}")["top"].cast("long").alias(f"rep{n}_top_gram"),
+        ).drop(f"_rep{n}")
+    return out

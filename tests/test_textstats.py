@@ -147,3 +147,49 @@ def test_doc_rarity_mass_segment_sum_and_empty_docs(spark, tmp_path):
         assert r["exact_mass"] == exact, doc_id
         assert r["never_undercounts"], doc_id
         assert r["within_eps"], doc_id
+
+
+def test_repetition_signals(spark):
+    """Gopher-style repetition signals: integer-exact duplicate/top n-gram
+    occurrence counts, token-granular, computed as a PURE projection."""
+    from sketchlib.textstats import repetition_signals
+
+    rows = [
+        (1, "a b a b a b"),   # 2-grams {a b:3, b a:2}: dup=5 top=3 total=5
+        (2, "x y z w"),       # all unique
+        (3, "q"),             # too short for any 2-gram
+        (4, "m m m m"),       # one gram repeated 3x
+        (5, "Spam SPAM spam eggs"),  # case-folded: {spam spam:2, spam eggs:1}
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_signals(df, ns=(2, 3)).collect()}
+    exp2 = {1: (5, 5, 3), 2: (3, 0, 1), 3: (0, 0, 0), 4: (3, 3, 3), 5: (3, 2, 2)}
+    exp3 = {1: (4, 4, 2), 2: (2, 0, 1), 3: (0, 0, 0), 4: (2, 2, 2), 5: (2, 0, 1)}
+    for d, r in out.items():
+        assert (r["rep2_grams"], r["rep2_dup_grams"], r["rep2_top_gram"]) == exp2[d], d
+        assert (r["rep3_grams"], r["rep3_dup_grams"], r["rep3_top_gram"]) == exp3[d], d
+    # zero-shuffle law: the signals are a projection, no Exchange in the plan
+    explained = repetition_signals(df, ns=(2, 3))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in explained
+    # pandas oracle on random word soup: per-doc gram counting from scratch
+    import collections
+    import random
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(40)
+    ]
+    df2 = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_signals(df2, ns=(2,)).collect()}
+    for i, text in docs:
+        ws = [w for w in text.lower().strip().split() if w]
+        grams = [" ".join(ws[j : j + 2]) for j in range(max(len(ws) - 1, 0))]
+        c = collections.Counter(grams)
+        dup = sum(v for v in c.values() if v >= 2)
+        top = max(c.values(), default=0)
+        r = got[i]
+        assert (r["rep2_grams"], r["rep2_dup_grams"], r["rep2_top_gram"]) == (
+            len(grams), dup, top,
+        ), (i, text)
