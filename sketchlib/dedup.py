@@ -494,19 +494,15 @@ def ngram_jaccard_edges(
     num, den = int(threshold[0]), int(threshold[1])
     if num <= 0 or den <= 0:
         raise ValueError(f"threshold must be a positive rational, got {threshold}")
+    from .textstats import word_grams
+
     ws = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != F.lit("")
-    )
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("ws") - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i, n)),
-        )
     )
     g = (
         docs.select(F.col(id_col).alias("doc_id"), ws.alias("ws"))
         .where(F.size("ws") >= n)
-        .select("doc_id", grams.alias("grams"))
+        .select("doc_id", F.array_distinct(word_grams(F.col("ws"), n)).alias("grams"))
         .select(
             "doc_id", F.size("grams").alias("n_grams"), F.explode("grams").alias("gram")
         )

@@ -1446,18 +1446,25 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the operators themselves are partition-agnostic.
     """
     from .dedup import connected_components, ngram_jaccard_edges
+    from .session import release
 
     docs = load_table(spark, sf_dir, "documents")
-    with _streaming_conf(spark, "8"):
-        edges = ngram_jaccard_edges(
-            docs, n=3, threshold=(1, 2), df_cap=50
-        )
-        comp = connected_components(edges)
+    # edge generation wants full session parallelism (it scans the corpus);
+    # materialize the tiny edge set once so the CC loop — whose cost is
+    # per-iteration task overhead on a few hundred label rows — can run on
+    # few partitions without constraining the scan
+    edges = ngram_jaccard_edges(docs, n=3, threshold=(1, 2), df_cap=50)
+    edges = edges.localCheckpoint(eager=True)
+    try:
+        with _streaming_conf(spark, "8"):
+            comp = connected_components(edges)
         return (
             comp.groupBy(F.col("label").alias("cluster_id"))
             .agg(F.count("*").alias("size"))
             .orderBy("cluster_id")
         )
+    finally:
+        release(edges)
 
 
 def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2206,15 +2213,12 @@ def curation_pipeline(
 def _word_gram_strings(n: int):
     """Column expr: array of n-word gram strings over a ``words`` column
     (empty for docs with < n words). Shared by both exact span companions
-    so they tokenize identically (Spark's sequence(1, 0) would generate a
-    DESCENDING range, hence the explicit guard)."""
-    return F.when(
-        F.size("words") >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size("words") - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice("words", i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    so they tokenize identically; delegates to textstats.word_grams (the
+    zip_with chain — see its docstring for why slice-inside-a-HOF-lambda
+    is an O(words²) trap)."""
+    from .textstats import word_grams
+
+    return word_grams(F.col("words"), n)
 
 
 def duplicate_ngram_spans(

@@ -128,6 +128,27 @@ def fingerprint64(text: Column) -> Column:
     shuffle-friendly stand-in for full-text comparisons in exact dedup."""
     return F.xxhash64(text)
 
+def word_grams(ws: Column, n: int) -> Column:
+    """Array of space-joined word n-grams over an array-of-words column
+    (position i = words[i..i+n-1]; [] when len(words) < n), built by
+    zipping the array with its shifted selves.
+
+    NEVER build grams with ``slice(words, i, n)`` inside a transform
+    lambda: Catalyst's CollapseProject inlines whatever expression produced
+    the words array into the lambda body (even across a select), and
+    subexpressions inside a higher-order-function lambda re-evaluate PER
+    ELEMENT on the interpreted HOF path — the gram build becomes O(words²)
+    per document (measured 5x slower at 54-word docs). The zip_with chain
+    keeps every slice OUTSIDE the lambdas. Intermediate zips pad with
+    NULLs (concat_ws skips them), leaving n-1 malformed tail entries that
+    the final slice drops.
+    """
+    gram = ws
+    for k in range(1, n):
+        shifted = F.slice(ws, k + 1, F.greatest(F.size(ws) - k, F.lit(0)))
+        gram = F.zip_with(gram, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.slice(gram, 1, F.greatest(F.size(ws) - (n - 1), F.lit(0)))
+
 
 def repetition_signals(
     df: DataFrame, text_col: str = "text", ns: tuple[int, ...] = (2, 3)
@@ -144,29 +165,26 @@ def repetition_signals(
     - ``rep{n}_top_gram``        the highest single n-gram occurrence count
                                  ("top n-gram fraction" numerator).
 
-    Everything is a PURE codegen'd projection — array_sort on the per-doc
-    gram array plus one ``aggregate`` fold counting adjacent runs — so the
-    operator costs ZERO shuffles and streams at scan speed over 100 TB; the
-    per-source rollup downstream is the only exchange. Counts stay integers
-    (never emit the float fraction) so SQL oracles reproduce them
-    hash-exactly.
+    Everything is a PURE projection — zip_with-chained gram construction,
+    array_sort, one ``aggregate`` fold counting adjacent runs — ZERO
+    shuffles, streaming at scan speed over 100 TB; the per-source rollup
+    downstream is the only exchange. Counts stay integers (never the float
+    fraction) so SQL oracles reproduce them hash-exactly.
+
+    Construction notes (both measured, both matter):
+    - grams come from zipping the word array with its shifted selves, NOT
+      from ``slice(words, i, n)`` inside a transform lambda: a subexpression
+      referenced inside a higher-order-function lambda is re-evaluated PER
+      ELEMENT on Spark's interpreted HOF path, making that shape O(words²)
+      per document (5x slower at 54-word docs, worse on long ones);
+    - HOF lambdas must stay at their natural arity — a defaulted second
+      parameter (``lambda i, n=n``) silently turns a transform lambda into
+      the (element, index) form.
     """
     out = df
-    lower_words = words_col(F.lower(F.col(text_col)))
+    ws_expr = words_col(F.lower(F.col(text_col)))
     for n in ns:
-        # sequence(1, stop) DESCENDS when stop < 1 (would index 0): guard
-        # short docs to an empty gram array instead
-        # NB: the lambda must stay single-argument — a second (defaulted)
-        # parameter makes pyspark treat it as an (element, index) lambda.
-        # Closure capture of the loop's n is safe: F.transform invokes the
-        # lambda once, immediately, at expression-construction time.
-        grams = F.when(
-            F.size(lower_words) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(lower_words) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(lower_words, i, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        grams = word_grams(F.col("_rs_ws"), n)
         folded = F.aggregate(
             F.array_sort(grams),
             F.struct(
@@ -192,10 +210,15 @@ def repetition_signals(
                 ).alias("top"),
             ),
         )
-        out = out.withColumn(f"_rep{n}", folded).select(
-            "*",
-            F.size(grams).cast("long").alias(f"rep{n}_grams"),
-            F.col(f"_rep{n}")["dup"].cast("long").alias(f"rep{n}_dup_grams"),
-            F.col(f"_rep{n}")["top"].cast("long").alias(f"rep{n}_top_gram"),
-        ).drop(f"_rep{n}")
+        out = (
+            out.withColumn("_rs_ws", ws_expr)
+            .withColumn(f"_rep{n}", folded)
+            .withColumn(f"rep{n}_grams", F.size(grams).cast("long"))
+            .select(
+                "*",
+                F.col(f"_rep{n}")["dup"].cast("long").alias(f"rep{n}_dup_grams"),
+                F.col(f"_rep{n}")["top"].cast("long").alias(f"rep{n}_top_gram"),
+            )
+            .drop(f"_rep{n}", "_rs_ws")
+        )
     return out

@@ -331,3 +331,52 @@ def test_registers_from_blobs_property(specs):
         assert p == 10
         for i, s in enumerate(sketches):
             assert np.array_equal(regs[i], s.registers), (mode, i)
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(st.just("add"), st.integers(-(2**31), 2**31 - 1)),
+            st.tuples(st.just("batch"), token_lists),
+            st.tuples(st.just("merge"), token_lists),
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    st.integers(2, 10),
+    st.integers(0, 64),
+    st.integers(0, 16),
+)
+@settings(max_examples=60, deadline=None)
+def test_sparse_dense_equivalence_any_op_sequence(ops, p, max_list, max_buf):
+    """The sparse-runtime sketch (buffered adds, flush-on-read, transform at
+    max_sparse_list_size) is observationally identical to its dense twin
+    under ARBITRARY interleavings of scalar adds, vectorized batches, and
+    merges — any buffer/threshold sizing (0 = reference defaults)."""
+    sp = HllSketch(
+        p=p, sparse=True, max_sparse_list_size=max_list, max_sparse_buffer_size=max_buf
+    )
+    dn = HllSketch.empty(p)
+    for kind, arg in ops:
+        if kind == "add":
+            sp.add(arg)
+            dn.add(arg)
+        elif kind == "batch":
+            arr = np.array(arg, dtype=np.int32)
+            sp.update_batch(arr)
+            dn.update_batch(arr)
+        else:
+            osp = HllSketch(p=p, sparse=True)
+            odn = HllSketch.empty(p)
+            arr = np.array(arg, dtype=np.int32)
+            osp.update_batch(arr)
+            odn.update_batch(arr)
+            # alternate which representation arrives as the merge operand
+            sp.merge(odn if len(arg) % 2 else osp)
+            dn.merge(odn)
+    assert sp.cardinality() == dn.cardinality()
+    assert sp.to_bytes() == dn.to_bytes()
+    if sp.is_sparse:
+        assert np.array_equal(sp._dense_registers(), dn.registers)
+    else:
+        assert np.array_equal(sp.registers, dn.registers)
