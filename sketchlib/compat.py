@@ -87,16 +87,27 @@ class HyperLogLog:
             self._added += int((b.registers > a.registers).sum())
         else:
             # other's nonzero registers that beat self's current value,
-            # whatever representation each side is in
+            # whatever representation each side is in — fully vectorized
+            # (a scalar get_register loop here is O(nnz) interpreted Python)
             if b.is_sparse:
                 b._flush_buffer()
                 b_idx, b_val = b.sparse_indices, b.sparse_ranks
             else:
                 b_idx = np.flatnonzero(b.registers)
                 b_val = b.registers[b_idx]
-            self._added += sum(
-                1 for i, r in zip(b_idx, b_val) if int(r) > a.get_register(int(i))
-            )
+            if a.is_sparse:
+                a._flush_buffer()
+                pos = np.searchsorted(a.sparse_indices, b_idx)
+                safe = np.minimum(pos, max(len(a.sparse_indices) - 1, 0))
+                cur = np.zeros(len(b_idx), dtype=np.uint8)
+                if len(a.sparse_indices):
+                    hit = (pos < len(a.sparse_indices)) & (
+                        a.sparse_indices[safe] == b_idx
+                    )
+                    cur[hit] = a.sparse_ranks[safe[hit]]
+            else:
+                cur = a.registers[b_idx]
+            self._added += int((b_val > cur).sum())
         a.merge(b)
 
     def hash(self, value) -> int:

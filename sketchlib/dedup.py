@@ -494,11 +494,9 @@ def ngram_jaccard_edges(
     num, den = int(threshold[0]), int(threshold[1])
     if num <= 0 or den <= 0:
         raise ValueError(f"threshold must be a positive rational, got {threshold}")
-    from .textstats import word_grams
+    from .textstats import word_grams, words_col
 
-    ws = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != F.lit("")
-    )
+    ws = words_col(F.lower(F.col(text_col)))
     g = (
         docs.select(F.col(id_col).alias("doc_id"), ws.alias("ws"))
         .where(F.size("ws") >= n)
@@ -513,23 +511,40 @@ def ngram_jaccard_edges(
     by_gram = g.groupBy("gram").agg(
         F.collect_list(F.struct(F.col("doc_id"), F.col("n_grams"))).alias("ds")
     )
+    # upper-triangle (index j > i) pair generation: allocates C(df,2)
+    # structs instead of df^2-then-filter; orientation is by VALUE (a < b)
+    # so the arbitrary collect_list order never leaks into the output.
+    # Same doc can't appear twice in one posting list (grams are distinct
+    # per doc), so the value comparison is always strict.
+    def _pair_struct(x, y):
+        return F.when(
+            x["doc_id"] < y["doc_id"],
+            F.struct(
+                x["doc_id"].alias("a"),
+                y["doc_id"].alias("b"),
+                x["n_grams"].alias("na"),
+                y["n_grams"].alias("nb"),
+            ),
+        ).otherwise(
+            F.struct(
+                y["doc_id"].alias("a"),
+                x["doc_id"].alias("b"),
+                y["n_grams"].alias("na"),
+                x["n_grams"].alias("nb"),
+            )
+        )
+
     pair = F.explode(
-        F.filter(
+        F.array_compact(
             F.flatten(
                 F.transform(
                     "ds",
-                    lambda x: F.transform(
+                    lambda x, i: F.transform(
                         "ds",
-                        lambda y: F.struct(
-                            x["doc_id"].alias("a"),
-                            y["doc_id"].alias("b"),
-                            x["n_grams"].alias("na"),
-                            y["n_grams"].alias("nb"),
-                        ),
+                        lambda y, j: F.when(j > i, _pair_struct(x, y)),
                     ),
                 )
-            ),
-            lambda p: p["a"] < p["b"],
+            )
         )
     )
     pairs = (
@@ -558,14 +573,16 @@ def connected_components(
     Each iteration is one hash join (edges ⋈ labels on node id) plus one
     min-aggregate — both shuffle-partitioned on the node id, so at scale
     the two land on the same partitioning and AQE coalesces the exchange.
-    Labels only ever decrease, so the exact sum of labels is a monotone
-    convergence witness: one Decimal(38) aggregate per iteration (overflow-
-    safe at any id range), stop when it stops falling. Iteration count is
-    the component diameter — small for duplicate clusters (pairs and small
-    cliques); ``max_iter`` guards pathological chains with a LOUD error
-    instead of a silent partial merge. Each round is localCheckpoint-ed to
-    truncate lineage (iterative plans otherwise grow exponentially) and the
-    previous round's blocks are released immediately.
+    Works for ANY orderable node-id type (min-label propagation only needs
+    a total order — string doc_ids work as well as int64); the convergence
+    witness is the type-agnostic count of labels that changed this round
+    (a node-id equi-join of consecutive label snapshots, tiny and exact),
+    stop at zero. Iteration count is the component diameter — small for
+    duplicate clusters (pairs and small cliques); ``max_iter`` guards
+    pathological chains with a LOUD error instead of a silent partial
+    merge. Each round is localCheckpoint-ed to truncate lineage (iterative
+    plans otherwise grow exponentially) and the previous round's blocks are
+    released immediately.
 
     Returns (node, label): one row per node incident to >= 1 edge.
     """
@@ -583,9 +600,6 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     try:
-        prev_sum = labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
         for _ in range(max_iter):
             prop = esym.join(labels, esym["src"] == labels["node"]).select(
                 F.col("dst").alias("node"), F.col("label")
@@ -596,14 +610,16 @@ def connected_components(
                 .agg(F.min("label").alias("label"))
                 .localCheckpoint(eager=True)
             )
-            cur_sum = new_labels.agg(
-                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-            ).collect()[0]["s"]
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
             release(labels)
             labels = new_labels
-            if cur_sum == prev_sum:
+            if changed == 0:
                 return labels
-            prev_sum = cur_sum
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations "
             f"(component diameter exceeds the guard; raise max_iter)"

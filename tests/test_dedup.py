@@ -385,6 +385,22 @@ def test_connected_components_laws(spark):
         assert got_p == got
 
 
+def test_connected_components_string_node_ids(spark):
+    """The convergence witness is type-agnostic (changed-label count, not a
+    numeric aggregate): string doc_ids — the repo's canonical id shape in
+    tokenize_documents — must work, including multi-iteration chains."""
+    from sketchlib.dedup import connected_components
+
+    edges = [("doc07", "doc03"), ("doc03", "doc01"), ("doc09", "doc08"), ("doc05", "doc05x")]
+    df = spark.createDataFrame(edges, "a string, b string")
+    got = {r["node"]: r["label"] for r in connected_components(df).collect()}
+    assert got == {
+        "doc07": "doc01", "doc03": "doc01", "doc01": "doc01",
+        "doc09": "doc08", "doc08": "doc08",
+        "doc05": "doc05", "doc05x": "doc05",
+    }
+
+
 def test_connected_components_empty_and_guard(spark):
     import pytest as _pytest
 
