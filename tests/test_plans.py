@@ -244,3 +244,34 @@ def test_pack_pipeline_has_no_global_window_sort(spark):
         assert "Sort" in plan and "], false, 0" in plan
     finally:
         release(sel)
+
+
+def test_ngram_edges_plan_shape(spark):
+    """Exact n-gram similarity join: inverted-index shape — exactly the two
+    aggregate shuffles (gram posting lists, pair intersection counts), no
+    cartesian/nested-loop join, no window, gram strings built in the
+    projection (zip_with chain, not Python)."""
+    from sketchlib.dedup import ngram_jaccard_edges
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(ngram_jaccard_edges(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "mapInArrow" not in plan and "ArrowEvalPython" not in plan
+    # two shuffle boundaries: groupBy(gram) and groupBy(a, b, na, nb)
+    import re
+
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 2, plan
+
+
+def test_repetition_signals_zero_shuffle(spark):
+    """Gopher repetition signals are a pure projection over the scan."""
+    from sketchlib.textstats import repetition_signals
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(repetition_signals(docs, ns=(2, 3)))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
