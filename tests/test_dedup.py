@@ -452,3 +452,21 @@ def test_ngram_jaccard_edges_exact(spark):
     assert capped == set()
     with __import__("pytest").raises(ValueError):
         ngram_jaccard_edges(docs, threshold=(0, 2))
+
+
+def test_connected_components_random_graphs(spark):
+    """Random graphs vs an exact union-find oracle: labels must be the
+    component-min for every node, across densities and disconnected parts."""
+    import random
+
+    from sketchlib.dedup import connected_components
+
+    rng = random.Random(314)
+    for trial, (n_nodes, n_edges) in enumerate([(30, 12), (40, 60), (25, 5)]):
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {r["node"]: r["label"] for r in connected_components(df).collect()}
+        assert got == _cc_pandas_oracle(edges), (trial, edges)

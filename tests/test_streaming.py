@@ -667,3 +667,75 @@ def test_generic_streaming_fi_byte_parity(spark, tmp_path):
         assert bytes(latest[key]["blob"]) == batch.to_bytes(), key
         assert latest[key]["err"] == 0  # exact regime end-to-end
         assert latest[key]["n_rows"] == len(grp)
+
+
+def test_streaming_sketch_on_unbounded_rate_source(spark, tmp_path):
+    """The keyed streaming sketch runs on a genuinely UNBOUNDED built-in
+    source (rate-micro-batch — deterministic monotone values, no files, the
+    closest sandbox stand-in for a Kafka topic): stop after a few
+    micro-batches and the per-key state must equal a batch sketch built
+    over exactly the values the source emitted (consecutive from 0)."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from sketchlib.agg import HllAggregator
+    from sketchlib.streaming import sketch_streaming
+    from pyspark.sql import types as T
+
+    rows_per_batch = 600
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .load()
+        .select(
+            F.pmod("value", F.lit(3)).cast("string").alias("key"),
+            F.col("value").alias("uid"),
+        )
+    )
+    agg = HllAggregator(p=12, key_cols=["key"], value_col="uid", value_kind="int64")
+    out = sketch_streaming(
+        stream,
+        agg,
+        key_col="key",
+        finalize_fields=[T.StructField("estimate", T.LongType(), False)],
+        finalize_fn=lambda sk: {"estimate": sk.cardinality()},
+    )
+    before_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("rate_sketches")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if any(p["batchId"] >= 2 for p in q.recentProgress):
+                break
+            time.sleep(0.3)
+        q.stop()
+        q.awaitTermination(30)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before_parts)
+    rows = spark.sql("select * from rate_sketches").collect()
+    assert rows, "no micro-batch output captured"
+    latest = {}
+    for r in rows:  # update mode appends one row per (batch, key): keep latest
+        if r["key"] not in latest or r["n_rows"] > latest[r["key"]]["n_rows"]:
+            latest[r["key"]] = r
+    n_total = sum(r["n_rows"] for r in latest.values())
+    assert n_total % rows_per_batch == 0 and n_total >= 3 * rows_per_batch
+    # the source emitted exactly the values 0..n_total-1: rebuild per key
+    import numpy as np
+
+    from sketchlib.hll import HllSketch
+
+    values = np.arange(n_total, dtype=np.int64)
+    for key, r in latest.items():
+        expect = HllSketch.empty(12)
+        expect.update_batch_int64(values[values % 3 == int(key)])
+        assert r["estimate"] == expect.cardinality(), key
+        assert r["n_items"] == int((values % 3 == int(key)).sum()), key
