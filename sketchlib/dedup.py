@@ -575,9 +575,9 @@ def connected_components(
     the two land on the same partitioning and AQE coalesces the exchange.
     Works for ANY orderable node-id type (min-label propagation only needs
     a total order — string doc_ids work as well as int64); the convergence
-    witness is the type-agnostic count of labels that changed this round
-    (a node-id equi-join of consecutive label snapshots, tiny and exact),
-    stop at zero. Iteration count is the component diameter — small for
+    witness is the type-agnostic count of labels that changed this round,
+    carried through the same aggregation (each group keeps its previous
+    label beside the new min), stop at zero. Iteration count is the component diameter — small for
     duplicate clusters (pairs and small cliques); ``max_iter`` guards
     pathological chains with a LOUD error instead of a silent partial
     merge. Each round is localCheckpoint-ed to truncate lineage (iterative
@@ -599,25 +599,31 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    prev_ckpt = labels
     try:
         for _ in range(max_iter):
             prop = esym.join(labels, esym["src"] == labels["node"]).select(
                 F.col("dst").alias("node"), F.col("label")
             )
-            new_labels = (
-                labels.unionByName(prop)
+            # one aggregation carries BOTH the new min-label and the node's
+            # previous label (every propagated node is already labeled, so
+            # old_label is never NULL): the convergence check is then a
+            # filter-count over the checkpointed rows — no extra join, and
+            # type-agnostic (string node ids work)
+            grouped = (
+                labels.withColumn("is_old", F.lit(True))
+                .unionByName(prop.withColumn("is_old", F.lit(False)))
                 .groupBy("node")
-                .agg(F.min("label").alias("label"))
+                .agg(
+                    F.min("label").alias("label"),
+                    F.min(F.when(F.col("is_old"), F.col("label"))).alias("old_label"),
+                )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-                .where(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            release(labels)
-            labels = new_labels
+            changed = grouped.where(F.col("label") != F.col("old_label")).count()
+            release(prev_ckpt)
+            prev_ckpt = grouped
+            labels = grouped.select("node", "label")
             if changed == 0:
                 return labels
         raise RuntimeError(
