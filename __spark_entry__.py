@@ -632,11 +632,28 @@ def oracle_sql() -> dict[str, str]:
                      list_filter(regexp_split_to_array(trim(text), '\s+'),
                                  t -> t != '') AS words
               FROM documents),
+            r AS (
+              SELECT doc_id,
+                     COALESCE(SUM(cnt), 0) AS rep_total,
+                     COALESCE(SUM(cnt) FILTER (cnt >= 2), 0) AS rep_dup
+              FROM (
+                SELECT doc_id, COUNT(*) AS cnt FROM (
+                  SELECT doc_id,
+                         unnest(list_transform(
+                             generate_series(1, len(lws) - 1),
+                             i -> concat_ws(' ', lws[i], lws[i+1]))) AS gram
+                  FROM (SELECT doc_id,
+                               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                           t -> t != '') AS lws
+                        FROM documents))
+                GROUP BY doc_id, gram)
+              GROUP BY doc_id),
             f AS (
-              SELECT doc_id, lang, text FROM w
+              SELECT w.doc_id, lang, text FROM w LEFT JOIN r ON w.doc_id = r.doc_id
               WHERE len(words) >= 5
                 AND 2 * len(list_filter(words,
-                        t -> regexp_full_match(t, '[A-Za-z]+'))) >= len(words)),
+                        t -> regexp_full_match(t, '[A-Za-z]+'))) >= len(words)
+                AND 10 * COALESCE(rep_dup, 0) <= COALESCE(rep_total, 0)),
             d AS (SELECT text, MIN(doc_id) AS doc_id FROM f GROUP BY text),
             dd AS (SELECT f.lang, f.doc_id FROM f JOIN d ON f.doc_id = d.doc_id),
             s AS (SELECT lang, doc_id,

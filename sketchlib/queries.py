@@ -2153,7 +2153,9 @@ def curation_pipeline(
     spark: SparkSession, sf_dir: str, per_lang: int = 5
 ) -> DataFrame:
     """End-to-end training-data curation as ONE single-scan plan: quality
-    filter (length + alpha-ratio) -> exact dedup (min doc per text
+    filter (length + alpha-ratio + Gopher repetition gate: duplicate
+    2-gram occurrences must stay <= 10% of grams, evaluated as the integer
+    comparison 10*dup <= total) -> exact dedup (min doc per text
     fingerprint) -> deterministic per-language stratified sample (md5 rank
     — no RNG state, reproducible at any partitioning). Emits per-language
     funnel counts; every stage is SQL-exact (the DuckDB oracle reproduces
@@ -2173,16 +2175,24 @@ def curation_pipeline(
     """
     from pyspark.sql import Window
 
+    from .textstats import repetition_signals
+
     docs = load_table(spark, sf_dir, "documents")
     words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
-    base = docs.select(
+    base = repetition_signals(docs, ns=(2,)).select(
         "doc_id",
         "lang",
         F.xxhash64("text").alias("fp"),
         F.size(words).alias("n_words"),
         F.size(F.filter(words, lambda w: w.rlike("^[A-Za-z]+$"))).alias("n_alpha"),
+        "rep2_grams",
+        "rep2_dup_grams",
     )
-    passed = (F.col("n_words") >= 5) & (2 * F.col("n_alpha") >= F.col("n_words"))
+    passed = (
+        (F.col("n_words") >= 5)
+        & (2 * F.col("n_alpha") >= F.col("n_words"))
+        & (10 * F.col("rep2_dup_grams") <= F.col("rep2_grams"))
+    )
     w_fp = Window.partitionBy("fp")
     flagged = base.withColumn("passed", passed).withColumn(
         "survivor",
