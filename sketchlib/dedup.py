@@ -625,10 +625,20 @@ def connected_components(
             prev_ckpt = grouped
             labels = grouped.select("node", "label")
             if changed == 0:
-                return labels
+                # re-checkpoint the tiny final projection so the RETURNED
+                # DataFrame is directly releasable via session.release (a
+                # Project over the loop checkpoint would silently no-op
+                # there), and free the loop checkpoint with its dead
+                # old_label column now
+                final = labels.localCheckpoint(eager=True)
+                release(prev_ckpt)
+                prev_ckpt = None
+                return final
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations "
             f"(component diameter exceeds the guard; raise max_iter)"
         )
     finally:
         esym.unpersist()
+        if prev_ckpt is not None:
+            release(prev_ckpt)

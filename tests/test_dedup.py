@@ -401,6 +401,19 @@ def test_connected_components_string_node_ids(spark):
     }
 
 
+def test_connected_components_result_is_releasable(spark):
+    """The returned labels are a directly-checkpointed DataFrame: a
+    long-lived session can free its blocks with session.release (a Project
+    over the loop checkpoint would silently no-op there)."""
+    from sketchlib.dedup import connected_components
+    from sketchlib.session import release
+
+    df = spark.createDataFrame([(1, 2), (3, 4)], "a long, b long")
+    out = connected_components(df)
+    assert out.count() == 4
+    assert release(out) is True
+
+
 def test_connected_components_empty_and_guard(spark):
     import pytest as _pytest
 
