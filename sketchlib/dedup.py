@@ -642,3 +642,38 @@ def connected_components(
         esym.unpersist()
         if prev_ckpt is not None:
             release(prev_ckpt)
+
+
+def cc_survivors(
+    docs: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Survivor set under TRANSITIVE duplicate collapse: run connected
+    components over the duplicate edges and keep, per cluster, only the
+    minimum id; documents in no cluster always survive. This is the
+    correct counterpart to near_dedup's pairwise survivor pick when
+    duplicates chain (a~b, b~c, a!~c must still keep exactly one).
+
+    Scale shape: the loser set is |clustered docs| - |clusters| rows of
+    bare ids — far smaller than the corpus — so the collapse is one
+    left_anti hash join against it; the corpus is never shuffled on text.
+    The loser ids are checkpointed eagerly (the CC label table, which also
+    carries the winners, is released immediately); release the returned
+    result's backing blocks with ``session.release`` on the loser set via
+    a fresh call if the session is long-lived — they are
+    duplicate-proportional, MEMORY_AND_DISK, and evictable.
+    """
+    from .session import release
+
+    comp = connected_components(edges, a_col=a_col, b_col=b_col, max_iter=max_iter)
+    losers = (
+        comp.where(F.col("node") != F.col("label"))
+        .select(F.col("node").alias(id_col))
+        .localCheckpoint(eager=True)
+    )
+    release(comp)
+    return docs.join(losers, id_col, "left_anti")

@@ -483,3 +483,17 @@ def test_connected_components_random_graphs(spark):
         df = spark.createDataFrame(edges, "a long, b long")
         got = {r["node"]: r["label"] for r in connected_components(df).collect()}
         assert got == _cc_pandas_oracle(edges), (trial, edges)
+
+
+def test_cc_survivors_transitive_collapse(spark):
+    """Chained duplicates collapse to ONE survivor (the cluster min);
+    unclustered docs always survive."""
+    from sketchlib.dedup import cc_survivors
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], "doc_id long, text string"
+    )
+    # chain 1-2-3 (one cluster), pair 5-6; 0, 4, 7 untouched
+    edges = spark.createDataFrame([(2, 1), (2, 3), (6, 5)], "a long, b long")
+    kept = sorted(r["doc_id"] for r in cc_survivors(docs, edges).collect())
+    assert kept == [0, 1, 4, 5, 7]
