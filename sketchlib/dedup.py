@@ -564,24 +564,33 @@ def connected_components(
     b_col: str = "b",
     max_iter: int = 25,
 ) -> DataFrame:
-    """Distributed connected components by iterative min-label propagation:
-    every node's label converges to the smallest node id reachable from it
-    (= a canonical component id). The duplicate-CLUSTER collapse real
-    pipelines run on near-dup edges — pairwise survivor picks under-merge
-    when duplicates chain (a~b, b~c but a!~c).
+    """Distributed connected components by min-label propagation WITH
+    pointer jumping (path doubling): every node's label converges to the
+    smallest node id reachable from it (= a canonical component id). The
+    duplicate-CLUSTER collapse real pipelines run on near-dup edges —
+    pairwise survivor picks under-merge when duplicates chain (a~b, b~c
+    but a!~c).
 
-    Each iteration is one hash join (edges ⋈ labels on node id) plus one
-    min-aggregate — both shuffle-partitioned on the node id, so at scale
-    the two land on the same partitioning and AQE coalesces the exchange.
-    Works for ANY orderable node-id type (min-label propagation only needs
-    a total order — string doc_ids work as well as int64); the convergence
-    witness is the type-agnostic count of labels that changed this round,
-    carried through the same aggregation (each group keeps its previous
-    label beside the new min), stop at zero. Iteration count is the component diameter — small for
-    duplicate clusters (pairs and small cliques); ``max_iter`` guards
-    pathological chains with a LOUD error instead of a silent partial
-    merge. Each round is localCheckpoint-ed to truncate lineage (iterative
-    plans otherwise grow exponentially) and the previous round's blocks are
+    Each iteration folds THREE label sources into one min-aggregate on the
+    node id: the node's previous label, its neighbors' labels (one hash
+    join edges ⋈ labels), and ``label[label[u]]`` (one self-join of the
+    label table — pointer jumping, Shiloach–Vishkin style). Labels only
+    ever decrease and every label is the id of a node in the same
+    component, so the fixpoint is unchanged from pure propagation (labels
+    constant across every edge ⇒ the component minimum) — but the jump
+    term doubles the effective reach per round, so convergence takes
+    O(log diameter) rounds instead of O(diameter): a 200-link duplicate
+    chain closes in ~10 rounds, not 200. All three inputs shuffle on the
+    node id, so at scale they land on one partitioning and AQE coalesces
+    the exchanges. Works for ANY orderable node-id type (only a total
+    order is needed — string doc_ids work as well as int64); the
+    convergence witness is the type-agnostic count of labels that changed
+    this round, carried through the same aggregation (each group keeps its
+    previous label beside the new min), stop at zero. ``max_iter`` still
+    guards non-convergence with a LOUD error instead of a silent partial
+    merge — with doubling, 25 rounds covers any real-world diameter. Each
+    round is localCheckpoint-ed to truncate lineage (iterative plans
+    otherwise grow exponentially) and the previous round's blocks are
     released immediately.
 
     Returns (node, label): one row per node incident to >= 1 edge.
@@ -605,6 +614,18 @@ def connected_components(
             prop = esym.join(labels, esym["src"] == labels["node"]).select(
                 F.col("dst").alias("node"), F.col("label")
             )
+            # pointer jump: label[label[u]] — every label IS a node id
+            # present in the table (labels start as ids and move only via
+            # min over existing labels), so the self-join is inner-complete.
+            # Self-labeled nodes (label == node) would jump to themselves —
+            # prune them from the left side; the is_old row already carries
+            # that value
+            jump = (
+                labels.where(F.col("label") != F.col("node"))
+                .select(F.col("node").alias("jn"), F.col("label").alias("jl"))
+                .join(labels, F.col("jl") == labels["node"])
+                .select(F.col("jn").alias("node"), F.col("label"))
+            )
             # one aggregation carries BOTH the new min-label and the node's
             # previous label (every propagated node is already labeled, so
             # old_label is never NULL): the convergence check is then a
@@ -613,6 +634,7 @@ def connected_components(
             grouped = (
                 labels.withColumn("is_old", F.lit(True))
                 .unionByName(prop.withColumn("is_old", F.lit(False)))
+                .unionByName(jump.withColumn("is_old", F.lit(False)))
                 .groupBy("node")
                 .agg(
                     F.min("label").alias("label"),

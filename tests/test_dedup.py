@@ -485,6 +485,20 @@ def test_connected_components_random_graphs(spark):
         assert got == _cc_pandas_oracle(edges), (trial, edges)
 
 
+def test_connected_components_long_chain_doubles(spark):
+    """Pointer jumping makes round count O(log diameter), not O(diameter):
+    a 200-link chain (diameter 200) must converge well inside the default
+    25-round guard — pure propagation would need 200 rounds — and still
+    label every node with the component min."""
+    from sketchlib.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "a long, b long"
+    )
+    got = {r["node"]: r["label"] for r in connected_components(chain, max_iter=12).collect()}
+    assert len(got) == 201 and set(got.values()) == {0}
+
+
 def test_cc_survivors_transitive_collapse(spark):
     """Chained duplicates collapse to ONE survivor (the cluster min);
     unclustered docs always survive."""
