@@ -267,6 +267,40 @@ class CheckpointedBuild:
         )
 
 
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist parquet in RANGE layout for min/max data skipping: global
+    ``repartitionByRange`` on ``sort_cols`` followed by
+    ``sortWithinPartitions``, so every output file — and every row group
+    inside it — covers a narrow, DISJOINT slice of the key space.
+
+    Parquet readers (Spark's vectorized scan, pyarrow, DuckDB) prune row
+    groups whose min/max statistics exclude the predicate, but pruning only
+    bites when the stats are tight: an unsorted corpus leaves every file's
+    [min, max] spanning the whole key range, so a point or range predicate
+    still opens every file. After this layout the same predicate touches
+    ~1 file out of N — at 100 TB that is the difference between a full
+    scan and reading a few hundred MB, paid once at write time with ONE
+    range shuffle (sampled range boundaries keep the files evenly sized,
+    skew included). Sorting within partitions additionally tightens
+    per-row-group stats and improves encoding (RLE/dictionary runs), which
+    shrinks the files themselves. Layout sibling of ``write_bucketed``:
+    bucketing co-locates equi-JOIN keys, range layout serves range/point
+    FILTER pruning on the sort key.
+    """
+    out = (
+        df.repartitionByRange(n_files, *sort_cols)
+        if n_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    out.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

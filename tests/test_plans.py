@@ -205,6 +205,55 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS meta_bkt")
 
 
+def test_write_sorted_enables_file_skipping(spark, tmp_path):
+    """io.write_sorted: range layout leaves every parquet file covering a
+    DISJOINT key slice, so a point predicate's [min,max] stats admit ~one
+    file — while the same data written unsorted leaves every file spanning
+    the whole key range (no skipping possible). Asserted directly on the
+    files' parquet footer statistics, i.e. exactly what any reader's
+    row-group pruning consults."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from sketchlib.data import SEQUENCES_SCHEMA, gen_sequences_pandas
+    from sketchlib.io import write_sorted
+
+    pdf = gen_sequences_pandas(4000)
+    df = spark.createDataFrame(pdf, schema=SEQUENCES_SCHEMA).select("doc_id", "n_tok")
+    # deterministic mid-range probe key taken from the data itself
+    probe = sorted(pdf["doc_id"])[2000]
+
+    def files_admitting(path: str) -> tuple[int, int]:
+        n_files, admitting = 0, 0
+        for f in pathlib.Path(path).glob("*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            if md.num_rows == 0:
+                continue
+            n_files += 1
+            lo = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+            if lo <= probe <= hi:
+                admitting += 1
+        return n_files, admitting
+
+    sorted_path = str(tmp_path / "range_layout")
+    write_sorted(df, sorted_path, ["doc_id"], n_files=8)
+    n_sorted, admit_sorted = files_admitting(sorted_path)
+    assert n_sorted >= 6 and admit_sorted == 1, (n_sorted, admit_sorted)
+
+    unsorted_path = str(tmp_path / "unsorted")
+    df.repartition(8).write.parquet(unsorted_path)
+    n_plain, admit_plain = files_admitting(unsorted_path)
+    assert admit_plain == n_plain  # every file spans the probe: no pruning
+
+    # the layout is a pure reorder: filtered reads stay correct
+    from pyspark.sql import functions as F
+
+    got = spark.read.parquet(sorted_path).where(F.col("doc_id") == probe).count()
+    assert got == int((pdf["doc_id"] == probe).sum())
+
+
 def test_pack_pipeline_has_no_global_window_sort(spark):
     """The mixture-selection/packing prefix-sum must never plan a Window or
     a single-partition Exchange — the exact shapes the two-phase design
