@@ -1,0 +1,231 @@
+"""asof_join vs the pandas.merge_asof oracle; interval_join vs brute force.
+
+The oracle is exact: for every direction/tolerance/keyed-ness combination
+the distributed result must equal pandas row-for-row, and the physical
+plan must contain no cartesian product and no single-partition global sort.
+"""
+
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.temporal import asof_join, interval_join
+
+
+def _gen(rng, n_left, n_right, n_keys, t_span):
+    left = pd.DataFrame(
+        {
+            "k": [rng.randrange(n_keys) for _ in range(n_left)],
+            "t": [rng.uniform(0, t_span) for _ in range(n_left)],
+            "lv": range(n_left),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": [rng.randrange(n_keys) for _ in range(n_right)],
+            # unique right timestamps: duplicate (k, t) match order is
+            # documented as arbitrary, so keep the oracle unambiguous
+            "t": rng.sample(range(10 * t_span), n_right),
+            "rv": [i * 10 for i in range(n_right)],
+        }
+    )
+    right["t"] = right["t"] / 10.0
+    return left, right
+
+
+def _spark_asof(spark, left, right, **kw):
+    out = asof_join(
+        spark.createDataFrame(left, "k long, t double, lv long"),
+        spark.createDataFrame(right, "k long, t double, rv long"),
+        **kw,
+    ).toPandas()
+    return out.sort_values("lv").reset_index(drop=True)
+
+
+def _pandas_asof(left, right, by=None, direction="backward", tolerance=None):
+    out = pd.merge_asof(
+        left.sort_values("t", kind="stable"),
+        right.sort_values("t", kind="stable"),
+        on="t",
+        by=by,
+        direction=direction,
+        tolerance=tolerance,
+        suffixes=("", "_r"),
+    )
+    return out.sort_values("lv").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("keyed", [True, False])
+def test_asof_matches_pandas(spark, direction, keyed):
+    rng = random.Random(314)
+    left, right = _gen(rng, 120, 80, 5 if keyed else 1, 1000)
+    kw = dict(by=["k"] if keyed else None, direction=direction)
+    got = _spark_asof(spark, left, right, on="t", n_buckets=7, **kw)
+    want = _pandas_asof(left, right, by="k" if keyed else None, direction=direction)
+    pd.testing.assert_series_equal(got["rv"], want["rv"], check_names=False)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_tolerance(spark, direction):
+    rng = random.Random(271)
+    left, right = _gen(rng, 80, 50, 3, 500)
+    got = _spark_asof(
+        spark, left, right, on="t", by=["k"], direction=direction, tolerance=7.5
+    )
+    want = _pandas_asof(left, right, by="k", direction=direction, tolerance=7.5)
+    pd.testing.assert_series_equal(got["rv"], want["rv"], check_names=False)
+
+
+def test_asof_equal_timestamps_inclusive(spark):
+    """Backward and forward both match AT the exact timestamp; nearest ties
+    prefer backward (the pandas rule)."""
+    left = pd.DataFrame({"k": [1, 1], "t": [10.0, 20.0], "lv": [0, 1]})
+    right = pd.DataFrame({"k": [1, 1], "t": [10.0, 20.0], "rv": [100, 200]})
+    for direction in ("backward", "forward", "nearest"):
+        got = _spark_asof(spark, left, right, on="t", by=["k"], direction=direction)
+        assert list(got["rv"]) == [100, 200], direction
+
+
+def test_asof_no_match_yields_null(spark):
+    left = pd.DataFrame({"k": [1, 2], "t": [5.0, 6.0], "lv": [0, 1]})
+    right = pd.DataFrame({"k": [1, 3], "t": [9.0, 1.0], "rv": [7, 8]})
+    got = _spark_asof(spark, left, right, on="t", by=["k"], direction="backward")
+    assert got["rv"].isna().all()  # k=1: right is later; k=2: no right rows
+    fwd = _spark_asof(spark, left, right, on="t", by=["k"], direction="forward")
+    assert list(fwd["rv"].fillna(-1)) == [7, -1]
+
+
+def test_asof_global_carry_crosses_buckets(spark):
+    """Keyless path: matches must cross bucket boundaries via the carry
+    seeds — force many tiny buckets so nearly every match is a carry."""
+    left = pd.DataFrame({"t": [float(i) for i in range(100)], "lv": range(100)})
+    right = pd.DataFrame({"t": [0.5], "rv": [42]})
+    l_df = spark.createDataFrame(left, "t double, lv long")
+    r_df = spark.createDataFrame(right, "t double, rv long")
+    got = (
+        asof_join(l_df, r_df, on="t", direction="backward", n_buckets=16)
+        .toPandas()
+        .sort_values("lv")
+    )
+    assert pd.isna(got["rv"].iloc[0])  # t=0.0 precedes the only right row
+    assert (got["rv"].iloc[1:] == 42).all()
+    fwd = (
+        asof_join(l_df, r_df, on="t", direction="forward", n_buckets=16)
+        .toPandas()
+        .sort_values("lv")
+    )
+    assert fwd["rv"].iloc[0] == 42 and fwd["rv"].iloc[1:].isna().all()
+
+
+def test_asof_name_collision_and_validation(spark):
+    left = spark.createDataFrame([(1, 1.0, 9)], "k long, t double, v long")
+    right = spark.createDataFrame([(1, 1.0, 5)], "k long, t double, v long")
+    out = asof_join(left, right, on="t", by=["k"])
+    assert out.columns == ["k", "t", "v", "v_r"]
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="t", direction="sideways")
+    with pytest.raises(ValueError, match="tolerance"):
+        asof_join(left, right, on="t", tolerance=-1)
+    with pytest.raises(ValueError, match="join column"):
+        asof_join(left, right, on="nope")
+
+
+def test_asof_plan_no_join_no_global_sort(spark):
+    """The keyed as-of plans as a window over ONE union — no Join node at
+    all; the keyless path must not plan a partitionBy-less Window (the
+    single-partition collapse the bucket machinery exists to avoid)."""
+    left = spark.createDataFrame([(1, 1.0, 9)], "k long, t double, lv long")
+    right = spark.createDataFrame([(1, 1.0, 5)], "k long, t double, rv long")
+    keyed = asof_join(left, right, on="t", by=["k"])
+    plan = keyed._sc._jvm.PythonSQLUtils.explainString(
+        keyed._jdf.queryExecution(), "formatted"
+    )
+    assert "Join" not in plan.split("===== Subqueries")[0]
+    unkeyed = asof_join(left, right, on="t", n_buckets=4)
+    uplan = unkeyed._sc._jvm.PythonSQLUtils.explainString(
+        unkeyed._jdf.queryExecution(), "formatted"
+    )
+    # every window spec is partitioned by the range bucket — none global
+    specs = [s for s in uplan.split("windowspecdefinition(")[1:]]
+    assert specs and all(s.startswith("__bucket#") for s in specs), uplan[:800]
+
+
+def _brute_overlap(left, right, by=None):
+    out = []
+    for _, lr in left.iterrows():
+        for _, rr in right.iterrows():
+            if by and any(lr[c] != rr[c] for c in by):
+                continue
+            if lr["s"] <= rr["e"] and rr["s"] <= lr["e"]:
+                out.append((lr["lv"], rr["rv"]))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("keyed", [False, True])
+@pytest.mark.parametrize("width", [None, 3.0, 50.0])
+def test_interval_join_matches_bruteforce(spark, keyed, width):
+    rng = random.Random(99)
+
+    def intervals(n, tag):
+        s = [rng.uniform(0, 200) for _ in range(n)]
+        return pd.DataFrame(
+            {
+                "k": [rng.randrange(3) for _ in range(n)],
+                "s": s,
+                "e": [x + abs(rng.gauss(4, 3)) for x in s],
+                tag: range(n),
+            }
+        )
+
+    left, right = intervals(60, "lv"), intervals(40, "rv")
+    got = interval_join(
+        spark.createDataFrame(left, "k long, s double, e double, lv long"),
+        spark.createDataFrame(right, "k long, s double, e double, rv long"),
+        ("s", "e"),
+        ("s", "e"),
+        by=["k"] if keyed else None,
+        bucket_width=width,
+    )
+    assert sorted(
+        (r["lv"], r["rv"]) for r in got.select("lv", "rv").collect()
+    ) == _brute_overlap(left, right, by=["k"] if keyed else None)
+    # exactly-once emission is part of the contract (canonical bucket):
+    assert got.count() == got.dropDuplicates(["lv", "rv"]).count()
+
+
+def test_interval_join_no_cartesian_and_naming(spark):
+    left = spark.createDataFrame([(1, 0.0, 10.0, 1)], "k long, s double, e double, v long")
+    right = spark.createDataFrame([(1, 5.0, 6.0, 2)], "k long, s double, e double, v long")
+    out = interval_join(left, right, ("s", "e"), ("s", "e"), by=["k"], bucket_width=4.0)
+    assert out.columns == ["k", "s", "e", "v", "s_r", "e_r", "v_r"]
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert out.count() == 1
+    # degenerate (start > end) intervals drop out
+    bad = spark.createDataFrame([(1, 9.0, 1.0, 3)], "k long, s double, e double, v long")
+    assert interval_join(bad, right, ("s", "e"), ("s", "e"), bucket_width=4.0).count() == 0
+    with pytest.raises(ValueError, match="bucket_width"):
+        interval_join(left, right, ("s", "e"), ("s", "e"), bucket_width=0.0)
+    with pytest.raises(ValueError, match="bound column"):
+        interval_join(left, right, ("s", "nope"), ("s", "e"))
+
+
+def test_asof_timestamps_and_tolerance_seconds(spark):
+    """Timestamp on-columns work end-to-end; tolerance is in seconds."""
+    left = spark.createDataFrame(
+        [(1, "2026-01-01 00:00:30"), (2, "2026-01-01 00:10:00")],
+        "lv long, t string",
+    ).withColumn("t", F.to_timestamp("t"))
+    right = spark.createDataFrame(
+        [(100, "2026-01-01 00:00:00")], "rv long, t string"
+    ).withColumn("t", F.to_timestamp("t"))
+    got = {
+        r["lv"]: r["rv"]
+        for r in asof_join(left, right, on="t", tolerance=60.0, n_buckets=2).collect()
+    }
+    assert got == {1: 100, 2: None}
