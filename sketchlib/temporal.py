@@ -13,14 +13,16 @@ Scale doctrine, same as the rest of the library:
 
 - ``asof_join`` with ``by`` keys is ONE hash-partitioned window — the
   union of both sides shuffles once on the keys, then a forward-fill
-  (``last(..., ignoreNulls)``) resolves every left row's match inside the
-  partition. No join node at all, no per-row Python.
+  (``last(matched_row_struct, ignoreNulls)``) resolves every left row's
+  match inside the partition. The matched right row travels as ONE struct,
+  never as independently-filled columns (per-column fill would stitch
+  values from different rows whenever a payload value is NULL). No join
+  node at all, no per-row Python.
 - ``asof_join`` WITHOUT keys never plans a global window. It range-buckets
-  time by sampled quantiles, seeds each bucket with the latest right row
-  of all earlier buckets (and, for forward/nearest, the earliest right row
-  of all later buckets) — a bounded, bucket-count-sized driver collect,
-  never corpus-proportional — and runs the same forward-fill window
-  partitioned by bucket.
+  time by sampled quantiles and broadcast-joins each bucket's carry — the
+  latest right row of all earlier buckets (backward) / earliest of all
+  later buckets (forward) — computed with ONE bounded, bucket-count-sized
+  driver collect, never corpus-proportional.
 - ``interval_join`` explodes each interval onto the fixed-width buckets
   it covers and equi-joins on the bucket id; a canonical-bucket clause
   (emit only in the bucket containing the overlap's start) deduplicates
@@ -31,6 +33,14 @@ Scale doctrine, same as the rest of the library:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    DataType,
+    NumericType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
 from pyspark.sql.window import Window
 
 _DIRECTIONS = ("backward", "forward", "nearest")
@@ -50,6 +60,39 @@ def _num_py(v) -> float:
         return v.timestamp()  # datetime.datetime
 
 
+def _check_on_type(dt: DataType, side: str, on: str) -> None:
+    if not isinstance(dt, (NumericType, TimestampType, TimestampNTZType)):
+        raise ValueError(
+            f"asof 'on' column {on!r} on the {side} side must be numeric or "
+            f"timestamp, got {dt.simpleString()} (cast DateType/strings first)"
+        )
+
+
+def _fresh_names(
+    wanted: list[str], taken: set[str], suffix: str
+) -> dict[str, str]:
+    """Collision-safe output naming: a wanted name colliding with anything
+    already taken gets ``suffix`` appended until free (so a left side
+    already holding both 'x' and 'x_r' still yields unique columns)."""
+    out: dict[str, str] = {}
+    taken = set(taken)
+    # names that survive unchanged reserve their slot first, so a renamed
+    # column can never land on a later verbatim one
+    for c in wanted:
+        if c not in taken:
+            out[c] = c
+            taken.add(c)
+    for c in wanted:
+        if c in out:
+            continue
+        nc = c
+        while nc in taken:
+            nc += suffix
+        out[c] = nc
+        taken.add(nc)
+    return out
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -66,20 +109,25 @@ def asof_join(
     prefer backward) — ``pandas.merge_asof`` semantics, distributed.
 
     Left rows are always preserved (right columns NULL when no match, or
-    when the match violates ``tolerance``). ``tolerance`` is measured in
-    the ``on`` column's numeric units (seconds for timestamps) and must be
-    non-negative. Among right rows sharing an identical (by, on) value the
-    matched row is arbitrary-but-one — pre-dedupe the right side if that
-    matters. Right payload columns keep their names unless they collide
-    with a left column, in which case they get ``suffix``.
+    when the match violates ``tolerance``). NULL never matches: a left row
+    with a NULL ``on`` value — or any NULL ``by`` key — gets NULL right
+    columns, and right rows with NULL ``on``/``by`` values are inert
+    (pandas refuses NaN keys outright; an equi-join would drop them).
+    ``tolerance`` is measured in the ``on`` column's numeric units
+    (seconds for timestamps) and must be non-negative. Among right rows
+    sharing an identical (by, on) value the matched row is
+    arbitrary-but-one — pre-dedupe the right side if that matters. Right
+    payload columns keep their names unless they collide with a left
+    column, in which case they get ``suffix`` (repeatedly, until unique).
 
     Plan shape: union both sides with NULL-padded payloads, then ONE
     window partitioned by ``by`` (or by a sampled time-range bucket when
-    ``by`` is None — see module doc) forward-fills the right payload onto
-    left rows; ``nearest`` fills both directions inside the same sort.
-    Skew note: a single ``by`` key's full history lands in one partition —
-    that is inherent to per-key as-of semantics; keys are the unit of
-    parallelism.
+    ``by`` is None, with per-bucket carries broadcast-joined in — see
+    module doc) forward-fills the matched right row — one struct, so its
+    columns always come from the SAME row; ``nearest`` fills both
+    directions inside the same sort. Skew note: a single ``by`` key's full
+    history lands in one partition — inherent to per-key as-of semantics;
+    keys are the unit of parallelism.
     """
     if direction not in _DIRECTIONS:
         raise ValueError(f"direction must be one of {_DIRECTIONS}, got {direction!r}")
@@ -89,13 +137,15 @@ def asof_join(
     for c in [on, *by]:
         if c not in left.columns or c not in right.columns:
             raise ValueError(f"join column {c!r} must exist on both sides")
+    _check_on_type(left.schema[on].dataType, "left", on)
+    _check_on_type(right.schema[on].dataType, "right", on)
 
     r_payload = [c for c in right.columns if c != on and c not in by]
-    out_names = {c: (c + suffix if c in left.columns else c) for c in r_payload}
-    l_struct_t = (
-        "struct<"
-        + ",".join(f"`{f.name}`:{f.dataType.simpleString()}" for f in left.schema.fields)
-        + ">"
+    out_names = _fresh_names(r_payload, set(left.columns), suffix)
+    l_struct = StructType(left.schema.fields)
+    r_struct = StructType(
+        [StructField("__rt", right.schema[on].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in r_payload]
     )
 
     lu = left.select(
@@ -103,24 +153,28 @@ def asof_join(
         F.col(on).alias("__t"),
         F.lit(True).alias("__is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-            for c in r_payload
-        ],
+        F.lit(None).cast(r_struct).alias("__rrow"),
     )
-    ru = right.select(
-        *[F.col(c) for c in by],
-        F.col(on).alias("__t"),
-        F.lit(False).alias("__is_left"),
-        F.lit(None).cast(l_struct_t).alias("__l"),
-        *[F.col(c).alias(f"__r_{c}") for c in r_payload],
+    ru = (
+        right.where(F.col(on).isNotNull())
+        .select(
+            *[F.col(c) for c in by],
+            F.col(on).alias("__t"),
+            F.lit(False).alias("__is_left"),
+            F.lit(None).cast(l_struct).alias("__l"),
+            F.struct(
+                F.col(on).alias("__rt"), *[F.col(c) for c in r_payload]
+            ).alias("__rrow"),
+        )
     )
     u = lu.unionByName(ru)
 
+    carries = None
     if by:
         part_cols = [F.col(c) for c in by]
     else:
-        u, part_cols = _bucketize_global(u, r_payload, direction, n_buckets)
+        u, carries = _bucket_and_carries(u, direction, n_buckets, r_struct)
+        part_cols = [F.col("__bucket")]
 
     # ordering: inclusive matching at equal __t means right rows must sort
     # BEFORE left rows for backward (they land in the preceding frame) and
@@ -128,21 +182,14 @@ def asof_join(
     # AFTER left rows for pure forward (they land in the following frame)
     side_first_right = F.col("__is_left").cast("int")  # right(0) < left(1)
     side_first_left = (~F.col("__is_left")).cast("int")  # left(0) < right(1)
-    right_t = F.when(~F.col("__is_left"), F.col("__t"))
-    fills: list[tuple[str, list, object]] = []
+    fills = []
     if direction in ("backward", "nearest"):
         wb = (
             Window.partitionBy(*part_cols)
             .orderBy(F.col("__t").asc_nulls_last(), side_first_right)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        fills.append(
-            (
-                "b",
-                [F.last(f"__r_{c}", ignorenulls=True).over(wb) for c in r_payload],
-                F.last(right_t, ignorenulls=True).over(wb),
-            )
-        )
+        fills.append(("b", F.last("__rrow", ignorenulls=True).over(wb)))
     if direction in ("forward", "nearest"):
         side = side_first_right if direction == "nearest" else side_first_left
         wf = (
@@ -150,116 +197,131 @@ def asof_join(
             .orderBy(F.col("__t").asc_nulls_last(), side)
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        fills.append(
-            (
-                "f",
-                [F.first(f"__r_{c}", ignorenulls=True).over(wf) for c in r_payload],
-                F.first(right_t, ignorenulls=True).over(wf),
-            )
-        )
+        fills.append(("f", F.first("__rrow", ignorenulls=True).over(wf)))
 
-    cols = list(u.columns)
-    for tag, payload_fills, t_fill in fills:
-        u = u.select(
-            *cols,
-            *[pf.alias(f"__m{tag}_{c}") for pf, c in zip(payload_fills, r_payload)],
-            t_fill.alias(f"__mt_{tag}"),
-        )
-        cols = list(u.columns)
-
+    u = u.select("*", *[fill.alias(f"__fill_{tag}") for tag, fill in fills])
     matched = u.where(F.col("__is_left"))
-    tnum_l = _as_num(F.col("__t"))
+    if carries is not None:
+        matched = matched.join(F.broadcast(carries), on="__bucket", how="left")
 
-    def _ok(tag: str):
-        dist = F.abs(tnum_l - _as_num(F.col(f"__mt_{tag}")))
-        cond = F.col(f"__mt_{tag}").isNotNull()
+    def _pick(tag: str):
+        fill = F.col(f"__fill_{tag}")
+        if carries is not None:
+            fill = F.coalesce(fill, F.col(f"__carry_{tag}"))
+        return fill
+
+    tnum_l = _as_num(F.col("__t"))
+    null_keys = F.lit(False)
+    for k in by:
+        null_keys = null_keys | F.col(k).isNull()
+
+    def _ok(row):
+        dist = F.abs(tnum_l - _as_num(row["__rt"]))
+        cond = row.isNotNull() & F.col("__t").isNotNull() & ~null_keys
         if tolerance is not None:
             cond = cond & (dist <= F.lit(float(tolerance)))
         return cond, dist
 
     if direction == "nearest":
-        ok_b, dist_b = _ok("b")
-        ok_f, dist_f = _ok("f")
+        row_b, row_f = _pick("b"), _pick("f")
+        ok_b, dist_b = _ok(row_b)
+        ok_f, dist_f = _ok(row_f)
         use_b = ok_b & (~ok_f | (dist_b <= dist_f))  # ties prefer backward
-        picked = [
-            F.when(use_b, F.col(f"__mb_{c}"))
-            .when(ok_f, F.col(f"__mf_{c}"))
-            .alias(out_names[c])
-            for c in r_payload
-        ]
+        chosen = F.when(use_b, row_b).when(ok_f, row_f)
     else:
-        tag = "b" if direction == "backward" else "f"
-        ok, _ = _ok(tag)
-        picked = [
-            F.when(ok, F.col(f"__m{tag}_{c}")).alias(out_names[c])
-            for c in r_payload
-        ]
+        row = _pick("b" if direction == "backward" else "f")
+        ok, _ = _ok(row)
+        chosen = F.when(ok, row)
 
     return matched.select(
-        *[F.col(f"__l.{c}").alias(c) for c in left.columns], *picked
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[chosen[c].alias(out_names[c]) for c in r_payload],
     )
 
 
-def _bucketize_global(
-    u: DataFrame, r_payload: list[str], direction: str, n_buckets: int
+def _bucket_and_carries(
+    u: DataFrame, direction: str, n_buckets: int, r_struct: StructType
 ):
     """Keyless as-of support: assign sampled-quantile range buckets and
-    union in carry seeds so each bucket is self-contained.
+    build the per-bucket carry table — for each bucket, the latest right
+    row of all EARLIER buckets (``__carry_b``) and the earliest right row
+    of all LATER buckets (``__carry_f``) — so a bucket whose own rows
+    can't answer falls back to the carry via ``coalesce``, and no bucket
+    ever needs another bucket's rows at window time.
 
-    Backward carry: the latest right row of all EARLIER buckets, seeded
-    into each bucket (it sorts before every in-bucket row, so the window's
-    forward-fill sees it exactly as the fallback). Forward carry is
-    symmetric (earliest right row of all LATER buckets). Both carries are
-    computed from the PRISTINE union — never from a seeded one, where a
-    duplicated early-t row could win a later bucket's min_by and mask that
-    bucket's genuine earliest row. Driver-side work is bounded by the
-    bucket count (one approxQuantile + one <=n_buckets-row collect per
-    needed direction), never by the corpus.
+    Driver-side work is bounded by the bucket count: one approxQuantile
+    over the numeric time plus ONE <=n_buckets-row collect (max_by and
+    min_by computed in the same aggregation when both directions are
+    needed); the cumulative sweep is a python loop over those rows. The
+    carries are broadcast-joined, never unioned into the big side.
     """
     n_b = max(2, int(n_buckets))
     qs = u.where(F.col("__t").isNotNull()).select(_as_num(F.col("__t")).alias("q"))
-    bounds = sorted(set(qs.stat.approxQuantile("q", [i / n_b for i in range(1, n_b)], 0.01)))
+    bounds = sorted(
+        set(qs.stat.approxQuantile("q", [i / n_b for i in range(1, n_b)], 0.01))
+    )
     u = u.withColumn("__tn", _as_num(F.col("__t")))
     bucket_of = F.aggregate(
         F.lit(bounds).cast("array<double>"),
         F.lit(0),
         lambda acc, b: acc + F.when(F.col("__tn") >= b, 1).otherwise(0),
     )
-    u0 = u.withColumn("__bucket", bucket_of).drop("__tn")
-    seeds_sdf = []
+    u = u.withColumn("__bucket", F.coalesce(bucket_of, F.lit(0))).drop("__tn")
 
-    def _carry(agg_fn, bucket_order, better):
-        per_bucket = (
-            u0.where(~F.col("__is_left"))
-            .groupBy("__bucket")
-            .agg(
-                agg_fn(
-                    F.struct(F.col("__t"), *[F.col(f"__r_{c}") for c in r_payload]),
-                    _as_num(F.col("__t")),
-                ).alias("r")
-            )
-            .collect()
-        )
-        got = {r["__bucket"]: r["r"] for r in per_bucket}
-        rows, best = [], None
-        for b in bucket_order:
-            if best is not None:
-                rows.append(
-                    (best["__t"], False, None, *[best[f"__r_{c}"] for c in r_payload], b)
-                )
-            cur = got.get(b)
-            if cur is not None and (best is None or better(_num_py(cur["__t"]), _num_py(best["__t"]))):
-                best = cur
-        return rows
+    need_b = direction in ("backward", "nearest")
+    need_f = direction in ("forward", "nearest")
+    aggs = []
+    if need_b:
+        aggs.append(F.max_by(F.col("__rrow"), _as_num(F.col("__t"))).alias("mx"))
+    if need_f:
+        aggs.append(F.min_by(F.col("__rrow"), _as_num(F.col("__t"))).alias("mn"))
+    per_bucket = {
+        r["__bucket"]: r
+        for r in u.where(~F.col("__is_left")).groupBy("__bucket").agg(*aggs).collect()
+    }
 
     last_bucket = len(bounds)
-    if direction in ("backward", "nearest"):
-        seeds_sdf += _carry(F.max_by, range(last_bucket + 1), lambda a, b: a >= b)
-    if direction in ("forward", "nearest"):
-        seeds_sdf += _carry(F.min_by, range(last_bucket, -1, -1), lambda a, b: a <= b)
-    if seeds_sdf:
-        u0 = u0.unionByName(u0.sparkSession.createDataFrame(seeds_sdf, u0.schema))
-    return u0, [F.col("__bucket")]
+    carry_b: dict[int, object] = {}
+    carry_f: dict[int, object] = {}
+    if need_b:
+        best = None
+        for b in range(last_bucket + 1):
+            if best is not None:
+                carry_b[b] = best
+            cur = per_bucket.get(b)
+            if cur is not None and (
+                best is None or _num_py(cur["mx"]["__rt"]) >= _num_py(best["__rt"])
+            ):
+                best = cur["mx"]
+    if need_f:
+        best = None
+        for b in range(last_bucket, -1, -1):
+            if best is not None:
+                carry_f[b] = best
+            cur = per_bucket.get(b)
+            if cur is not None and (
+                best is None or _num_py(cur["mn"]["__rt"]) <= _num_py(best["__rt"])
+            ):
+                best = cur["mn"]
+
+    schema = StructType(
+        [
+            StructField("__bucket", u.schema["__bucket"].dataType, False),
+            StructField("__carry_b", r_struct),
+            StructField("__carry_f", r_struct),
+        ]
+    )
+    rows = [
+        (b, carry_b.get(b), carry_f.get(b))
+        for b in range(last_bucket + 1)
+        if b in carry_b or b in carry_f
+    ]
+    carries = u.sparkSession.createDataFrame(rows, schema)
+    if not need_b:
+        carries = carries.withColumn("__carry_b", F.lit(None).cast(r_struct))
+    if not need_f:
+        carries = carries.withColumn("__carry_f", F.lit(None).cast(r_struct))
+    return u, carries
 
 
 def interval_join(
@@ -281,19 +343,22 @@ def interval_join(
     candidate groups — ONE equi-join shuffle. A pair overlapping k shared
     buckets would match k times; the canonical-bucket clause (keep only
     the bucket containing ``greatest(ls, rs)``, the overlap's start) emits
-    each pair EXACTLY once with no distinct shuffle.
+    each pair EXACTLY once with no distinct shuffle. NULL ``by`` keys
+    never match (equi-join semantics).
 
     ``bucket_width`` is in the bound columns' numeric units (seconds for
-    timestamps); the default is twice the median right-interval length
-    (one bounded approxQuantile job). Width trades replication for
-    selectivity: a row replicates ~(len/width + 1) times, a bucket gathers
-    width-proportional candidates. Intervals FAR longer than the width
-    replicate accordingly — size the width to the long tail (or split
-    giants upstream); degenerate inputs (``start > end``) are dropped, as
-    in every interval algebra.
+    timestamps); the default is twice the larger median interval length of
+    the two sides, measured AFTER dropping degenerate (start > end) rows —
+    point-interval sides therefore never drag the default toward zero —
+    and falls back to 1.0 when both sides are all points (any width gives
+    one bucket per point). Width trades replication for selectivity: a row
+    replicates ~(len/width + 1) times, a bucket gathers width-proportional
+    candidates. Intervals FAR longer than the width replicate accordingly —
+    size the width to the long tail (or split giants upstream).
 
-    Right columns colliding with left names get ``suffix``; ``by`` key
-    columns appear once. Inner join semantics (overlapping pairs only).
+    Right columns colliding with left names get ``suffix`` (repeatedly,
+    until unique); ``by`` key columns appear once. Inner join semantics
+    (overlapping pairs only).
     """
     by = list(by or [])
     ls, le = left_bounds
@@ -308,21 +373,28 @@ def interval_join(
         if c not in left.columns or c not in right.columns:
             raise ValueError(f"by column {c!r} must exist on both sides")
 
+    # degenerate intervals are dropped from the join; drop them BEFORE the
+    # width estimate too, so negative lengths can't skew it
+    lf = left.where(F.col(ls) <= F.col(le))
+    rf = right.where(F.col(rs) <= F.col(re_))
+
     if bucket_width is None:
-        med = right.select(
-            (_as_num(F.col(re_)) - _as_num(F.col(rs))).alias("len")
-        ).stat.approxQuantile("len", [0.5], 0.01)
-        bucket_width = max(2.0 * (med[0] if med else 0.0), 1e-9)
+        def _median_len(df: DataFrame, s: str, e: str) -> float:
+            q = df.select(
+                (_as_num(F.col(e)) - _as_num(F.col(s))).alias("len")
+            ).stat.approxQuantile("len", [0.5], 0.01)
+            return q[0] if q else 0.0
+
+        med = max(_median_len(lf, ls, le), _median_len(rf, rs, re_))
+        bucket_width = 2.0 * med if med > 0 else 1.0
     w = float(bucket_width)
     if w <= 0:
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
 
     # rename right collisions (by keys stay shared join-key names)
-    ren = {
-        c: (c + suffix if (c in left.columns and c not in by) else c)
-        for c in right.columns
-    }
-    r2 = right
+    keep = [c for c in right.columns if c not in by]
+    ren = {**{c: c for c in by}, **_fresh_names(keep, set(left.columns), suffix)}
+    r2 = rf
     for c, nc in ren.items():
         if nc != c:
             r2 = r2.withColumnRenamed(c, nc)
@@ -334,18 +406,14 @@ def interval_join(
             F.floor(_as_num(F.col(e)) / w).cast("long"),
         )
 
-    lx = left.where(F.col(ls) <= F.col(le)).withColumn(
-        "__bkt", F.explode(covered(ls, le))
-    )
-    rx = r2.where(F.col(rs2) <= F.col(re2)).withColumn(
-        "__bkt", F.explode(covered(rs2, re2))
-    )
+    lx = lf.withColumn("__bkt", F.explode(covered(ls, le)))
+    rx = r2.withColumn("__bkt", F.explode(covered(rs2, re2)))
     overlap = (F.col(ls) <= F.col(re2)) & (F.col(rs2) <= F.col(le))
     canonical = (
         F.floor(F.greatest(_as_num(F.col(ls)), _as_num(F.col(rs2))) / w).cast("long")
         == F.col("__bkt")
     )
-    out_cols = [*left.columns, *[ren[c] for c in right.columns if c not in by]]
+    out_cols = [*left.columns, *[ren[c] for c in keep]]
     return (
         lx.join(rx, on=["__bkt", *by], how="inner")
         .where(overlap & canonical)

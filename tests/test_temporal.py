@@ -215,6 +215,94 @@ def test_interval_join_no_cartesian_and_naming(spark):
         interval_join(left, right, ("s", "nope"), ("s", "e"))
 
 
+def test_asof_null_payload_never_stitches_rows(spark):
+    """The matched right row travels as ONE struct: a NULL payload value in
+    the matched row must come through as NULL, never back-filled from an
+    older row (per-column ignorenulls fill would stitch two rows together),
+    and tolerance applies to the matched row, not per column."""
+    left = spark.createDataFrame([(3.0, 0)], "t double, lv long")
+    right = spark.createDataFrame(
+        [(1.0, 5, 7), (2.0, None, 9)], "t double, x long, y long"
+    )
+    got = asof_join(left, right, on="t", direction="backward", n_buckets=2).collect()[0]
+    assert (got["x"], got["y"]) == (None, 9)  # pandas.merge_asof agrees
+    tol = asof_join(
+        left, right, on="t", direction="backward", tolerance=1.5, n_buckets=2
+    ).collect()[0]
+    assert (tol["x"], tol["y"]) == (None, 9)  # t=1.0 is outside tolerance
+
+
+def test_asof_localrelation_inputs(spark):
+    """Keyless path on tuple-created (LocalRelation) inputs: the carry is
+    broadcast-JOINED, not unioned, so the Catalyst constraint-rewrite crash
+    a seeded union used to trip cannot occur."""
+    left = spark.createDataFrame([(3.0, 0)], "t double, lv long")
+    right = spark.createDataFrame(
+        [(1.0, 5, 7), (2.0, 4, 9)], "t double, x long, y long"
+    )
+    got = asof_join(left, right, on="t", direction="backward", n_buckets=4).collect()
+    assert [(r["x"], r["y"]) for r in got] == [(4, 9)]
+
+
+def test_asof_null_on_and_null_by_never_match(spark):
+    """NULL semantics: a left row with NULL `on`, or any NULL `by` key,
+    gets NULL right columns; right rows with NULL `on`/`by` are inert."""
+    left = spark.createDataFrame(
+        [(1, 5.0, 0), (1, None, 1), (None, 5.0, 2)], "k long, t double, lv long"
+    )
+    right = spark.createDataFrame(
+        [(1, 1.0, 10), (1, None, 66), (None, 1.0, 77)], "k long, t double, rv long"
+    )
+    for direction in ("backward", "nearest"):
+        got = {
+            r["lv"]: r["rv"]
+            for r in asof_join(
+                left, right, on="t", by=["k"], direction=direction
+            ).collect()
+        }
+        assert got == {0: 10, 1: None, 2: None}, direction
+    # keyless: NULL-t left rows still get no match
+    gkl = {
+        r["lv"]: r["rv"]
+        for r in asof_join(
+            left.drop("k"), right.drop("k"), on="t", direction="backward", n_buckets=2
+        ).collect()
+    }
+    # two right rows share t=1.0 once k is dropped: arbitrary-but-one match
+    assert gkl[1] is None and gkl[0] == gkl[2] and gkl[0] in (10, 77)
+
+
+def test_asof_suffix_collision_stays_unique(spark):
+    left = spark.createDataFrame([(1.0, 1, 2)], "t double, x long, x_r long")
+    right = spark.createDataFrame([(1.0, 9)], "t double, x long")
+    out = asof_join(left, right, on="t")
+    assert out.columns == ["t", "x", "x_r", "x_r_r"]
+    assert len(set(out.columns)) == len(out.columns)
+
+
+def test_asof_rejects_unorderable_on_type(spark):
+    left = spark.createDataFrame([("2026-01-01", 0)], "t string, lv long")
+    with pytest.raises(ValueError, match="numeric or timestamp"):
+        asof_join(left, left, on="t")
+    dated = left.withColumn("t", F.to_date("t"))
+    with pytest.raises(ValueError, match="numeric or timestamp"):
+        asof_join(dated, dated, on="t")
+
+
+def test_interval_join_point_right_default_width(spark):
+    """A point-event right side must not collapse the default width to ~0
+    (which would explode a long left interval into billions of buckets)."""
+    left = spark.createDataFrame([(0.0, 3600.0, 1)], "s double, e double, lv long")
+    right = spark.createDataFrame(
+        [(5.0, 5.0, 2), (9999.0, 9999.0, 3)], "s double, e double, rv long"
+    )
+    got = interval_join(left, right, ("s", "e"), ("s", "e"))
+    assert [r["rv"] for r in got.collect()] == [2]
+    # both sides points: falls back to width 1.0 and still joins exactly
+    points = spark.createDataFrame([(5.0, 5.0, 7)], "s double, e double, lv long")
+    assert interval_join(points, right, ("s", "e"), ("s", "e")).count() == 1
+
+
 def test_asof_timestamps_and_tolerance_seconds(spark):
     """Timestamp on-columns work end-to-end; tolerance is in seconds."""
     left = spark.createDataFrame(
