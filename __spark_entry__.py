@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50-row driver pass (VERDICT r04 #1): estimate queries folded into
         # their *_accuracy companions, law/overlap/matrix/ann/multimodal/
         # streaming-dedup pairs fused — every code path stays oracle-checked.
+        "asof_clicks_before_purchase": Q.asof_clicks_before_purchase,
+        "hll_accuracy_users_parts": Q.hll_accuracy_users_parts,
         "dedup_clusters": Q.dedup_clusters,
         "exact_dedup_documents": Q.exact_dedup_documents,
         "fi_token_topk_accuracy": Q.fi_token_topk_accuracy,
@@ -113,8 +115,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll_parity": Q.streaming_hll_parity,
         "streaming_windowed_users": Q.streaming_windowed_users,
         "streaming_finalized_windows": Q.streaming_finalized_windows,
-        "hll_users_accuracy": Q.hll_users_accuracy,
-        "hll_parts_accuracy": Q.hll_parts_accuracy,
         "cms_user_freq_accuracy": Q.cms_user_freq_accuracy,
         "bloom_users_no_false_negatives": Q.bloom_users_no_false_negatives,
         "bloom_semijoin_prefilter": Q.bloom_semijoin_prefilter,
@@ -350,17 +350,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'exact', COUNT(*), COUNT(DISTINCT text), TRUE, TRUE FROM documents
             ORDER BY method
         """,
-        "hll_users_accuracy": """
-            SELECT event_type,
-                   COUNT(DISTINCT user_id) AS exact_users,
+        "hll_accuracy_users_parts": """
+            SELECT 'users:' || event_type AS grp,
+                   COUNT(DISTINCT user_id) AS exact_distinct,
                    TRUE AS within_3sigma
-            FROM events GROUP BY event_type ORDER BY event_type
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT 'parts:' || l_returnflag,
+                   COUNT(DISTINCT l_partkey),
+                   TRUE
+            FROM lineitem GROUP BY l_returnflag
+            ORDER BY grp
         """,
-        "hll_parts_accuracy": """
-            SELECT l_returnflag,
-                   COUNT(DISTINCT l_partkey) AS distinct_parts,
-                   TRUE AS within_3sigma
-            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        "asof_clicks_before_purchase": """
+            WITH purchases AS (
+                SELECT user_id, event_id, ts, value FROM events
+                WHERE event_type = 'purchase'),
+            clicks AS (
+                SELECT user_id, ts, MAX(value) AS click_value FROM events
+                WHERE event_type = 'click' GROUP BY user_id, ts),
+            j AS (
+                SELECT p.user_id, p.ts, c.ts AS click_ts, c.click_value
+                FROM purchases p ASOF LEFT JOIN clicks c
+                  ON p.user_id = c.user_id AND p.ts >= c.ts)
+            SELECT user_id,
+                   COUNT(*) AS n_purchases,
+                   COUNT(click_ts) AS n_matched,
+                   COALESCE(SUM(epoch_us(ts) - epoch_us(click_ts)), 0)
+                       AS sum_gap_us,
+                   MAX(click_value) AS max_click_value
+            FROM j GROUP BY user_id ORDER BY user_id
         """,
         "cms_user_freq_accuracy": """
             SELECT user_id, exact_cnt,

@@ -148,6 +148,72 @@ def hll_parts_accuracy(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> 
     )
 
 
+def hll_accuracy_users_parts(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> DataFrame:
+    """Folds the events-table and lineitem-table estimate-vs-exact bound
+    checks into one driver entry (same two computations, one slot): per
+    group, the exact distinct count plus the 3-sigma sketch-bound boolean.
+    Groups are tagged ``users:<event_type>`` / ``parts:<l_returnflag>``."""
+    u = hll_users_accuracy(spark, sf_dir, p).select(
+        F.concat(F.lit("users:"), F.col("event_type")).alias("grp"),
+        F.col("exact_users").alias("exact_distinct"),
+        "within_3sigma",
+    )
+    pr = hll_parts_accuracy(spark, sf_dir, p).select(
+        F.concat(F.lit("parts:"), F.col("l_returnflag")).alias("grp"),
+        F.col("distinct_parts").alias("exact_distinct"),
+        "within_3sigma",
+    )
+    return u.unionByName(pr).orderBy("grp")
+
+
+def asof_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join driver query: every purchase event matched to the same
+    user's most recent click at-or-before it (temporal.asof_join, backward,
+    keyed by user_id — ONE window shuffle, no join node), rolled up per
+    user. DuckDB reproduces it with its native ASOF LEFT JOIN, so the match
+    itself — not just aggregates of it — is oracle-pinned: the
+    microsecond-exact gap sum would diverge on ANY row matched to a
+    different click.
+
+    The right side is pre-deduped per (user_id, ts) because duplicate
+    timestamps make the matched row arbitrary-but-one in both engines
+    (documented asof_join contract).
+    """
+    from .temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by=["user_id"],
+        direction="backward",
+        right_on_name="click_ts",
+    )
+    return (
+        j.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.count("click_ts").alias("n_matched"),
+            F.coalesce(
+                # NTZ-safe exact bigint microseconds (unix_micros wants TZ)
+                F.sum(F.expr("timestampdiff(MICROSECOND, click_ts, ts)")),
+                F.lit(0),
+            ).alias("sum_gap_us"),
+            F.max("click_value").alias("max_click_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # ---- count-min: frequency point queries ---------------------------------------
 
 

@@ -102,11 +102,14 @@ def asof_join(
     tolerance: float | None = None,
     n_buckets: int = 64,
     suffix: str = "_r",
+    right_on_name: str | None = None,
 ) -> DataFrame:
     """As-of join: attach to every left row the right row whose ``on``
     value is the nearest at-or-before it (``backward``), at-or-after it
     (``forward``), or closest in either direction (``nearest``, ties
     prefer backward) — ``pandas.merge_asof`` semantics, distributed.
+    ``right_on_name`` additionally emits the matched right row's ``on``
+    value under that name (e.g. to compute the match gap downstream).
 
     Left rows are always preserved (right columns NULL when no match, or
     when the match violates ``tolerance``). NULL never matches: a left row
@@ -142,6 +145,12 @@ def asof_join(
 
     r_payload = [c for c in right.columns if c != on and c not in by]
     out_names = _fresh_names(r_payload, set(left.columns), suffix)
+    if right_on_name is not None:
+        taken = set(left.columns) | set(out_names.values())
+        if right_on_name in taken:
+            raise ValueError(
+                f"right_on_name {right_on_name!r} collides with an output column"
+            )
     l_struct = StructType(left.schema.fields)
     r_struct = StructType(
         [StructField("__rt", right.schema[on].dataType)]
@@ -233,9 +242,13 @@ def asof_join(
         ok, _ = _ok(row)
         chosen = F.when(ok, row)
 
+    extra = (
+        [chosen["__rt"].alias(right_on_name)] if right_on_name is not None else []
+    )
     return matched.select(
         *[F.col(f"__l.{c}").alias(c) for c in left.columns],
         *[chosen[c].alias(out_names[c]) for c in r_payload],
+        *extra,
     )
 
 
