@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # their *_accuracy companions, law/overlap/matrix/ann/multimodal/
         # streaming-dedup pairs fused — every code path stays oracle-checked.
         "asof_clicks_before_purchase": Q.asof_clicks_before_purchase,
+        "hll_users_time_rollup": Q.hll_users_time_rollup,
+        "kll_value_quantiles": Q.kll_value_quantiles,
         "hll_accuracy_users_parts": Q.hll_accuracy_users_parts,
         "dedup_clusters": Q.dedup_clusters,
         "exact_dedup_documents": Q.exact_dedup_documents,
@@ -118,8 +120,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_user_freq_accuracy": Q.cms_user_freq_accuracy,
         "bloom_users_no_false_negatives": Q.bloom_users_no_false_negatives,
         "bloom_semijoin_prefilter": Q.bloom_semijoin_prefilter,
-        "kll_value_rank_accuracy": Q.kll_value_rank_accuracy,
-        "kll_value_quantiles_per_type": Q.kll_value_quantiles_per_type,
         "tdigest_value_rank_accuracy": Q.tdigest_value_rank_accuracy,
         "hll_words_accuracy_per_lang": Q.hll_words_accuracy_per_lang,
         "tokenized_documents_roundtrip": Q.tokenized_documents_roundtrip,
@@ -399,16 +399,29 @@ def oracle_sql() -> dict[str, str]:
                    ) AS exact_semi_count,
                    TRUE AS no_false_negatives
         """,
-        "kll_value_rank_accuracy": """
-            SELECT q, TRUE AS within_bound
-            FROM (SELECT UNNEST([0.1, 0.25, 0.5, 0.75, 0.9]::DOUBLE[]) AS q)
-            ORDER BY q
-        """,
-        "kll_value_quantiles_per_type": """
+        "kll_value_quantiles": """
             SELECT event_type, q, TRUE AS within_bound
             FROM (SELECT DISTINCT event_type FROM events),
                  (SELECT UNNEST([0.25, 0.5, 0.75]::DOUBLE[]) AS q)
+            UNION ALL
+            SELECT '__all__', q, TRUE
+            FROM (SELECT UNNEST([0.1, 0.25, 0.5, 0.75, 0.9]::DOUBLE[]) AS q)
             ORDER BY event_type, q
+        """,
+        "hll_users_time_rollup": """
+            SELECT grain, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+                   exact_users, TRUE AS within_5sigma
+            FROM (
+                SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket,
+                       COUNT(DISTINCT user_id) AS exact_users
+                FROM events GROUP BY 2
+                UNION ALL
+                SELECT 'day', date_trunc('day', ts), COUNT(DISTINCT user_id)
+                FROM events GROUP BY 2
+                UNION ALL
+                SELECT 'week', date_trunc('week', ts), COUNT(DISTINCT user_id)
+                FROM events GROUP BY 2
+            ) ORDER BY grain, bucket
         """,
         "kll_ntok_quantiles": """
             SELECT q, TRUE AS within_bound

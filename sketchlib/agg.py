@@ -664,6 +664,92 @@ class SketchAggregator:
         sets = [self.key_cols[:i] for i in range(len(self.key_cols), -1, -1)]
         return self.grouping_sets(merged, sets)
 
+    def time_rollup(
+        self,
+        df: DataFrame,
+        ts_col: str,
+        grains: Sequence[str] = ("hour", "day", "week"),
+        bucket_col: str | None = None,
+    ) -> DataFrame:
+        """Hypertable-style continuous aggregate: sketches per time bucket
+        at every requested grain, from ONE scan of the data.
+
+        The finest grain (``grains[0]``) is built once — ``bucket_col``
+        (default: the last key column) receives ``date_trunc(grain,
+        ts_col)`` and the normal partial/merge pipeline runs. Every coarser
+        grain then re-merges the FINEST merged rows (one KB-sized row per
+        key x bucket), never the data: at 10^12 events the marginal cost of
+        adding a grain is a shuffle of hours-per-retention x keys sketch
+        rows. Merge associativity makes each coarser sketch byte-identical
+        to one built from raw data directly at that grain — so any window
+        (day/week dashboards over an hour-grain store) is answerable
+        without rescanning, the TimescaleDB/continuous-aggregate pattern
+        re-expressed over mergeable sketches.
+
+        Every coarser grain must be derivable from the finest by
+        truncation (its bucket boundaries must lie on the finest grid):
+        second/minute/hour/day chains freely, week/month/quarter/year
+        derive from day or finer, but month is NOT derivable from week —
+        validated up front with a LOUD error, because a silent
+        wrong-grid re-merge would double-count boundary buckets.
+
+        Returns (grain, *key_cols, sketch, n_rows, n_items); the result is
+        eagerly checkpointed (release with ``session.release``) so the
+        intermediate finest-grain table can be freed immediately.
+        """
+        from .session import release
+
+        grains = list(grains)
+        if not grains:
+            raise ValueError("grains must be non-empty")
+        order = {"second": 0, "minute": 1, "hour": 2, "day": 3,
+                 "week": 10, "month": 20, "quarter": 21, "year": 22}
+        for g in grains:
+            if g not in order:
+                raise ValueError(f"unknown grain {g!r}; choose from {sorted(order)}")
+        fine = grains[0]
+        for g in grains[1:]:
+            ok = (
+                g == fine
+                or (fine in ("second", "minute", "hour", "day") and order[g] > order[fine])
+                or (fine == "month" and g in ("quarter", "year"))
+                or (fine == "quarter" and g == "year")
+            )
+            if not ok:
+                raise ValueError(
+                    f"grain {g!r} is not derivable from finest grain {fine!r} "
+                    f"by truncation (e.g. month is not week-aligned)"
+                )
+        if not self.key_cols:
+            raise ValueError("time_rollup needs key_cols including the bucket column")
+        bucket_col = bucket_col or self.key_cols[-1]
+        if bucket_col not in self.key_cols:
+            raise ValueError(f"bucket_col {bucket_col!r} must be one of key_cols")
+
+        ts_type = df.schema[ts_col].dataType
+        base = df.withColumn(
+            bucket_col, F.date_trunc(fine, F.col(ts_col)).cast(ts_type)
+        )
+        finest = self.merged(base).localCheckpoint(eager=True)
+        try:
+            outs = [finest.select(F.lit(fine).alias("grain"), "*")]
+            for g in grains[1:]:
+                coarser = finest.withColumn(
+                    bucket_col, F.date_trunc(g, F.col(bucket_col)).cast(ts_type)
+                )
+                outs.append(
+                    self._merge_stage(coarser, self.key_cols).select(
+                        F.lit(g).alias("grain"), "*"
+                    )
+                )
+            out = outs[0]
+            for o in outs[1:]:
+                out = out.unionByName(o)
+            result = out.localCheckpoint(eager=True)
+        finally:
+            release(finest)
+        return result
+
     def finalize_rows(
         self,
         merged: DataFrame,

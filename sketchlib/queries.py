@@ -690,6 +690,79 @@ def kll_value_quantiles_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "q")
 
 
+def kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folds the global rank-accuracy check and the per-event-type quartile
+    check into one driver entry (same two computations, one slot): global
+    rows are tagged event_type='__all__'. Both facets assert the published
+    KLL rank-error bound (~1.65% at k=200; tol 3%) via exact ranks."""
+    glob = kll_value_rank_accuracy(spark, sf_dir).select(
+        F.lit("__all__").alias("event_type"), "q", "within_bound"
+    )
+    per = kll_value_quantiles_per_type(spark, sf_dir)
+    return per.unionByName(glob).orderBy("event_type", "q")
+
+
+def hll_users_time_rollup(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> DataFrame:
+    """Hypertable-style continuous aggregate driver query: distinct users
+    per hour/day/week via agg.time_rollup — the HOUR sketches are built
+    from ONE scan and the day/week rows re-merge those KB-sized sketch
+    rows, never the events (merge associativity makes them byte-identical
+    to direct builds). Each bucket's estimate is checked against the exact
+    distinct count within the published 3-sigma bound, so every grain is
+    rows+schema+hash oracle-pinned (exact counts + TRUE bounds).
+
+    Buckets are emitted as formatted strings for cross-engine hash
+    stability; Spark's date_trunc('week') and DuckDB's are both
+    ISO-Monday-aligned.
+
+    Bound note: this asserts ~800 bucket estimates AT ONCE, so the
+    tolerance must be family-wise: a per-bucket 3-sigma check EXPECTS ~2
+    failures over 720 hour buckets (0.27% two-sided each — measured
+    exactly that at sf0.1). The check is therefore
+    |est - exact| <= max(4, 5sigma * exact): 5-sigma makes the whole-family
+    false-alarm probability ~5e-4, and the absolute 4-count floor covers
+    register-collision discreteness where the relative bound is below one
+    user (tiny per-hour cardinalities, n << sqrt(2^p)).
+    """
+    from .session import release
+
+    grains = ("hour", "day", "week")
+    events = load_table(spark, sf_dir, "events")
+    agg = HllAggregator(p=p, key_cols=["bucket"], value_col="user_id", value_kind="int64")
+    roll = agg.time_rollup(events, "ts", grains=grains)
+    est = roll.select(
+        "grain", "bucket", agg.estimate_udf()(F.col("sketch")).alias("est")
+    )
+    exacts = [
+        events.groupBy(
+            F.date_trunc(g, "ts").cast("timestamp_ntz").alias("bucket")
+        )
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .select(F.lit(g).alias("grain"), "bucket", "exact_users")
+        for g in grains
+    ]
+    exact = exacts[0]
+    for o in exacts[1:]:
+        exact = exact.unionByName(o)
+    bound = 5.0 * HllSketch.std_error(p)
+    out = (
+        exact.join(est, ["grain", "bucket"])
+        .select(
+            "grain",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= F.greatest(F.lit(4.0), F.lit(bound) * F.col("exact_users"))
+            ).alias("within_5sigma"),
+        )
+        .orderBy("grain", "bucket")
+        .localCheckpoint(eager=True)  # free the sketch rollup immediately
+    )
+    release(roll)
+    return out
+
+
 def tdigest_value_rank_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest quantiles of events.value with tail checks (tol 2%, tails
 

@@ -307,3 +307,37 @@ def test_source_mask_histogram_guards(spark):
             _source_mask_histogram(df, srcs)
     finally:
         Qmod._MASK_BUDGET = orig
+
+
+def test_time_rollup_coarser_grains_byte_identical(spark):
+    """Hypertable law: a day/week sketch derived by re-merging the hour
+    rows must be BYTE-identical to one built from the raw events directly
+    at that grain (merge associativity), and the returned checkpoint is
+    releasable. Underivable grain combinations fail loudly."""
+    import datetime as dt
+
+    from sketchlib.session import release
+
+    rows = [
+        (i % 7, dt.datetime(2024, 1, 1 + (i % 9), hour=i % 24, minute=i % 60))
+        for i in range(500)
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz")
+    agg = HllAggregator(p=12, key_cols=["bucket"], value_col="user_id", value_kind="int64")
+    roll = agg.time_rollup(events, "ts", grains=("hour", "day", "week"))
+    got = {
+        (r["grain"], r["bucket"]): bytes(r["sketch"]) for r in roll.collect()
+    }
+    for grain in ("hour", "day", "week"):
+        direct = agg.merged(
+            events.withColumn(
+                "bucket", F.date_trunc(grain, "ts").cast("timestamp_ntz")
+            )
+        )
+        want = {r["bucket"]: bytes(r["sketch"]) for r in direct.collect()}
+        assert {b: s for (g, b), s in got.items() if g == grain} == want, grain
+    assert release(roll) is True
+    with pytest.raises(ValueError, match="not derivable"):
+        agg.time_rollup(events, "ts", grains=("week", "month"))
+    with pytest.raises(ValueError, match="unknown grain"):
+        agg.time_rollup(events, "ts", grains=("fortnight",))
