@@ -670,6 +670,7 @@ class SketchAggregator:
         ts_col: str,
         grains: Sequence[str] = ("hour", "day", "week"),
         bucket_col: str | None = None,
+        salt: int | str | None = None,
     ) -> DataFrame:
         """Hypertable-style continuous aggregate: sketches per time bucket
         at every requested grain, from ONE scan of the data.
@@ -702,6 +703,8 @@ class SketchAggregator:
         grains = list(grains)
         if not grains:
             raise ValueError("grains must be non-empty")
+        if len(set(grains)) != len(grains):
+            raise ValueError(f"duplicate grains {grains} would emit rows twice")
         order = {"second": 0, "minute": 1, "hour": 2, "day": 3,
                  "week": 10, "month": 20, "quarter": 21, "year": 22}
         for g in grains:
@@ -725,12 +728,16 @@ class SketchAggregator:
         bucket_col = bucket_col or self.key_cols[-1]
         if bucket_col not in self.key_cols:
             raise ValueError(f"bucket_col {bucket_col!r} must be one of key_cols")
+        if "grain" in self.key_cols:
+            raise ValueError("key_cols may not contain 'grain' (the output tag column)")
 
         ts_type = df.schema[ts_col].dataType
         base = df.withColumn(
             bucket_col, F.date_trunc(fine, F.col(ts_col)).cast(ts_type)
         )
-        finest = self.merged(base).localCheckpoint(eager=True)
+        # salt='auto'/int bounds reduce fan-in when hot buckets receive one
+        # partial per scan task (unbounded at data scale)
+        finest = self.merged(base, salt=salt).localCheckpoint(eager=True)
         try:
             outs = [finest.select(F.lit(fine).alias("grain"), "*")]
             for g in grains[1:]:

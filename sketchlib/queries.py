@@ -708,8 +708,9 @@ def hll_users_time_rollup(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) 
     from ONE scan and the day/week rows re-merge those KB-sized sketch
     rows, never the events (merge associativity makes them byte-identical
     to direct builds). Each bucket's estimate is checked against the exact
-    distinct count within the published 3-sigma bound, so every grain is
-    rows+schema+hash oracle-pinned (exact counts + TRUE bounds).
+    distinct count within a family-wise 5-sigma bound (see Bound note), so
+    every grain is rows+schema+hash oracle-pinned (exact counts + TRUE
+    bounds).
 
     Buckets are emitted as formatted strings for cross-engine hash
     stability; Spark's date_trunc('week') and DuckDB's are both
@@ -730,36 +731,49 @@ def hll_users_time_rollup(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) 
     events = load_table(spark, sf_dir, "events")
     agg = HllAggregator(p=p, key_cols=["bucket"], value_col="user_id", value_kind="int64")
     roll = agg.time_rollup(events, "ts", grains=grains)
-    est = roll.select(
-        "grain", "bucket", agg.estimate_udf()(F.col("sketch")).alias("est")
-    )
-    exacts = [
-        events.groupBy(
-            F.date_trunc(g, "ts").cast("timestamp_ntz").alias("bucket")
+    try:
+        est = roll.select(
+            "grain", "bucket", agg.estimate_udf()(F.col("sketch")).alias("est")
         )
-        .agg(F.countDistinct("user_id").alias("exact_users"))
-        .select(F.lit(g).alias("grain"), "bucket", "exact_users")
-        for g in grains
-    ]
-    exact = exacts[0]
-    for o in exacts[1:]:
-        exact = exact.unionByName(o)
-    bound = 5.0 * HllSketch.std_error(p)
-    out = (
-        exact.join(est, ["grain", "bucket"])
-        .select(
-            "grain",
-            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
-            "exact_users",
-            (
-                F.abs(F.col("est") - F.col("exact_users"))
-                <= F.greatest(F.lit(4.0), F.lit(bound) * F.col("exact_users"))
-            ).alias("within_5sigma"),
+        # exact companion from ONE scan: explode each event onto its three
+        # (grain, bucket) cells, one groupBy — not one scan+shuffle per grain
+        exact = (
+            events.select(
+                "user_id",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(g).alias("grain"),
+                                F.date_trunc(g, "ts")
+                                .cast("timestamp_ntz")
+                                .alias("bucket"),
+                            )
+                            for g in grains
+                        ]
+                    )
+                ).alias("gb"),
+            )
+            .groupBy(F.col("gb.grain").alias("grain"), F.col("gb.bucket").alias("bucket"))
+            .agg(F.countDistinct("user_id").alias("exact_users"))
         )
-        .orderBy("grain", "bucket")
-        .localCheckpoint(eager=True)  # free the sketch rollup immediately
-    )
-    release(roll)
+        bound = 5.0 * HllSketch.std_error(p)
+        out = (
+            exact.join(est, ["grain", "bucket"])
+            .select(
+                "grain",
+                F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+                "exact_users",
+                (
+                    F.abs(F.col("est") - F.col("exact_users"))
+                    <= F.greatest(F.lit(4.0), F.lit(bound) * F.col("exact_users"))
+                ).alias("within_5sigma"),
+            )
+            .orderBy("grain", "bucket")
+            .localCheckpoint(eager=True)  # free the sketch rollup immediately
+        )
+    finally:
+        release(roll)
     return out
 
 

@@ -341,3 +341,5 @@ def test_time_rollup_coarser_grains_byte_identical(spark):
         agg.time_rollup(events, "ts", grains=("week", "month"))
     with pytest.raises(ValueError, match="unknown grain"):
         agg.time_rollup(events, "ts", grains=("fortnight",))
+    with pytest.raises(ValueError, match="duplicate grains"):
+        agg.time_rollup(events, "ts", grains=("hour", "day", "day"))
