@@ -82,8 +82,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # their *_accuracy companions, law/overlap/matrix/ann/multimodal/
         # streaming-dedup pairs fused — every code path stays oracle-checked.
         "asof_clicks_before_purchase": Q.asof_clicks_before_purchase,
+        "interval_join_error_windows": Q.interval_join_error_windows,
         "hll_users_time_rollup": Q.hll_users_time_rollup,
         "kll_value_quantiles": Q.kll_value_quantiles,
+        "bloom_laws": Q.bloom_laws,
         "hll_accuracy_users_parts": Q.hll_accuracy_users_parts,
         "dedup_clusters": Q.dedup_clusters,
         "exact_dedup_documents": Q.exact_dedup_documents,
@@ -118,8 +120,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_users": Q.streaming_windowed_users,
         "streaming_finalized_windows": Q.streaming_finalized_windows,
         "cms_user_freq_accuracy": Q.cms_user_freq_accuracy,
-        "bloom_users_no_false_negatives": Q.bloom_users_no_false_negatives,
-        "bloom_semijoin_prefilter": Q.bloom_semijoin_prefilter,
         "tdigest_value_rank_accuracy": Q.tdigest_value_rank_accuracy,
         "hll_words_accuracy_per_lang": Q.hll_words_accuracy_per_lang,
         "tokenized_documents_roundtrip": Q.tokenized_documents_roundtrip,
@@ -388,16 +388,34 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY user_id ORDER BY exact_cnt DESC, user_id LIMIT 5)
             ORDER BY user_id
         """,
-        "bloom_users_no_false_negatives": """
-            SELECT user_id, TRUE AS present
+        "bloom_laws": """
+            SELECT 'membership' AS facet, user_id,
+                   -1::BIGINT AS exact_semi_count, TRUE AS law_holds
             FROM (SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 100)
-            ORDER BY user_id
+            UNION ALL
+            SELECT 'semijoin', -1::BIGINT,
+                   (SELECT COUNT(*) FROM lineitem
+                    WHERE l_partkey IN (SELECT p_partkey FROM part
+                                        WHERE p_size < 10)),
+                   TRUE
+            ORDER BY facet, user_id
         """,
-        "bloom_semijoin_prefilter": """
-            SELECT (SELECT COUNT(*) FROM lineitem
-                    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 10)
-                   ) AS exact_semi_count,
-                   TRUE AS no_false_negatives
+        "interval_join_error_windows": """
+            WITH act AS (
+                SELECT user_id,
+                       MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+                FROM events GROUP BY user_id, date_trunc('day', ts)),
+            err AS (
+                SELECT user_id,
+                       epoch_us(ts) - 300000000 AS rs,
+                       epoch_us(ts) + 300000000 AS re
+                FROM events WHERE event_type = 'error')
+            SELECT a.user_id,
+                   COUNT(*) AS n_overlaps,
+                   SUM(LEAST(a.e, r.re) - GREATEST(a.s, r.rs)) AS sum_overlap_us
+            FROM act a JOIN err r
+              ON a.user_id = r.user_id AND a.s <= r.re AND r.rs <= a.e
+            GROUP BY a.user_id ORDER BY a.user_id
         """,
         "kll_value_quantiles": """
             SELECT event_type, q, TRUE AS within_bound

@@ -611,6 +611,79 @@ def bloom_semijoin_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_laws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folds both Bloom-law driver entries into one slot (VERDICT r04 #1
+    pattern): the membership facet (100 lowest user_ids, no false
+    negatives on the events filter) and the semi-join-prefilter facet
+    (exact semi-join count + superset proof on lineitem/part). Facet rows
+    share a sparse schema; not-applicable fields carry the sentinel -1
+    rather than NULL (the driver compare sorts raw value tuples, and
+    NULL-vs-int is unorderable in python)."""
+    member = bloom_users_no_false_negatives(spark, sf_dir).select(
+        F.lit("membership").alias("facet"),
+        "user_id",
+        F.lit(-1).cast("long").alias("exact_semi_count"),
+        F.col("present").alias("law_holds"),
+    )
+    semi = bloom_semijoin_prefilter(spark, sf_dir).select(
+        F.lit("semijoin").alias("facet"),
+        F.lit(-1).cast("long").alias("user_id"),
+        "exact_semi_count",
+        F.col("no_false_negatives").alias("law_holds"),
+    )
+    return member.unionByName(semi).orderBy("facet", "user_id")
+
+
+_US_EPOCH = "timestamp_ntz '1970-01-01 00:00:00'"
+
+
+def interval_join_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-join driver query: per-user daily activity intervals
+    [min ts, max ts] overlap-joined (temporal.interval_join — covering
+    buckets + canonical-bucket exactly-once, ONE equi-join shuffle, no
+    cartesian) against ±5-minute windows around that user's error events,
+    rolled up per user. All bounds are exact bigint microseconds
+    (timestampdiff from epoch, NTZ-safe), so the summed overlap durations
+    pin the exact PAIR SET: one extra or missing pair diverges the hash.
+    DuckDB reproduces it with a plain inequality join (its IEJoin path).
+
+    Bucket width 6 h: a daily activity interval replicates onto <=5
+    buckets, a 10-minute error window onto <=2 — replication bounded by
+    construction at any corpus size.
+    """
+    from .temporal import interval_join
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.expr(f"timestampdiff(MICROSECOND, {_US_EPOCH}, ts)")
+    )
+    act = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day")).agg(
+        F.min("us").alias("s"), F.max("us").alias("e")
+    )
+    err = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        (F.col("us") - F.lit(300_000_000)).alias("rs"),
+        (F.col("us") + F.lit(300_000_000)).alias("re"),
+    )
+    j = interval_join(
+        act.select("user_id", "s", "e"),
+        err,
+        ("s", "e"),
+        ("rs", "re"),
+        by=["user_id"],
+        bucket_width=6 * 3600 * 1_000_000,
+    )
+    return (
+        j.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_overlaps"),
+            F.sum(
+                F.least(F.col("e"), F.col("re")) - F.greatest(F.col("s"), F.col("rs"))
+            ).alias("sum_overlap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # ---- quantiles: KLL + t-digest ------------------------------------------------------
 
 
