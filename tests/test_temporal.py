@@ -57,10 +57,11 @@ def _pandas_asof(left, right, by=None, direction="backward", tolerance=None):
     return out.sort_values("lv").reset_index(drop=True)
 
 
+@pytest.mark.parametrize("seed", [314, 7, 2026])
 @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 @pytest.mark.parametrize("keyed", [True, False])
-def test_asof_matches_pandas(spark, direction, keyed):
-    rng = random.Random(314)
+def test_asof_matches_pandas(spark, direction, keyed, seed):
+    rng = random.Random(seed)
     left, right = _gen(rng, 120, 80, 5 if keyed else 1, 1000)
     kw = dict(by=["k"] if keyed else None, direction=direction)
     got = _spark_asof(spark, left, right, on="t", n_buckets=7, **kw)
