@@ -337,6 +337,129 @@ def _bucket_and_carries(
     return u, carries
 
 
+def streaming_asof_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    by: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
+    max_dim_rows: int = 5_000_000,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Stream-static as-of ENRICHMENT: attach to every streaming row the
+    static dimension's as-of match (same semantics as ``asof_join`` /
+    ``pandas.merge_asof``) — the streaming counterpart where the right
+    side is a slowly-changing dimension snapshot.
+
+    Plan shape: the dimension is collected ONCE (loud ``ValueError`` past
+    ``max_dim_rows`` — at dimension sizes beyond broadcast, snapshot-join
+    per window instead), sorted, and broadcast; each micro-batch is then
+    matched inside a STATELESS ``mapInPandas`` (per-batch
+    ``pandas.merge_asof`` over the broadcast frame — O(log |dim|) per
+    row, Arrow-batched, no shuffle, no state store), so it composes with
+    any output mode and any downstream aggregation. ``tolerance`` is in
+    seconds for timestamp ``on`` columns, plain units for numerics.
+
+    NULL semantics match ``asof_join``: stream rows with NULL ``on`` or
+    any NULL ``by`` key pass through with NULL payloads; dimension rows
+    with NULL ``on``/``by`` are dropped as inert. Integral payload columns
+    come back as nullable integers; float payloads carry NaN for
+    unmatched rows (Arrow null on the Spark side is not representable
+    inside pandas float64 without boxing — documented trade).
+    """
+    import pandas as pd
+
+    if direction not in _DIRECTIONS:
+        raise ValueError(f"direction must be one of {_DIRECTIONS}, got {direction!r}")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError(f"tolerance must be non-negative, got {tolerance}")
+    by = list(by or [])
+    for c in [on, *by]:
+        if c not in stream.columns or c not in dim.columns:
+            raise ValueError(f"join column {c!r} must exist on both sides")
+    _check_on_type(stream.schema[on].dataType, "stream", on)
+    _check_on_type(dim.schema[on].dataType, "dim", on)
+
+    r_payload = [c for c in dim.columns if c != on and c not in by]
+    out_names = _fresh_names(r_payload, set(stream.columns), suffix)
+
+    n_dim = dim.count()
+    if n_dim > max_dim_rows:
+        raise ValueError(
+            f"streaming_asof_enrich broadcasts the dimension; {n_dim} rows "
+            f"exceed max_dim_rows={max_dim_rows} — snapshot-join instead"
+        )
+    dim_pdf = (
+        dim.na.drop(subset=[on, *by])
+        .toPandas()
+        .sort_values(on, kind="stable")
+        .reset_index(drop=True)
+    )
+    dim_bc = stream.sparkSession.sparkContext.broadcast(dim_pdf)
+
+    from pyspark.sql.types import IntegralType, StructField as _SF, StructType as _ST
+
+    out_schema = _ST(
+        list(stream.schema.fields)
+        + [_SF(out_names[c], dim.schema[c].dataType) for c in r_payload]
+    )
+    is_ts = not isinstance(stream.schema[on].dataType, NumericType)
+    tol = (
+        None
+        if tolerance is None
+        else (pd.Timedelta(seconds=float(tolerance)) if is_ts else float(tolerance))
+    )
+    integral = {c for c in r_payload if isinstance(dim.schema[c].dataType, IntegralType)}
+    stream_cols = list(stream.columns)
+
+    def enrich(pdfs):
+        dimf = dim_bc.value
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ok = pdf[on].notna()
+            for c in by:
+                ok &= pdf[c].notna()
+            left = pdf[ok].reset_index(drop=True)
+            if len(left):
+                # Arrow batches and toPandas can disagree on datetime/int
+                # resolution (ns vs us, int64 vs Int64) — align key dtypes
+                for c in (on, *by):
+                    if dimf[c].dtype != left[c].dtype:
+                        dimf = dimf.copy()
+                        dimf[c] = dimf[c].astype(left[c].dtype)
+                left["__ord"] = range(len(left))
+                m = pd.merge_asof(
+                    left.sort_values(on, kind="stable"),
+                    dimf,
+                    on=on,
+                    by=by or None,
+                    direction=direction,
+                    tolerance=tol,
+                    suffixes=("", "__dim"),
+                ).sort_values("__ord", kind="stable")
+                # dim columns colliding with stream names got '__dim'
+                picked = {
+                    out_names[c]: m[c + "__dim" if c in stream_cols else c]
+                    for c in r_payload
+                }
+                matched = m[stream_cols].assign(**picked)
+            else:
+                matched = left.reindex(columns=stream_cols)
+            skipped = pdf[~ok][stream_cols]
+            out = pd.concat([matched, skipped], ignore_index=True)
+            for c in r_payload:
+                oc = out_names[c]
+                if oc not in out.columns:
+                    out[oc] = None
+                if c in integral:
+                    out[oc] = out[oc].astype("Int64")
+            yield out[list(out_schema.fieldNames())]
+
+    return stream.mapInPandas(enrich, out_schema)
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

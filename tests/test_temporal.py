@@ -318,3 +318,92 @@ def test_asof_timestamps_and_tolerance_seconds(spark):
         for r in asof_join(left, right, on="t", tolerance=60.0, n_buckets=2).collect()
     }
     assert got == {1: 100, 2: None}
+
+
+def test_streaming_asof_enrich_matches_pandas(spark, tmp_path):
+    """Stream-static as-of enrichment across TWO micro-batches must equal
+    pandas.merge_asof over the full input — including NULL on/by rows
+    passing through with NULL payloads — and the map is stateless, so
+    append mode needs no watermark."""
+    import os
+
+    rng = random.Random(41)
+    pdf = pd.DataFrame(
+        {
+            "k": [rng.randrange(3) for _ in range(200)],
+            "t": [rng.uniform(0, 500) for _ in range(200)],
+            "lv": range(200),
+        }
+    )
+    pdf.loc[5, "t"] = None  # NULL on
+    pdf["k"] = pdf["k"].astype("object")
+    pdf.loc[7, "k"] = None  # NULL by
+    dim = pd.DataFrame(
+        {
+            "k": [i % 3 for i in range(30)],
+            "t": [i * 16.7 for i in range(30)],
+            "rv": [i * 10 for i in range(30)],
+        }
+    )
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, t double, lv long"
+    spark.createDataFrame(pdf.iloc[:100], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    from sketchlib.temporal import streaming_asof_enrich
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    dim_df = spark.createDataFrame(dim, "k long, t double, rv long")
+    out = streaming_asof_enrich(
+        stream, dim_df, on="t", by=["k"], direction="backward", tolerance=40.0
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("asof_enrich")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(pdf.iloc[100:], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        q.processAllAvailable()
+        got = {
+            r["lv"]: r["rv"] for r in spark.sql("select * from asof_enrich").collect()
+        }
+    finally:
+        q.stop()
+
+    valid = pdf[pdf["t"].notna() & pdf["k"].notna()].copy()
+    valid["k"] = valid["k"].astype("int64")
+    want_df = pd.merge_asof(
+        valid.sort_values("t", kind="stable"),
+        dim.sort_values("t", kind="stable"),
+        on="t",
+        by="k",
+        direction="backward",
+        tolerance=40.0,
+        suffixes=("", "_r"),
+    )
+    want = {int(r.lv): (None if pd.isna(r.rv) else int(r.rv)) for r in want_df.itertuples()}
+    want[5] = None  # NULL on passes through unmatched
+    want[7] = None  # NULL by passes through unmatched
+    assert len(got) == 200 and got == want
+
+
+def test_streaming_asof_enrich_dim_cap(spark):
+    left = spark.createDataFrame([(1.0, 1)], "t double, lv long")
+    dim = spark.createDataFrame([(float(i), i) for i in range(50)], "t double, rv long")
+    from sketchlib.temporal import streaming_asof_enrich
+
+    with pytest.raises(ValueError, match="max_dim_rows"):
+        streaming_asof_enrich(left, dim, on="t", max_dim_rows=10)
