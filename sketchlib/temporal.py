@@ -18,11 +18,14 @@ Scale doctrine, same as the rest of the library:
   never as independently-filled columns (per-column fill would stitch
   values from different rows whenever a payload value is NULL). No join
   node at all, no per-row Python.
-- ``asof_join`` WITHOUT keys never plans a global window. It range-buckets
-  time by sampled quantiles and broadcast-joins each bucket's carry — the
-  latest right row of all earlier buckets (backward) / earliest of all
-  later buckets (forward) — computed with ONE bounded, bucket-count-sized
-  driver collect, never corpus-proportional.
+- ``asof_join`` WITHOUT keys never plans a global window — and WITH keys
+  it can spread a hot key over ``time_buckets`` tasks. Both range-bucket
+  time by sampled quantiles and join each (key, bucket) cell's carry —
+  the latest right row of all earlier buckets (backward) / earliest of
+  all later buckets (forward) — computed FULLY DISTRIBUTED: per-cell
+  extremes in one aggregation, then a tiny window over the bucket axis
+  (within a key, bucket order is time order). Nothing collects to the
+  driver at any key cardinality.
 - ``interval_join`` explodes each interval onto the fixed-width buckets
   it covers and equi-joins on the bucket id; a canonical-bucket clause
   (emit only in the bucket containing the overlap's start) deduplicates
@@ -50,14 +53,6 @@ def _as_num(col):
     """Orderable column -> double for range arithmetic (timestamps become
     fractional epoch seconds; numerics pass through)."""
     return col.cast("double")
-
-
-def _num_py(v) -> float:
-    """Driver-side counterpart of _as_num for carry-row comparison."""
-    try:
-        return float(v)
-    except TypeError:
-        return v.timestamp()  # datetime.datetime
 
 
 def _check_on_type(dt: DataType, side: str, on: str) -> None:
@@ -103,6 +98,7 @@ def asof_join(
     n_buckets: int = 64,
     suffix: str = "_r",
     right_on_name: str | None = None,
+    time_buckets: int = 1,
 ) -> DataFrame:
     """As-of join: attach to every left row the right row whose ``on``
     value is the nearest at-or-before it (``backward``), at-or-after it
@@ -125,12 +121,18 @@ def asof_join(
 
     Plan shape: union both sides with NULL-padded payloads, then ONE
     window partitioned by ``by`` (or by a sampled time-range bucket when
-    ``by`` is None, with per-bucket carries broadcast-joined in — see
-    module doc) forward-fills the matched right row — one struct, so its
-    columns always come from the SAME row; ``nearest`` fills both
-    directions inside the same sort. Skew note: a single ``by`` key's full
-    history lands in one partition — inherent to per-key as-of semantics;
-    keys are the unit of parallelism.
+    ``by`` is None, with per-bucket carries joined in — see module doc)
+    forward-fills the matched right row — one struct, so its columns
+    always come from the SAME row; ``nearest`` fills both directions
+    inside the same sort.
+
+    Skew: by default a single ``by`` key's full history lands in one
+    partition (keys are the unit of parallelism). For HOT keys set
+    ``time_buckets > 1``: the window partitions by (by..., time bucket)
+    so one key's history spreads over ``time_buckets`` tasks, and the
+    cross-bucket fallback comes from the same fully-distributed carry
+    table the keyless path uses — results are identical to
+    ``time_buckets=1`` (tested), only the parallelism changes.
     """
     if direction not in _DIRECTIONS:
         raise ValueError(f"direction must be one of {_DIRECTIONS}, got {direction!r}")
@@ -179,11 +181,13 @@ def asof_join(
     u = lu.unionByName(ru)
 
     carries = None
-    if by:
+    join_cols: list[str] = []
+    if by and time_buckets <= 1:
         part_cols = [F.col(c) for c in by]
     else:
-        u, carries = _bucket_and_carries(u, direction, n_buckets, r_struct)
-        part_cols = [F.col("__bucket")]
+        nb = time_buckets if by else n_buckets
+        u, carries, join_cols = _bucket_and_carries(u, direction, nb, by)
+        part_cols = [F.col(c) for c in by] + [F.col("__bucket")]
 
     # ordering: inclusive matching at equal __t means right rows must sort
     # BEFORE left rows for backward (they land in the preceding frame) and
@@ -211,7 +215,9 @@ def asof_join(
     u = u.select("*", *[fill.alias(f"__fill_{tag}") for tag, fill in fills])
     matched = u.where(F.col("__is_left"))
     if carries is not None:
-        matched = matched.join(F.broadcast(carries), on="__bucket", how="left")
+        # keys x buckets rows: AQE broadcasts it when small, shuffles on
+        # the same (by, bucket) keys otherwise
+        matched = matched.join(carries, on=join_cols, how="left")
 
     def _pick(tag: str):
         fill = F.col(f"__fill_{tag}")
@@ -253,20 +259,26 @@ def asof_join(
 
 
 def _bucket_and_carries(
-    u: DataFrame, direction: str, n_buckets: int, r_struct: StructType
+    u: DataFrame, direction: str, n_buckets: int, by: list[str]
 ):
-    """Keyless as-of support: assign sampled-quantile range buckets and
-    build the per-bucket carry table — for each bucket, the latest right
-    row of all EARLIER buckets (``__carry_b``) and the earliest right row
-    of all LATER buckets (``__carry_f``) — so a bucket whose own rows
-    can't answer falls back to the carry via ``coalesce``, and no bucket
-    ever needs another bucket's rows at window time.
+    """Bucketed-as-of support (keyless, and keyed with ``time_buckets``):
+    assign sampled-quantile range buckets and build the per-(key, bucket)
+    carry table — for each cell, the latest right row of all EARLIER
+    buckets of the same key (``__carry_b``) and the earliest right row of
+    all LATER buckets (``__carry_f``) — so a cell whose own rows can't
+    answer falls back to the carry via ``coalesce``, and no window
+    partition ever needs another partition's rows.
 
-    Driver-side work is bounded by the bucket count: one approxQuantile
-    over the numeric time plus ONE <=n_buckets-row collect (max_by and
-    min_by computed in the same aggregation when both directions are
-    needed); the cumulative sweep is a python loop over those rows. The
-    carries are broadcast-joined, never unioned into the big side.
+    Fully distributed at ANY key cardinality: one approxQuantile over the
+    numeric time picks the bucket bounds, one aggregation computes each
+    nonempty cell's right extremes (max_by / min_by in the same pass when
+    both directions are needed), and a window over the BUCKET AXIS (one
+    row per occupied cell — kilobytes per key) turns extremes into
+    carries: within a key, bucket order IS time order, so the latest
+    right row of earlier buckets is ``last(cell_max, ignoreNulls)`` over
+    the preceding-buckets frame. Nothing is collected to the driver.
+    Cells enumerate from BOTH sides of the union, so a left-only bucket
+    still receives its carry.
     """
     n_b = max(2, int(n_buckets))
     qs = u.where(F.col("__t").isNotNull()).select(_as_num(F.col("__t")).alias("q"))
@@ -281,60 +293,34 @@ def _bucket_and_carries(
     )
     u = u.withColumn("__bucket", F.coalesce(bucket_of, F.lit(0))).drop("__tn")
 
+    keys = [*by, "__bucket"]
     need_b = direction in ("backward", "nearest")
     need_f = direction in ("forward", "nearest")
     aggs = []
     if need_b:
-        aggs.append(F.max_by(F.col("__rrow"), _as_num(F.col("__t"))).alias("mx"))
+        aggs.append(F.max_by(F.col("__rrow"), _as_num(F.col("__t"))).alias("__mx"))
     if need_f:
-        aggs.append(F.min_by(F.col("__rrow"), _as_num(F.col("__t"))).alias("mn"))
-    per_bucket = {
-        r["__bucket"]: r
-        for r in u.where(~F.col("__is_left")).groupBy("__bucket").agg(*aggs).collect()
-    }
+        aggs.append(F.min_by(F.col("__rrow"), _as_num(F.col("__t"))).alias("__mn"))
+    per_cell = u.where(~F.col("__is_left")).groupBy(*keys).agg(*aggs)
+    cells = u.select(*keys).dropDuplicates()
+    g = cells.join(per_cell, on=keys, how="left")
 
-    last_bucket = len(bounds)
-    carry_b: dict[int, object] = {}
-    carry_f: dict[int, object] = {}
+    sel: list = [F.col(c) for c in keys]
     if need_b:
-        best = None
-        for b in range(last_bucket + 1):
-            if best is not None:
-                carry_b[b] = best
-            cur = per_bucket.get(b)
-            if cur is not None and (
-                best is None or _num_py(cur["mx"]["__rt"]) >= _num_py(best["__rt"])
-            ):
-                best = cur["mx"]
+        wb = (
+            Window.partitionBy(*[F.col(c) for c in by])
+            .orderBy("__bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        sel.append(F.last("__mx", ignorenulls=True).over(wb).alias("__carry_b"))
     if need_f:
-        best = None
-        for b in range(last_bucket, -1, -1):
-            if best is not None:
-                carry_f[b] = best
-            cur = per_bucket.get(b)
-            if cur is not None and (
-                best is None or _num_py(cur["mn"]["__rt"]) <= _num_py(best["__rt"])
-            ):
-                best = cur["mn"]
-
-    schema = StructType(
-        [
-            StructField("__bucket", u.schema["__bucket"].dataType, False),
-            StructField("__carry_b", r_struct),
-            StructField("__carry_f", r_struct),
-        ]
-    )
-    rows = [
-        (b, carry_b.get(b), carry_f.get(b))
-        for b in range(last_bucket + 1)
-        if b in carry_b or b in carry_f
-    ]
-    carries = u.sparkSession.createDataFrame(rows, schema)
-    if not need_b:
-        carries = carries.withColumn("__carry_b", F.lit(None).cast(r_struct))
-    if not need_f:
-        carries = carries.withColumn("__carry_f", F.lit(None).cast(r_struct))
-    return u, carries
+        wf = (
+            Window.partitionBy(*[F.col(c) for c in by])
+            .orderBy("__bucket")
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        sel.append(F.first("__mn", ignorenulls=True).over(wf).alias("__carry_f"))
+    return u, g.select(*sel), keys
 
 
 def streaming_asof_enrich(

@@ -70,6 +70,21 @@ def test_asof_matches_pandas(spark, direction, keyed, seed):
 
 
 @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_hot_key_time_buckets_identical(spark, direction):
+    """time_buckets > 1 spreads a hot key's history over (key, bucket)
+    window partitions with distributed carries — results must be
+    IDENTICAL to the single-partition-per-key default AND to pandas."""
+    rng = random.Random(11)
+    left, right = _gen(rng, 150, 90, 2, 800)  # 2 keys -> both are hot
+    got = _spark_asof(
+        spark, left, right, on="t", by=["k"], direction=direction,
+        time_buckets=6, tolerance=55.0,
+    )
+    want = _pandas_asof(left, right, by="k", direction=direction, tolerance=55.0)
+    pd.testing.assert_series_equal(got["rv"], want["rv"], check_names=False)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 def test_asof_tolerance(spark, direction):
     rng = random.Random(271)
     left, right = _gen(rng, 80, 50, 3, 500)
