@@ -180,12 +180,16 @@ def asof_join(
     )
     u = lu.unionByName(ru)
 
+    if time_buckets < 1:
+        raise ValueError(f"time_buckets must be >= 1, got {time_buckets}")
     carries = None
     join_cols: list[str] = []
     if by and time_buckets <= 1:
         part_cols = [F.col(c) for c in by]
     else:
-        nb = time_buckets if by else n_buckets
+        # keyed: time_buckets is the knob; keyless: n_buckets, unless the
+        # caller explicitly passed time_buckets > 1 (honored, not ignored)
+        nb = time_buckets if (by or time_buckets > 1) else n_buckets
         u, carries, join_cols = _bucket_and_carries(u, direction, nb, by)
         part_cols = [F.col(c) for c in by] + [F.col("__bucket")]
 
@@ -215,9 +219,11 @@ def asof_join(
     u = u.select("*", *[fill.alias(f"__fill_{tag}") for tag, fill in fills])
     matched = u.where(F.col("__is_left"))
     if carries is not None:
-        # keys x buckets rows: AQE broadcasts it when small, shuffles on
-        # the same (by, bucket) keys otherwise
-        matched = matched.join(carries, on=join_cols, how="left")
+        # keyless: <= n_buckets rows — broadcast outright; keyed: keys x
+        # buckets rows — AQE broadcasts when small, else shuffles on the
+        # same (by, bucket) keys
+        side = carries if by else F.broadcast(carries)
+        matched = matched.join(side, on=join_cols, how="left")
 
     def _pick(tag: str):
         fill = F.col(f"__fill_{tag}")
@@ -296,14 +302,19 @@ def _bucket_and_carries(
     keys = [*by, "__bucket"]
     need_b = direction in ("backward", "nearest")
     need_f = direction in ("forward", "nearest")
+    # ONE aggregation over the union enumerates every occupied cell AND
+    # its right extremes: max_by/min_by ignore NULL ordering keys (and the
+    # ordering is NULL on left rows), so left-only cells come out with
+    # NULL extremes — exactly the rows that need a pure carry. No second
+    # scan for the cell list, no join.
+    right_tn = F.when(~F.col("__is_left"), _as_num(F.col("__t")))
+    right_row = F.when(~F.col("__is_left"), F.col("__rrow"))
     aggs = []
     if need_b:
-        aggs.append(F.max_by(F.col("__rrow"), _as_num(F.col("__t"))).alias("__mx"))
+        aggs.append(F.max_by(right_row, right_tn).alias("__mx"))
     if need_f:
-        aggs.append(F.min_by(F.col("__rrow"), _as_num(F.col("__t"))).alias("__mn"))
-    per_cell = u.where(~F.col("__is_left")).groupBy(*keys).agg(*aggs)
-    cells = u.select(*keys).dropDuplicates()
-    g = cells.join(per_cell, on=keys, how="left")
+        aggs.append(F.min_by(right_row, right_tn).alias("__mn"))
+    g = u.groupBy(*keys).agg(*aggs)
 
     sel: list = [F.col(c) for c in keys]
     if need_b:
@@ -376,15 +387,22 @@ def streaming_asof_enrich(
             f"streaming_asof_enrich broadcasts the dimension; {n_dim} rows "
             f"exceed max_dim_rows={max_dim_rows} — snapshot-join instead"
         )
+    from pyspark.sql.types import IntegralType, StructField as _SF, StructType as _ST
+
     dim_pdf = (
         dim.na.drop(subset=[on, *by])
         .toPandas()
         .sort_values(on, kind="stable")
         .reset_index(drop=True)
     )
+    # integral payloads must NOT ride merge_asof as plain int64: any
+    # unmatched row in a batch upcasts the whole column to float64, which
+    # silently corrupts values above 2^53 (ids, fingerprints). Nullable
+    # Int64 carries pd.NA for misses losslessly.
+    for c in r_payload:
+        if isinstance(dim.schema[c].dataType, IntegralType):
+            dim_pdf[c] = dim_pdf[c].astype("Int64")
     dim_bc = stream.sparkSession.sparkContext.broadcast(dim_pdf)
-
-    from pyspark.sql.types import IntegralType, StructField as _SF, StructType as _ST
 
     out_schema = _ST(
         list(stream.schema.fields)
@@ -410,27 +428,42 @@ def streaming_asof_enrich(
             left = pdf[ok].reset_index(drop=True)
             if len(left):
                 # Arrow batches and toPandas can disagree on datetime/int
-                # resolution (ns vs us, int64 vs Int64) — align key dtypes
+                # resolution (ns vs us, int32 vs int64) — align key dtypes
+                # on BOTH sides via numpy promotion, never a lossy cast of
+                # one side to the other (int64 batch + float64 dim would
+                # otherwise truncate dim times and shift matches). Merge on
+                # a CAST COPY; the output keeps the batch's original
+                # columns so promoted dtypes never leak past the merge.
+                import numpy as _np
+
+                lmerge = left.copy()
                 for c in (on, *by):
-                    if dimf[c].dtype != left[c].dtype:
+                    if dimf[c].dtype != lmerge[c].dtype:
+                        common = _np.promote_types(dimf[c].dtype, lmerge[c].dtype)
                         dimf = dimf.copy()
-                        dimf[c] = dimf[c].astype(left[c].dtype)
-                left["__ord"] = range(len(left))
-                m = pd.merge_asof(
-                    left.sort_values(on, kind="stable"),
-                    dimf,
-                    on=on,
-                    by=by or None,
-                    direction=direction,
-                    tolerance=tol,
-                    suffixes=("", "__dim"),
-                ).sort_values("__ord", kind="stable")
-                # dim columns colliding with stream names got '__dim'
+                        dimf[c] = dimf[c].astype(common)
+                        lmerge[c] = lmerge[c].astype(common)
+                lmerge["__ord"] = range(len(lmerge))
+                m = (
+                    pd.merge_asof(
+                        lmerge.sort_values(on, kind="stable"),
+                        dimf,
+                        on=on,
+                        by=by or None,
+                        direction=direction,
+                        tolerance=tol,
+                        suffixes=("", "__dim"),
+                    )
+                    .sort_values("__ord", kind="stable")
+                    .reset_index(drop=True)
+                )
+                # dim columns colliding with stream names got '__dim';
+                # __ord order == left's positional order, so .values aligns
                 picked = {
-                    out_names[c]: m[c + "__dim" if c in stream_cols else c]
+                    out_names[c]: m[c + "__dim" if c in stream_cols else c].values
                     for c in r_payload
                 }
-                matched = m[stream_cols].assign(**picked)
+                matched = left.assign(**picked)
             else:
                 matched = left.reindex(columns=stream_cols)
             skipped = pdf[~ok][stream_cols]

@@ -164,9 +164,18 @@ def test_asof_plan_no_join_no_global_sort(spark):
     uplan = unkeyed._sc._jvm.PythonSQLUtils.explainString(
         unkeyed._jdf.queryExecution(), "formatted"
     )
-    # every window spec is partitioned by the range bucket — none global
+    # every window spec involves only the range bucket as its leading
+    # column: the corpus fill windows PARTITION by it (first element is a
+    # bare partition column, no sort direction), and the carry windows —
+    # which run over the bucket-count-sized carry table — ORDER by it.
+    # No spec may lead with __t (a corpus-wide global sort).
     specs = [s for s in uplan.split("windowspecdefinition(")[1:]]
-    assert specs and all(s.startswith("__bucket#") for s in specs), uplan[:800]
+    assert specs, uplan[:800]
+    assert all(s.startswith("__bucket#") for s in specs), uplan[:800]
+    partitioned = [
+        s for s in specs if not s.split(",")[0].rstrip().endswith(("FIRST", "LAST"))
+    ]
+    assert partitioned, "no window is PARTITIONED by __bucket:\n" + uplan[:800]
 
 
 def _brute_overlap(left, right, by=None):
@@ -422,3 +431,73 @@ def test_streaming_asof_enrich_dim_cap(spark):
 
     with pytest.raises(ValueError, match="max_dim_rows"):
         streaming_asof_enrich(left, dim, on="t", max_dim_rows=10)
+
+
+def test_streaming_asof_enrich_bigint_payload_exact(spark, tmp_path):
+    """Integral payloads above 2^53 must survive exactly even when the
+    batch contains unmatched rows (merge_asof would upcast a plain int64
+    column to float64 and silently round; nullable Int64 must not)."""
+    import os
+
+    big = (1 << 53) + 1
+    left = pd.DataFrame({"t": [0.5, 2.0], "lv": [0, 1]})  # t=0.5 unmatched
+    dim = pd.DataFrame({"t": [1.0], "rv": [big]})
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    spark.createDataFrame(left, "t double, lv long").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    from sketchlib.temporal import streaming_asof_enrich
+
+    stream = spark.readStream.schema("t double, lv long").parquet(in_dir)
+    out = streaming_asof_enrich(
+        stream, spark.createDataFrame(dim, "t double, rv long"), on="t"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bigint_enrich")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["lv"]: r["rv"] for r in spark.sql("select * from bigint_enrich").collect()}
+    finally:
+        q.stop()
+    assert got == {0: None, 1: big}
+
+
+def test_streaming_asof_enrich_mixed_on_dtypes_lossless(spark, tmp_path):
+    """A long-typed stream time against a double-typed dim time must
+    promote BOTH sides (casting the dim to int64 would truncate t=100.9
+    to 100 and wrongly match a future row backward)."""
+    import os
+
+    left = pd.DataFrame({"t": [100], "lv": [0]})
+    dim = pd.DataFrame({"t": [100.9], "rv": [7]})
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    spark.createDataFrame(left, "t long, lv long").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    from sketchlib.temporal import streaming_asof_enrich
+
+    stream = spark.readStream.schema("t long, lv long").parquet(in_dir)
+    out = streaming_asof_enrich(
+        stream, spark.createDataFrame(dim, "t double, rv long"), on="t",
+        direction="backward",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mixed_enrich")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from mixed_enrich").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 1 and rows[0]["rv"] is None  # 100.9 is in the future
