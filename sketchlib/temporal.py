@@ -334,6 +334,61 @@ def _bucket_and_carries(
     return u, g.select(*sel), keys
 
 
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    by: list[str],
+    gap: float,
+    session_col: str = "session_seq",
+) -> DataFrame:
+    """Gap-based sessionization: assign every row a per-key session
+    sequence number (1-based, in time order) — a new session starts when
+    the gap to the key's previous event exceeds ``gap`` (seconds for
+    timestamps, plain units for numerics). The reusable operator behind
+    the ``sessionized_events`` driver query (same lag + conditional-cumsum
+    window recipe).
+
+    Rows with a NULL ``ts_col`` or any NULL ``by`` key get a NULL session
+    (undefined position in time — consistent with asof_join's NULL
+    semantics). Session flags depend only on the sorted timestamps, so
+    same-timestamp ties cannot flip assignments: the result is
+    deterministic at any partitioning.
+
+    Plan shape: ONE shuffle on the ``by`` keys (the window partition),
+    sort within partitions — keys are the unit of parallelism, the usual
+    shape for per-entity sessionization at any corpus size (user/session
+    cardinality is the scale axis, not per-key history).
+    """
+    if not by:
+        raise ValueError("sessionize requires at least one by key")
+    if gap <= 0:
+        raise ValueError(f"gap must be positive, got {gap}")
+    for c in [ts_col, *by]:
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} missing")
+    _check_on_type(df.schema[ts_col].dataType, "input", ts_col)
+    if session_col in df.columns:
+        raise ValueError(f"session_col {session_col!r} collides with an input column")
+
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(F.col(ts_col))
+    tn = _as_num(F.col(ts_col))
+    delta = tn - F.lag(tn).over(w)
+    # NULL-ts rows sort first in the partition: keep them OUT of the
+    # cumsum (flag 0) so real rows stay 1-based; the first real row sees a
+    # NULL delta (its lag is a NULL-ts row or nothing) and opens session 1
+    new_sess = F.when(
+        F.col(ts_col).isNotNull(),
+        (delta.isNull() | (delta > F.lit(float(gap)))).cast("long"),
+    ).otherwise(F.lit(0))
+    valid = F.col(ts_col).isNotNull()
+    for c in by:
+        valid = valid & F.col(c).isNotNull()
+    # default RANGE frame: same-timestamp ties share one cumsum value, so
+    # the arbitrary order among ties can never split a session number
+    seq = F.sum(new_sess).over(w)
+    return df.withColumn(session_col, F.when(valid, seq))
+
+
 def streaming_asof_enrich(
     stream: DataFrame,
     dim: DataFrame,

@@ -501,3 +501,50 @@ def test_streaming_asof_enrich_mixed_on_dtypes_lossless(spark, tmp_path):
     finally:
         q.stop()
     assert len(rows) == 1 and rows[0]["rv"] is None  # 100.9 is in the future
+
+
+def test_sessionize_matches_pandas_oracle(spark):
+    """sessionize vs a per-key pandas sweep: same session boundaries at
+    gap=30, NULL ts/key rows get NULL sessions, ties share a session."""
+    from sketchlib.temporal import sessionize
+
+    rng = random.Random(5)
+    rows = [(rng.randrange(4), float(rng.randrange(0, 500)), i) for i in range(300)]
+    rows += [(1, None, 900), (None, 5.0, 901), (2, 42.0, 902), (2, 42.0, 903)]
+    df = spark.createDataFrame(rows, "k long, t double, lv long")
+    got = {
+        r["lv"]: r["session_seq"]
+        for r in sessionize(df, "t", by=["k"], gap=30.0).collect()
+    }
+
+    import collections
+
+    per_key = collections.defaultdict(list)
+    for k, t, lv in rows:
+        if k is not None and t is not None:
+            per_key[k].append((t, lv))
+    want = {}
+    for k, evs in per_key.items():
+        evs.sort()
+        seq, prev = 0, None
+        tie_seq = {}
+        for t, lv in evs:
+            if prev is None or t - prev > 30.0:
+                seq += 1
+            # ties share the session of their timestamp
+            tie_seq.setdefault(t, seq)
+            want[lv] = tie_seq[t]
+            prev = t
+    want[900] = None
+    want[901] = None
+    assert got == want
+    # boundary semantics: gap EXACTLY equal does not split
+    b = spark.createDataFrame([(1, 0.0, 0), (1, 30.0, 1), (1, 60.5, 2)], "k long, t double, lv long")
+    gb = {r["lv"]: r["session_seq"] for r in sessionize(b, "t", ["k"], 30.0).collect()}
+    assert gb == {0: 1, 1: 1, 2: 2}
+    with pytest.raises(ValueError, match="gap"):
+        sessionize(b, "t", ["k"], 0)
+    with pytest.raises(ValueError, match="by key"):
+        sessionize(b, "t", [], 30.0)
+    with pytest.raises(ValueError, match="collides"):
+        sessionize(b.withColumnRenamed("lv", "session_seq"), "t", ["k"], 30.0)
