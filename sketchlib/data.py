@@ -157,5 +157,36 @@ def tokenize_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
+) -> DataFrame:
+    """Read one driver table. ``parallelize=True`` opts into the input-skew
+    rescue (optimization guide §2.5 "one huge unsplittable file"): a
+    single-file table with one (or few) row groups scans as ONE task no
+    matter how it is split by bytes — parquet tasks only yield the row
+    groups whose midpoint lands in their range — so every expression
+    pipelined above the scan (regex word splits, gram construction,
+    explodes) runs on one core while the rest of the session idles. The
+    rescue round-robin repartitions to session parallelism right after the
+    read when the file's own layout caps scan parallelism below half the
+    cores. It is OPT-IN per query because the exchange is only a win when
+    the pipelined per-row work dominates (measured: the gram-heavy document
+    queries gain 0.5-1.6 s each, while fan-out to 32 tasks across the many
+    small jobs of collect-heavy queries costs more than the scan itself).
+    Scale-adaptive by construction: a production table (many files / many
+    row groups) never triggers the condition and the plan is untouched."""
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if not parallelize:
+        return df
+    try:
+        if "://" not in path and os.path.getsize(path) >= 256 * 1024:
+            import pyarrow.parquet as _pq
+
+            n_rg = _pq.ParquetFile(path).metadata.num_row_groups
+            par = spark.sparkContext.defaultParallelism
+            if n_rg * 2 <= par:
+                return df.repartition(par)
+    except OSError:
+        pass  # non-local or unreadable path probes: keep the plain scan
+    return df

@@ -22,6 +22,21 @@ from .hll import HllSketch
 DEFAULT_P = 14
 
 
+def _overlap(*thunks):
+    """Run independent Spark actions concurrently from driver threads
+    (optimization guide §2.6): actions are only sequential because the
+    driver calls them sequentially — submitting independent jobs together
+    lets each job's tasks back-fill executors idled by another job's tail,
+    and at toy SF it collapses the fixed per-job overhead of a
+    several-action query into one wall-clock span. Returns the thunk
+    results in order; any thunk's exception propagates."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        futs = [ex.submit(t) for t in thunks]
+        return [f.result() for f in futs]
+
+
 def sequences_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialized canonical sequences table at this scale."""
     return sequences_parquet(spark, rows_for_sf_dir(sf_dir))
@@ -270,13 +285,24 @@ def cms_token_freq_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFra
         .orderBy(F.desc("exact_cnt"), F.asc("token"))
         .limit(k)
     )
-    probes = [r["token"] for r in exact_top.collect()]
-    n_total = seqs.agg(F.sum("n_tok")).collect()[0][0]
+    # overlap the two independent pre-jobs (guide §2.6): the exact top-k
+    # scan and the corpus token total
+    top_rows, n_total = _overlap(
+        exact_top.collect, lambda: seqs.agg(F.sum("n_tok")).collect()[0][0]
+    )
+    probes = [r["token"] for r in top_rows]
     agg = CmsAggregator(width_log2=18, depth=5, key_cols=[], value_col="tokens", value_kind="tokens")
     est = agg.point_estimates(path, probes, spark=spark).withColumnRenamed("value", "token")
     eps = 2.718281828459045 / (1 << 18)
+    # the k collected (token, exact_cnt) rows ARE the exact top-k — join the
+    # literal rows instead of re-running the explode+groupBy scan inside the
+    # final job (guide §1.2: don't compute things twice)
+    exact_lit = spark.createDataFrame(
+        [(int(r["token"]), int(r["exact_cnt"])) for r in top_rows],
+        "token int, exact_cnt long",
+    )
     return (
-        exact_top.join(est, "token")
+        exact_lit.join(est, "token")
         .select(
             "token",
             "exact_cnt",
@@ -1215,11 +1241,6 @@ def doc_rarity_mass(spark: SparkSession, sf_dir: str, bottom_k: int = 10) -> Dat
     agg = CmsAggregator(
         width_log2=18, depth=5, key_cols=[], value_col="tokens", value_kind="tokens"
     )
-    blob = bytes(agg.merged(path, spark=spark).collect()[0]["sketch"])
-    # the merged sketch already knows the stream length and its own eps —
-    # no second corpus scan, no duplicated width literal
-    _s = CountMinSketch.from_bytes(blob)
-    per_tok_bound = int(np.ceil(_s.epsilon * _s.total))
 
     # EXACT companion frequency model: the vocabulary-sized (tok, count)
     # table collected to the driver and broadcast as two sorted numpy
@@ -1239,7 +1260,16 @@ def doc_rarity_mass(spark: SparkSession, sf_dir: str, bottom_k: int = 10) -> Dat
     # post-collect check cannot prevent the OOM it guards against): the
     # limit bounds the Arrow transfer to cap+1 rows, and the overflow
     # raises without ever materializing an open vocabulary driver-side.
-    freq_pdf = freq.limit(_VOCAB_CAP + 1).toPandas()
+    # The CMS build and the exact vocabulary are independent scans —
+    # overlap them (guide §2.6)
+    blob, freq_pdf = _overlap(
+        lambda: bytes(agg.merged(path, spark=spark).collect()[0]["sketch"]),
+        lambda: freq.limit(_VOCAB_CAP + 1).toPandas(),
+    )
+    # the merged sketch already knows the stream length and its own eps —
+    # no second corpus scan, no duplicated width literal
+    _s = CountMinSketch.from_bytes(blob)
+    per_tok_bound = int(np.ceil(_s.epsilon * _s.total))
     if len(freq_pdf) > _VOCAB_CAP:
         raise ValueError(
             f"exact rarity companion caps at 2^24 vocabulary entries; "
@@ -1506,15 +1536,23 @@ def corpus_profile_per_source(
     from .agg import ProfileAggregator
 
     agg = ProfileAggregator(p=p, kll_k=200, key_cols=["source"])
-    prof = agg.profile(
-        sequences_path(spark, sf_dir), qs=(0.5, 0.9), spark=spark
-    ).localCheckpoint(eager=True)
-
     seqs = sequences_for(spark, sf_dir)
-    exact_distinct = (
-        seqs.select("source", F.explode("tokens").alias("tok"))
+    # the composite-sketch build and the exact distinct companion are
+    # independent scans — overlap them (guide §2.6); the collected exact
+    # rows (one per source) re-enter the final plan as literals so the
+    # explode+distinct scan is not re-run inside the final job
+    prof, exact_rows = _overlap(
+        lambda: agg.profile(
+            sequences_path(spark, sf_dir), qs=(0.5, 0.9), spark=spark
+        ).localCheckpoint(eager=True),
+        lambda: seqs.select("source", F.explode("tokens").alias("tok"))
         .groupBy("source")
         .agg(F.countDistinct("tok").alias("exact_distinct"))
+        .collect(),
+    )
+    exact_distinct = spark.createDataFrame(
+        [(r["source"], int(r["exact_distinct"])) for r in exact_rows],
+        "source string, exact_distinct long",
     )
     # exact rank of each estimated quantile value, computed per source in
     # one aggregation over the n_tok column
@@ -1576,16 +1614,21 @@ def near_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "doc_id", F.col("doc_id").cast("string")
     )
-    uniq = exact_dedup(docs, ["text"], keep_col="doc_id")
-    seqs = tokenize_documents(uniq)
-    kept = near_dedup(seqs, threshold=0.8, k=128, bands=32)
+
+    def dedup_leg():
+        uniq = exact_dedup(docs, ["text"], keep_col="doc_id")
+        seqs = tokenize_documents(uniq)
+        return near_dedup(seqs, threshold=0.8, k=128, bands=32)
+
+    # the dedup pipeline (internally a chain of eager LSH jobs) and the two
+    # law-companion counts are independent — overlap them (guide §2.6)
+    kept, n_docs, distinct_texts = _overlap(
+        dedup_leg, docs.count, lambda: docs.select("text").distinct().count()
+    )
     # kept drives two actions (count + the law join): cache so the LSH
     # candidate/verify/anti-join pipeline runs once
     kept_ids = kept.select("doc_id").cache()
-
-    n_docs = docs.count()
     n_survivors = kept_ids.count()
-    distinct_texts = docs.select("text").distinct().count()
 
     # exact-dup law: within each same-text group, the min doc_id survives
     # and every other member is dropped
@@ -1674,7 +1717,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import connected_components, ngram_jaccard_edges
     from .session import release
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     # edge generation wants full session parallelism (it scans the corpus);
     # materialize the tiny edge set once so the CC loop — whose cost is
     # per-iteration task overhead on a few hundred label rows — can run on
@@ -2403,7 +2446,7 @@ def curation_pipeline(
 
     from .textstats import repetition_signals
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
     base = repetition_signals(docs, ns=(2,)).select(
         "doc_id",
@@ -2488,7 +2531,7 @@ def duplicate_ngram_spans(
     from .bloom import BloomFilter
     from .dedup import word_span_bloom_scores, word_span_fps
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     words_expr = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
     based = docs.select("doc_id", words_expr.alias("words"))
 
@@ -2568,7 +2611,7 @@ def ngram_decontamination(spark: SparkSession, sf_dir: str, n: int = 8) -> DataF
     from .agg import BloomAggregator
     from .dedup import word_span_bloom_scores, word_span_fps
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
     words_expr = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
@@ -2586,31 +2629,37 @@ def ngram_decontamination(spark: SparkSession, sf_dir: str, n: int = 8) -> DataF
     bagg = BloomAggregator(
         m_log2=20, k=7, key_cols=[], value_col="fp", value_kind="int64"
     )
-    merged_rows = bagg.merged(bench_fps).collect()
-    if merged_rows:
-        blob = bytes(merged_rows[0]["sketch"])
-    else:
-        # benchmark split has no doc with >= n words: nothing can leak
-        from .bloom import BloomFilter
 
-        blob = BloomFilter.empty(20, 7).to_bytes()
-    scored = word_span_bloom_scores(train, blob, "doc_id", "words", n)
-    flagged_ids = {
-        r["doc_id"] for r in scored.where(F.col("flagged_spans") >= 1).collect()
-    }
+    # Bloom leg (build filter -> score train), exact companion, and split
+    # counts are independent pipelines over the shared checkpoint — overlap
+    # them (guide §2.6) instead of four sequential driver actions
+    def bloom_leg():
+        merged_rows = bagg.merged(bench_fps).collect()
+        if merged_rows:
+            blob = bytes(merged_rows[0]["sketch"])
+        else:
+            # benchmark split has no doc with >= n words: nothing can leak
+            from .bloom import BloomFilter
 
-    # exact companion: real gram strings, bench-distinct semi-join
-    grams = _word_gram_strings(n)
-    bench_grams = bench.select(F.explode(grams).alias("gram")).distinct()
-    contaminated = (
-        train.select("doc_id", F.explode(grams).alias("gram"))
-        .join(bench_grams, "gram", "left_semi")
-        .select("doc_id")
-        .distinct()
+            blob = BloomFilter.empty(20, 7).to_bytes()
+        scored = word_span_bloom_scores(train, blob, "doc_id", "words", n)
+        return {r["doc_id"] for r in scored.where(F.col("flagged_spans") >= 1).collect()}
+
+    def exact_leg():
+        # exact companion: real gram strings, bench-distinct semi-join
+        grams = _word_gram_strings(n)
+        bench_grams = bench.select(F.explode(grams).alias("gram")).distinct()
+        contaminated = (
+            train.select("doc_id", F.explode(grams).alias("gram"))
+            .join(bench_grams, "gram", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        return {r["doc_id"] for r in contaminated.collect()}
+
+    flagged_ids, exact_ids, n_bench, n_train = _overlap(
+        bloom_leg, exact_leg, bench.count, train.count
     )
-    exact_ids = {r["doc_id"] for r in contaminated.collect()}
-    n_bench = bench.count()
-    n_train = train.count()
     from .session import release
 
     release(based)
@@ -2664,36 +2713,49 @@ def merge_law_identity(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> 
     # resume leg below, which re-reads the parquet shard by shard.
     from .session import release
 
-    partials = agg.partials_from_parquet(spark, path).localCheckpoint(eager=True)
+    def merges_leg():
+        partials = agg.partials_from_parquet(spark, path).localCheckpoint(eager=True)
 
-    def collect_merged(salt):
-        return {
-            r["source"]: (bytes(r["sketch"]), r["n_rows"], r["n_items"])
-            for r in agg.merged(partials, salt=salt, is_partials=True).collect()
-        }
+        def collect_merged(salt):
+            return {
+                r["source"]: (bytes(r["sketch"]), r["n_rows"], r["n_items"])
+                for r in agg.merged(partials, salt=salt, is_partials=True).collect()
+            }
 
-    try:
-        # the three merge topologies are independent jobs over the SAME
-        # checkpointed partials — run them concurrently (Spark's scheduler
-        # interleaves jobs from separate threads). Safe: the auto leg's
-        # internal DataFrame.unpersist only drops its SQL-cache entry, never
-        # the RDD-level localCheckpoint blocks, which are released once in
-        # the finally below after all three complete.
-        from concurrent.futures import ThreadPoolExecutor
+        try:
+            # the three merge topologies are independent jobs over the SAME
+            # checkpointed partials — run them concurrently (Spark's
+            # scheduler interleaves jobs from separate threads). Safe: the
+            # auto leg's internal DataFrame.unpersist only drops its SQL-
+            # cache entry, never the RDD-level localCheckpoint blocks, which
+            # are released once in the finally below after all three
+            # complete.
+            from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=3) as ex:
-            f_direct = ex.submit(collect_merged, None)
-            f_salted = ex.submit(collect_merged, 8)
-            f_auto = ex.submit(collect_merged, "auto")
-            direct, salted, auto = f_direct.result(), f_salted.result(), f_auto.result()
-    finally:
-        release(partials)
-    ckpt = CheckpointedBuild(agg, tempfile.mkdtemp(prefix="sketchlib_ckpt_"))
-    first = ckpt.run(spark, path, max_shards=1)
-    resumed_shards = ckpt.run_to_completion(spark, path)
-    noop = ckpt.run(spark, path)
-    resumed = {r["source"]: bytes(r["sketch"]) for r in ckpt.merged(spark).collect()}
-    m = ckpt.metrics(spark).collect()[0]
+            with ThreadPoolExecutor(max_workers=3) as ex:
+                f_direct = ex.submit(collect_merged, None)
+                f_salted = ex.submit(collect_merged, 8)
+                f_auto = ex.submit(collect_merged, "auto")
+                return f_direct.result(), f_salted.result(), f_auto.result()
+        finally:
+            release(partials)
+
+    def resume_leg():
+        # the checkpointed-resume protocol is internally sequential by
+        # construction (interrupt -> resume -> no-op is the law under test)
+        ckpt = CheckpointedBuild(agg, tempfile.mkdtemp(prefix="sketchlib_ckpt_"))
+        first = ckpt.run(spark, path, max_shards=1)
+        resumed_shards = ckpt.run_to_completion(spark, path)
+        noop = ckpt.run(spark, path)
+        resumed = {r["source"]: bytes(r["sketch"]) for r in ckpt.merged(spark).collect()}
+        m = ckpt.metrics(spark).collect()[0]
+        return first, resumed_shards, noop, resumed, m
+
+    # the merge-topology leg and the resume leg are fully independent
+    # pipelines over the same immutable parquet — overlap them (guide §2.6)
+    (direct, salted, auto), (first, resumed_shards, noop, resumed, m) = _overlap(
+        merges_leg, resume_leg
+    )
     n_shards = len(enumerate_shards(path))
     protocol_ok = bool(first == 1 and resumed_shards == n_shards - 1 and noop == 0)
     lineage_ok = bool(m["shards"] == n_shards and m["items"] > 0)
@@ -2729,7 +2791,7 @@ def textstats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces exactly in the DuckDB oracle."""
     from .textstats import quality_stats, repetition_signals, token_count_bpe_ish
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     q = quality_stats(docs).withColumn("tok", token_count_bpe_ish(F.col("text")))
     q = repetition_signals(q, ns=(2,))
     g = (
@@ -2803,25 +2865,38 @@ def source_overlap(
         hll_agg = HllAggregator(
             p=p, key_cols=["source"], value_col="tokens", value_kind="tokens"
         )
-        merged = hll_agg.merged(filtered).localCheckpoint(eager=True)
-        est_udf = hll_agg.estimate_udf()
-        # ONE action for the three HLL estimates: per-source rows + the
-        # distributed keyless union merge, unioned before the collect
-        est_rows = (
-            merged.select("source", est_udf(F.col("sketch")).alias("est"))
-            .unionByName(
-                hll_agg.rollup_total(merged).select(
-                    F.lit("__union__").alias("source"),
-                    est_udf(F.col("sketch")).alias("est"),
-                )
-            )
-            .collect()
-        )
         kmv_agg = KmvAggregator(
             k=k, key_cols=["source"], value_col="tokens", value_kind="tokens"
         )
-        blobs = {r["source"]: bytes(r["sketch"]) for r in kmv_agg.merged(filtered).collect()}
-        exact_row = _exact_pair_counts(spark, filtered, [a_src, b_src]).collect()[0]
+
+        # the three legs (HLL estimates, KMV blobs, exact companion) are
+        # independent consumers of the persisted two-source slice — overlap
+        # them (guide §2.6; the block manager serializes the cache fill per
+        # partition, so concurrent first readers compute it exactly once)
+        def hll_leg():
+            nonlocal merged
+            merged = hll_agg.merged(filtered).localCheckpoint(eager=True)
+            est_udf = hll_agg.estimate_udf()
+            # ONE action for the three HLL estimates: per-source rows + the
+            # distributed keyless union merge, unioned before the collect
+            return (
+                merged.select("source", est_udf(F.col("sketch")).alias("est"))
+                .unionByName(
+                    hll_agg.rollup_total(merged).select(
+                        F.lit("__union__").alias("source"),
+                        est_udf(F.col("sketch")).alias("est"),
+                    )
+                )
+                .collect()
+            )
+
+        est_rows, blobs, exact_row = _overlap(
+            hll_leg,
+            lambda: {
+                r["source"]: bytes(r["sketch"]) for r in kmv_agg.merged(filtered).collect()
+            },
+            lambda: _exact_pair_counts(spark, filtered, [a_src, b_src]).collect()[0],
+        )
     finally:
         filtered.unpersist()
         if merged is not None:
@@ -2887,15 +2962,16 @@ def source_jaccard_matrix(
     kmv_agg = KmvAggregator(k=k, key_cols=["source"], value_col="tokens", value_kind="tokens")
     hll_merged = kmv_merged = None
     try:
-        hll_merged = (
-            hll_agg.merged(path, spark=spark)
+        # the two sketch-family builds are independent scans of the same
+        # parquet — overlap them (guide §2.6) instead of paying two
+        # sequential scan+shuffle+merge jobs
+        hll_merged, kmv_merged = _overlap(
+            lambda: hll_agg.merged(path, spark=spark)
             .select("source", "sketch")
-            .localCheckpoint(eager=True)
-        )
-        kmv_merged = (
-            kmv_agg.merged(path, spark=spark)
+            .localCheckpoint(eager=True),
+            lambda: kmv_agg.merged(path, spark=spark)
             .select("source", "sketch")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True),
         )
 
         est_udf = hll_agg.estimate_udf()
@@ -3299,7 +3375,7 @@ def training_mix_pack(
     from .session import release
     from .textstats import token_count_bpe_ish
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_table(spark, sf_dir, "documents", parallelize=True).select(
         "doc_id", "source", token_count_bpe_ish(F.col("text")).alias("n_tok")
     )
     selected = packed = None
