@@ -558,11 +558,47 @@ def ngram_jaccard_edges(
     ).select("a", "b", "shared", "na", "nb")
 
 
+def _cc_local(spark, edge_rows, a_col: str, b_col: str, schema) -> DataFrame:
+    """Driver-side union-find for sub-broadcast-size edge lists: the same
+    (node, label=min reachable id) contract as the distributed loop, in one
+    O(E alpha) pass instead of O(log diameter) Spark rounds. Path
+    compression + union by the SMALLER root id keeps every root the true
+    component minimum."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edge_rows:
+        a, b = row[a_col], row[b_col]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by id: the smaller id becomes the root, so every root
+            # ends as its component's minimum (mirrors min-label fixpoint)
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(n, find(n)) for n in parent]
+    # checkpoint so the result is releasable via session.release, exactly
+    # like the distributed loop's returned labels
+    return spark.createDataFrame(rows, schema).localCheckpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame,
     a_col: str = "a",
     b_col: str = "b",
     max_iter: int = 25,
+    local_edge_cap: int = 250_000,
 ) -> DataFrame:
     """Distributed connected components by min-label propagation WITH
     pointer jumping (path doubling): every node's label converges to the
@@ -596,6 +632,27 @@ def connected_components(
     Returns (node, label): one row per node incident to >= 1 edge.
     """
     from .session import release
+
+    # Small-graph fast path (the GraphFrames-style broadcast-threshold
+    # idea): duplicate-edge lists are duplicate-proportional, usually
+    # orders of magnitude smaller than the corpus. Below the cap, collect
+    # and solve with union-find on the driver — one job instead of
+    # O(log diameter) iterative rounds of join+aggregate+checkpoint, with
+    # the identical (node, min-reachable-label) result (tested against the
+    # distributed loop). Above the cap the distributed pointer-jumping
+    # loop below is the path; `local_edge_cap=0` disables the fast path.
+    if local_edge_cap:
+        spark = edges.sparkSession
+        head = edges.select(a_col, b_col).limit(local_edge_cap + 1).collect()
+        if len(head) <= local_edge_cap:
+            a_field = edges.schema[a_col]
+            schema = T.StructType(
+                [
+                    T.StructField("node", a_field.dataType, a_field.nullable),
+                    T.StructField("label", a_field.dataType, a_field.nullable),
+                ]
+            )
+            return _cc_local(spark, head, a_col, b_col, schema)
 
     esym = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))

@@ -37,6 +37,32 @@ _LINEAGE_FIELDS = [
 ]
 
 
+def scratch_dir(prefix: str) -> str:
+    """Fresh ephemeral scratch directory on the fastest local medium.
+
+    The driver queries' stream checkpoints, interrupted-build partials and
+    scratch tables are write-heavy and fsync-bound when /tmp sits on a real
+    disk (guide §6 I/O): a RAM-backed tmpfs serves the same small-file
+    commit traffic at memory speed. These paths are per-run scratch — every
+    query run creates a fresh one and nothing is reused across runs — so
+    durability is irrelevant here; production callers pass their own
+    durable checkpoint locations explicitly. Override the root with
+    ``SKETCHLIB_SCRATCH`` (set it to a disk path to opt out of tmpfs).
+    """
+    import tempfile
+
+    root = os.environ.get("SKETCHLIB_SCRATCH")
+    if root is None and os.path.isdir("/dev/shm"):
+        root = "/dev/shm/sketchlib_scratch"
+    if root:
+        try:
+            os.makedirs(root, exist_ok=True)
+            return tempfile.mkdtemp(prefix=prefix, dir=root)
+        except OSError:
+            pass  # unwritable override/tmpfs: fall through to the default
+    return tempfile.mkdtemp(prefix=prefix)
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     """True when an Iceberg runtime + catalog is on the classpath/config.
 

@@ -18,6 +18,7 @@ from pyspark.sql import types as T
 from .agg import HllAggregator
 from .data import load_table, rows_for_sf_dir, sequences_parquet
 from .hll import HllSketch
+from .io import scratch_dir as _scratch_dir
 
 DEFAULT_P = 14
 
@@ -556,23 +557,24 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").cast("long").alias("k")
     )
     agg = CmsAggregator(width_log2=18, depth=5, key_cols=[], value_col="k", value_kind="int64")
-    cms_li = CountMinSketch.from_bytes(
-        bytes(agg.merged(li).collect()[0]["sketch"])
-    )
-    cms_pt = CountMinSketch.from_bytes(
-        bytes(agg.merged(pt).collect()[0]["sketch"])
-    )
-    est_self = CountMinSketch.inner_product(cms_li, cms_li)
-    est_join = CountMinSketch.inner_product(cms_li, cms_pt)
-
-    exact_self = (
-        li.groupBy("k")
+    # six independent jobs (two sketch builds, two exact companions, two
+    # row counts) — overlap them (guide §2.6) instead of paying six
+    # sequential job latencies
+    blob_li, blob_pt, exact_self, exact_join, n_li, n_pt = _overlap(
+        lambda: bytes(agg.merged(li).collect()[0]["sketch"]),
+        lambda: bytes(agg.merged(pt).collect()[0]["sketch"]),
+        lambda: li.groupBy("k")
         .count()
         .agg(F.sum(F.col("count") * F.col("count")).alias("s"))
-        .collect()[0]["s"]
+        .collect()[0]["s"],
+        lambda: li.join(pt, "k").count(),
+        li.count,
+        pt.count,
     )
-    exact_join = li.join(pt, "k").count()
-    n_li, n_pt = li.count(), pt.count()
+    cms_li = CountMinSketch.from_bytes(blob_li)
+    cms_pt = CountMinSketch.from_bytes(blob_pt)
+    est_self = CountMinSketch.inner_product(cms_li, cms_li)
+    est_join = CountMinSketch.inner_product(cms_li, cms_pt)
     eps = cms_li.epsilon  # e / width, from the ACTUAL sketch config
     return spark.createDataFrame(
         [
@@ -624,13 +626,17 @@ def bloom_semijoin_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = BloomAggregator(m_log2=18, k=7, key_cols=[], value_col="p_partkey", value_kind="int64")
     blob = bytes(agg.merged(part).collect()[0]["sketch"])
     maybe_member = agg.filter_column_udf()(blob)
-    pre_cnt = li.where(maybe_member(F.col("l_partkey"))).count()
-    exact_cnt = li.join(
-        part.select("p_partkey").distinct(),
-        li["l_partkey"] == F.col("p_partkey"),
-        "left_semi",
-    ).count()
-    keys_missed = part.select("p_partkey").where(~maybe_member(F.col("p_partkey"))).count()
+    # the three counts are independent jobs over the built filter — overlap
+    # them (guide §2.6)
+    pre_cnt, exact_cnt, keys_missed = _overlap(
+        lambda: li.where(maybe_member(F.col("l_partkey"))).count(),
+        lambda: li.join(
+            part.select("p_partkey").distinct(),
+            li["l_partkey"] == F.col("p_partkey"),
+            "left_semi",
+        ).count(),
+        lambda: part.select("p_partkey").where(~maybe_member(F.col("p_partkey"))).count(),
+    )
     return spark.createDataFrame(
         [(exact_cnt, keys_missed == 0 and pre_cnt >= exact_cnt)],
         "exact_semi_count long, no_false_negatives boolean",
@@ -645,13 +651,20 @@ def bloom_laws(spark: SparkSession, sf_dir: str) -> DataFrame:
     share a sparse schema; not-applicable fields carry the sentinel -1
     rather than NULL (the driver compare sorts raw value tuples, and
     NULL-vs-int is unorderable in python)."""
-    member = bloom_users_no_false_negatives(spark, sf_dir).select(
+    # the two facets are independent pipelines (events membership vs
+    # lineitem/part semi-join) with their own internal eager jobs — build
+    # them concurrently (guide §2.6)
+    member_df, semi_df = _overlap(
+        lambda: bloom_users_no_false_negatives(spark, sf_dir),
+        lambda: bloom_semijoin_prefilter(spark, sf_dir),
+    )
+    member = member_df.select(
         F.lit("membership").alias("facet"),
         "user_id",
         F.lit(-1).cast("long").alias("exact_semi_count"),
         F.col("present").alias("law_holds"),
     )
-    semi = bloom_semijoin_prefilter(spark, sf_dir).select(
+    semi = semi_df.select(
         F.lit("semijoin").alias("facet"),
         F.lit(-1).cast("long").alias("user_id"),
         "exact_semi_count",
@@ -723,9 +736,10 @@ def kll_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = KllAggregator(k=200, key_cols=[], value_col="n_tok", value_kind="int32")
     qs = [i / 10 for i in range(1, 10)]
     est = agg.quantiles(sequences_path(spark, sf_dir), qs, spark=spark)
-    pairs = [(r["q"], r["value"]) for r in est.collect()]
     seqs = sequences_for(spark, sf_dir)
-    n = seqs.count()
+    # the sketch build and the row count are independent — overlap (§2.6)
+    est_rows, n = _overlap(est.collect, seqs.count)
+    pairs = [(r["q"], r["value"]) for r in est_rows]
     aggs = [
         (F.sum((F.col("n_tok") <= F.lit(v)).cast("long")) / F.lit(n)).alias(f"r{i}")
         for i, (_, v) in enumerate(pairs)
@@ -744,8 +758,9 @@ _TD_QS = [0.01, 0.25, 0.5, 0.75, 0.99]
 def _rank_accuracy(spark, sf_dir, est_df, value_col: str, tol: float) -> DataFrame:
     """Exact rank of each estimated quantile, asserted within tolerance."""
     events = load_table(spark, sf_dir, "events")
-    n = events.count()
-    pairs = [(r["q"], r["value"]) for r in est_df.collect()]
+    # count and sketch build are independent — overlap (guide §2.6)
+    n, est_rows = _overlap(events.count, est_df.collect)
+    pairs = [(r["q"], r["value"]) for r in est_rows]
     aggs = [
         (F.sum((F.col(value_col) <= F.lit(v)).cast("long")) / F.lit(n)).alias(f"r{i}")
         for i, (_, v) in enumerate(pairs)
@@ -794,10 +809,13 @@ def kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     check into one driver entry (same two computations, one slot): global
     rows are tagged event_type='__all__'. Both facets assert the published
     KLL rank-error bound (~1.65% at k=200; tol 3%) via exact ranks."""
-    glob = kll_value_rank_accuracy(spark, sf_dir).select(
-        F.lit("__all__").alias("event_type"), "q", "within_bound"
+    # the global and per-type facets are independent pipelines with their
+    # own internal eager jobs — build them concurrently (guide §2.6)
+    glob_df, per = _overlap(
+        lambda: kll_value_rank_accuracy(spark, sf_dir),
+        lambda: kll_value_quantiles_per_type(spark, sf_dir),
     )
-    per = kll_value_quantiles_per_type(spark, sf_dir)
+    glob = glob_df.select(F.lit("__all__").alias("event_type"), "q", "within_bound")
     return per.unionByName(glob).orderBy("event_type", "q")
 
 
@@ -829,32 +847,41 @@ def hll_users_time_rollup(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) 
     grains = ("hour", "day", "week")
     events = load_table(spark, sf_dir, "events")
     agg = HllAggregator(p=p, key_cols=["bucket"], value_col="user_id", value_kind="int64")
-    roll = agg.time_rollup(events, "ts", grains=grains)
+    # exact companion from ONE scan: explode each event onto its three
+    # (grain, bucket) cells, one groupBy — not one scan+shuffle per grain.
+    # The sketch rollup build and the exact companion are independent —
+    # overlap them (guide §2.6); the ~900 exact rows re-enter the final
+    # plan as literals.
+    exact_plan = (
+        events.select(
+            "user_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(g).alias("grain"),
+                            F.date_trunc(g, "ts")
+                            .cast("timestamp_ntz")
+                            .alias("bucket"),
+                        )
+                        for g in grains
+                    ]
+                )
+            ).alias("gb"),
+        )
+        .groupBy(F.col("gb.grain").alias("grain"), F.col("gb.bucket").alias("bucket"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    roll, exact_rows = _overlap(
+        lambda: agg.time_rollup(events, "ts", grains=grains), exact_plan.collect
+    )
     try:
         est = roll.select(
             "grain", "bucket", agg.estimate_udf()(F.col("sketch")).alias("est")
         )
-        # exact companion from ONE scan: explode each event onto its three
-        # (grain, bucket) cells, one groupBy — not one scan+shuffle per grain
-        exact = (
-            events.select(
-                "user_id",
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(g).alias("grain"),
-                                F.date_trunc(g, "ts")
-                                .cast("timestamp_ntz")
-                                .alias("bucket"),
-                            )
-                            for g in grains
-                        ]
-                    )
-                ).alias("gb"),
-            )
-            .groupBy(F.col("gb.grain").alias("grain"), F.col("gb.bucket").alias("bucket"))
-            .agg(F.countDistinct("user_id").alias("exact_users"))
+        exact = spark.createDataFrame(
+            [(r["grain"], r["bucket"], int(r["exact_users"])) for r in exact_rows],
+            "grain string, bucket timestamp_ntz, exact_users long",
         )
         bound = 5.0 * HllSketch.std_error(p)
         out = (
@@ -963,18 +990,29 @@ def hll_tokens_rollup(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> D
     # per-source rows (agg.rollup_total) — no driver-side sketch loop, so the
     # same plan holds at 10^6 group keys (VERDICT r02 #3). Only (source, est)
     # integers ever reach the driver.
-    merged = agg.merged(path, spark=spark).localCheckpoint(eager=True)
-    est_udf = agg.estimate_udf()
-    rolled = merged.select("source", "sketch").unionByName(
-        agg.rollup_total(merged).select(F.lit("ALL").alias("source"), "sketch")
-    )
-    est = {
-        r["source"]: int(r["est"])
-        for r in rolled.select("source", est_udf(F.col("sketch")).alias("est")).collect()
-    }
+    def sketch_leg():
+        merged = agg.merged(path, spark=spark).localCheckpoint(eager=True)
+        est_udf = agg.estimate_udf()
+        rolled = merged.select("source", "sketch").unionByName(
+            agg.rollup_total(merged).select(F.lit("ALL").alias("source"), "sketch")
+        )
+        return {
+            r["source"]: int(r["est"])
+            for r in rolled.select("source", est_udf(F.col("sketch")).alias("est")).collect()
+        }
 
-    srcs = sorted(s for s in est if s != "ALL")
-    masks, cnts = _source_mask_histogram(sequences_for(spark, sf_dir), srcs)
+    def exact_leg():
+        seqs = sequences_for(spark, sf_dir)
+        srcs = sorted(
+            r["source"] for r in seqs.select("source").distinct().collect()
+        )
+        return srcs, _source_mask_histogram(seqs, srcs)
+
+    # the sketch rollup and the exact bitmask histogram are independent
+    # pipelines over the same table — overlap them (guide §2.6); the exact
+    # leg derives the source list itself (a cheap distinct) instead of
+    # waiting on the sketch estimates
+    est, (srcs, (masks, cnts)) = _overlap(sketch_leg, exact_leg)
     exact = {s: int(cnts[(masks & (1 << i)) != 0].sum()) for i, s in enumerate(srcs)}
     exact["ALL"] = int(cnts.sum())
     bound = 3.0 * HllSketch.std_error(p)
@@ -1010,17 +1048,7 @@ def hll_users_cube(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> Data
         agg = HllAggregator(
             p=p, key_cols=["day", "event_type"], value_col="user_id", value_kind="int64"
         )
-        merged = agg.merged(events).localCheckpoint(eager=True)
-        # join on grouping_id TOO (both sides use Spark's bitmask
-        # convention): a genuine NULL key row and a rollup row would
-        # otherwise coalesce to the same 'ALL' label and cross-join
-        est_df = agg.cube(merged).select(
-            F.coalesce(F.col("day"), F.lit("ALL")).alias("day"),
-            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
-            "grouping_id",
-            agg.estimate_udf()(F.col("sketch")).alias("est"),
-        )
-        exact = (
+        exact_plan = (
             events.cube("day", "event_type")
             .agg(
                 F.countDistinct("user_id").alias("distinct_users"),
@@ -1032,6 +1060,29 @@ def hll_users_cube(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> Data
                 "grouping_id",
                 "distinct_users",
             )
+        )
+        # the sketch build and the native-cube exact companion are
+        # independent — overlap them (guide §2.6); the exact rows re-enter
+        # the final plan as literals
+        merged, exact_rows = _overlap(
+            lambda: agg.merged(events).localCheckpoint(eager=True),
+            exact_plan.collect,
+        )
+        # join on grouping_id TOO (both sides use Spark's bitmask
+        # convention): a genuine NULL key row and a rollup row would
+        # otherwise coalesce to the same 'ALL' label and cross-join
+        est_df = agg.cube(merged).select(
+            F.coalesce(F.col("day"), F.lit("ALL")).alias("day"),
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            "grouping_id",
+            agg.estimate_udf()(F.col("sketch")).alias("est"),
+        )
+        exact = spark.createDataFrame(
+            [
+                (r["day"], r["event_type"], int(r["grouping_id"]), int(r["distinct_users"]))
+                for r in exact_rows
+            ],
+            "day string, event_type string, grouping_id long, distinct_users long",
         )
         bound = 3.0 * HllSketch.std_error(p)
         return (
@@ -1427,7 +1478,20 @@ def decontamination_check(
 
     train_fps = train.select("tokens").mapInArrow(explode_fps, fp_schema)
     bagg = BloomAggregator(m_log2=22, k=7, key_cols=[], value_col="fp", value_kind="int64")
-    blob = bytes(bagg.merged(train_fps).collect()[0]["sketch"])
+    # overlap the Bloom build with the independent exact semi-join and the
+    # benchmark count (guide §2.6) — all three read only the shared
+    # checkpointed split
+    blob, exact_ids, n_bench = _overlap(
+        lambda: bytes(bagg.merged(train_fps).collect()[0]["sketch"]),
+        lambda: bench.join(
+            train.select(F.col("text").alias("t_text")).distinct(),
+            F.col("text") == F.col("t_text"),
+            "left_semi",
+        )
+        .select("doc_id")
+        .localCheckpoint(eager=True),
+        bench.count,
+    )
 
     bench_fps_schema = T.StructType(
         [
@@ -1458,20 +1522,16 @@ def decontamination_check(
         .agg((F.sum("hit") / F.count("*")).alias("frac"))
         .localCheckpoint(eager=True)  # one bench row per doc; reused twice
     )
-    flagged = frac.where(F.col("frac") >= threshold).count()
-    exact_ids = bench.join(
-        train.select(F.col("text").alias("t_text")).distinct(),
-        F.col("text") == F.col("t_text"),
-        "left_semi",
-    ).select("doc_id").localCheckpoint(eager=True)
-    exact = exact_ids.count()
-    n_bench = bench.count()
-    # verify the no-false-negative law doc-by-doc: every benchmark doc whose
-    # text appears in train must have frac >= threshold
-    missed = (
-        exact_ids.join(frac, "doc_id", "left")
+    # the three final counters are independent jobs over the two
+    # checkpoints — overlap them too; `missed` verifies the
+    # no-false-negative law doc-by-doc: every benchmark doc whose text
+    # appears in train must have frac >= threshold
+    flagged, exact, missed = _overlap(
+        lambda: frac.where(F.col("frac") >= threshold).count(),
+        exact_ids.count,
+        lambda: exact_ids.join(frac, "doc_id", "left")
         .where((F.col("frac") < threshold) | F.col("frac").isNull())
-        .count()
+        .count(),
     )
     return spark.createDataFrame(
         [(int(n_bench), int(exact), bool(flagged >= exact), bool(missed == 0))],
@@ -1999,7 +2059,6 @@ def sql_over_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered sketch UDFs: per-source exact row/item rollups (SQL-exact,
     oracle-checked) plus the sketch estimate asserted within 3 sigma of the
     exact distinct count — all computed IN SQL over the checkpoint table."""
-    import tempfile
 
     from .agg import HllAggregator
     from .functions import register
@@ -2008,12 +2067,28 @@ def sql_over_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     register(spark)
     path = sequences_path(spark, sf_dir)
     agg = HllAggregator(p=14, key_cols=["source"])
-    ckpt = CheckpointedBuild(agg, tempfile.mkdtemp(prefix="sketchlib_sql_"))
-    ckpt.run_to_completion(spark, path)
+    ckpt = CheckpointedBuild(agg, _scratch_dir(prefix="sketchlib_sql_"))
+    spark.read.parquet(path).createOrReplaceTempView("seqs_for_sql")
+
+    # the checkpointed build and the exact-distinct companion (itself pure
+    # SQL over the same table) are independent — overlap them (guide §2.6);
+    # the companion's 12 rows re-enter the final SQL as a temp view so the
+    # explode+distinct scan is not re-run inside the final job
+    def exact_leg():
+        rows = spark.sql(
+            "SELECT source, COUNT(DISTINCT tok) AS exact_distinct "
+            "FROM (SELECT source, explode(tokens) AS tok FROM seqs_for_sql) "
+            "GROUP BY source"
+        ).collect()
+        spark.createDataFrame(
+            [(r["source"], int(r["exact_distinct"])) for r in rows],
+            "source string, exact_distinct long",
+        ).createOrReplaceTempView("exact_for_sql")
+
+    _overlap(lambda: ckpt.run_to_completion(spark, path), exact_leg)
     agg.merged(ckpt.partials(spark).drop("shard_id", "wall_secs"), is_partials=True).createOrReplaceTempView(
         "merged_sketches"
     )
-    spark.read.parquet(path).createOrReplaceTempView("seqs_for_sql")
     bound = 3.0 * HllSketch.std_error(14)
     return spark.sql(
         f"""
@@ -2021,9 +2096,7 @@ def sql_over_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                abs(hll_estimate(m.sketch) / e.exact_distinct - 1.0) <= {bound}
                    AS within_3sigma
         FROM merged_sketches m
-        JOIN (SELECT source, COUNT(DISTINCT tok) AS exact_distinct
-              FROM (SELECT source, explode(tokens) AS tok FROM seqs_for_sql)
-              GROUP BY source) e
+        JOIN exact_for_sql e
         USING (source)
         ORDER BY m.source
         """
@@ -2058,7 +2131,6 @@ def streaming_hll_parity(spark: SparkSession, sf_dir: str, p: int = 12) -> DataF
     item count (merge associativity makes the registers byte-identical, so
     the estimates are equal integers, not merely close). n_rows/n_items are
     SQL-exact; the parity booleans are provable."""
-    import tempfile
     import uuid
 
     from .agg import HllAggregator
@@ -2088,7 +2160,7 @@ def streaming_hll_parity(spark: SparkSession, sf_dir: str, p: int = 12) -> DataF
             .writeStream.format("memory")
             .queryName(name)
             .outputMode("update")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="sketchlib_stream_"))
+            .option("checkpointLocation", _scratch_dir(prefix="sketchlib_stream_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -2140,13 +2212,12 @@ def _timeordered_events_dir(spark: SparkSession, sf_dir: str, sentinels: int) ->
     if key in _STREAM_SRC_CACHE:
         return _STREAM_SRC_CACHE[key]
     import datetime as _dt
-    import tempfile
 
     events = load_table(spark, sf_dir, "events")
     src = events.select(
         F.col("ts").cast("timestamp").alias("ts"), "event_type", "user_id"
     )
-    src_dir = tempfile.mkdtemp(prefix="sketchlib_stream_src_")
+    src_dir = _scratch_dir(prefix="sketchlib_stream_src_")
     # 2 time-ordered files -> 2 data micro-batches: cross-batch accumulation
     # is exercised while per-batch fixed overhead stays bounded
     src.repartitionByRange(2, "ts").write.mode("overwrite").parquet(src_dir)
@@ -2188,7 +2259,6 @@ def streaming_windowed_users(spark: SparkSession, sf_dir: str, p: int = DEFAULT_
 
 
 def _streaming_windowed_users_utc(spark: SparkSession, sf_dir: str, p: int) -> DataFrame:
-    import tempfile
     import uuid
 
     from .agg import HllAggregator
@@ -2221,7 +2291,7 @@ def _streaming_windowed_users_utc(spark: SparkSession, sf_dir: str, p: int) -> D
             est.writeStream.format("memory")
             .queryName(name)
             .outputMode("update")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="sketchlib_winck_"))
+            .option("checkpointLocation", _scratch_dir(prefix="sketchlib_winck_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -2295,7 +2365,6 @@ def streaming_finalized_windows(spark: SparkSession, sf_dir: str, p: int = DEFAU
 
 
 def _streaming_finalized_windows_utc(spark: SparkSession, sf_dir: str, p: int) -> DataFrame:
-    import tempfile
     import uuid
 
     from .agg import HllAggregator
@@ -2335,7 +2404,7 @@ def _streaming_finalized_windows_utc(spark: SparkSession, sf_dir: str, p: int) -
             fin.writeStream.format("memory")
             .queryName(name)
             .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="sketchlib_finck_"))
+            .option("checkpointLocation", _scratch_dir(prefix="sketchlib_finck_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -2395,12 +2464,11 @@ def _docs_fp_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     key = (sf_dir, "docs_fp")
     if key in _STREAM_SRC_CACHE:
         return _STREAM_SRC_CACHE[key]
-    import tempfile
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.xxhash64("text").alias("fp")
     )
-    src_dir = tempfile.mkdtemp(prefix="sketchlib_stream_docs_")
+    src_dir = _scratch_dir(prefix="sketchlib_stream_docs_")
     docs.repartitionByRange(2, "doc_id").write.mode("overwrite").parquet(src_dir)
     # PIN the micro-batch order: the file stream source admits files by
     # modification time, and the two parts are written concurrently — their
@@ -2700,7 +2768,6 @@ def merge_law_identity(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> 
     Fuses round-4's salted_merge_identity + checkpointed_resume_identity,
     sharing the direct build they each recomputed.
     """
-    import tempfile
 
     from .io import CheckpointedBuild, enumerate_shards
 
@@ -2743,7 +2810,7 @@ def merge_law_identity(spark: SparkSession, sf_dir: str, p: int = DEFAULT_P) -> 
     def resume_leg():
         # the checkpointed-resume protocol is internally sequential by
         # construction (interrupt -> resume -> no-op is the law under test)
-        ckpt = CheckpointedBuild(agg, tempfile.mkdtemp(prefix="sketchlib_ckpt_"))
+        ckpt = CheckpointedBuild(agg, _scratch_dir(prefix="sketchlib_ckpt_"))
         first = ckpt.run(spark, path, max_shards=1)
         resumed_shards = ckpt.run_to_completion(spark, path)
         noop = ckpt.run(spark, path)
@@ -3068,7 +3135,15 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = [0, 1, 2, 3, 4]
-    exact = brute_force_topk(emb, probes, k=10).collect()
+    # the exact pass and both index pipelines are independent — overlap all
+    # three (guide §2.6) and compute the recalls from the collected rows
+    exact, lsh_rows, ivf_rows = _overlap(
+        lambda: brute_force_topk(emb, probes, k=10).collect(),
+        lambda: lsh_topk(emb, probes, k=10, bits=64, bands=16, seed=7).collect(),
+        lambda: ivf_topk(
+            emb, probes, k=10, n_clusters=16, n_probe_clusters=6, seed=7
+        ).collect(),
+    )
     ex: dict = {}
     for r in exact:
         ex.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
@@ -3080,10 +3155,8 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         rec = [len(ap.get(pid, set()) & ex[pid]) / len(ex[pid]) for pid in probes]
         return sum(rec) / len(rec)
 
-    lsh_r = mean_recall(lsh_topk(emb, probes, k=10, bits=64, bands=16, seed=7).collect())
-    ivf_r = mean_recall(
-        ivf_topk(emb, probes, k=10, n_clusters=16, n_probe_clusters=6, seed=7).collect()
-    )
+    lsh_r = mean_recall(lsh_rows)
+    ivf_r = mean_recall(ivf_rows)
     return spark.createDataFrame(
         [
             ("ivf", len(probes), bool(ivf_r >= 0.5)),
@@ -3203,7 +3276,6 @@ def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs / n_after_dedup are SQL-exact. Fuses round-4's
     streaming_exact_dedup_docs + streaming_bloom_dedup_docs.
     """
-    import tempfile
     import uuid
 
     from .streaming import streaming_bloom_dedup, streaming_first_seen
@@ -3223,7 +3295,7 @@ def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .writeStream.format("memory")
             .queryName(name)
             .outputMode("update")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="sketchlib_stream_"))
+            .option("checkpointLocation", _scratch_dir(prefix="sketchlib_stream_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -3307,7 +3379,6 @@ def bucketed_join_docs(spark: SparkSession, sf_dir: str, n_buckets: int = 8) -> 
     ``join_zero_exchange`` boolean asserts the executed plan fact itself.
     """
     import re
-    import tempfile
     import uuid
 
     from .io import write_bucketed
@@ -3315,7 +3386,7 @@ def bucketed_join_docs(spark: SparkSession, sf_dir: str, n_buckets: int = 8) -> 
     docs = load_table(spark, sf_dir, "documents")
     tag = uuid.uuid4().hex[:8]
     t_meta, t_stats = f"docs_meta_{tag}", f"docs_stats_{tag}"
-    base = tempfile.mkdtemp(prefix="sketchlib_bkt_")
+    base = _scratch_dir(prefix="sketchlib_bkt_")
     old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:

@@ -422,11 +422,32 @@ def test_connected_components_empty_and_guard(spark):
     empty = spark.createDataFrame([], "a long, b long")
     assert connected_components(empty).collect() == []
     # a long chain exceeds a tiny max_iter: loud error, not a partial merge
+    # (local_edge_cap=0 pins the DISTRIBUTED loop, which owns the guard)
     chain = spark.createDataFrame([(i, i + 1) for i in range(12)], "a long, b long")
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=2)
+        connected_components(chain, max_iter=2, local_edge_cap=0)
     full = {r["node"]: r["label"] for r in connected_components(chain).collect()}
     assert set(full.values()) == {0} and len(full) == 13
+
+
+def test_connected_components_local_matches_distributed(spark):
+    """The small-graph union-find fast path must produce EXACTLY the
+    distributed pointer-jumping loop's labels (min reachable node id per
+    node) on a messy random graph — chains, braids, single pairs."""
+    import random
+
+    from sketchlib.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "a long, b long")
+    local = {r["node"]: r["label"] for r in connected_components(df).collect()}
+    dist = {
+        r["node"]: r["label"]
+        for r in connected_components(df, local_edge_cap=0).collect()
+    }
+    assert local == dist and local == _cc_pandas_oracle(edges)
 
 
 def test_ngram_jaccard_edges_exact(spark):
