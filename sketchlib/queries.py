@@ -335,7 +335,7 @@ def cms_heavy_hitters_per_source(spark: SparkSession, sf_dir: str, k: int = 3) -
     path = sequences_path(spark, sf_dir)
     seqs = sequences_for(spark, sf_dir)
     w = Window.partitionBy("source").orderBy(F.desc("exact_cnt"), F.asc("token"))
-    exact_top = (
+    exact_top_plan = (
         seqs.select("source", F.explode("tokens").alias("token"))
         .groupBy("source", "token")
         .agg(F.count("*").alias("exact_cnt"))
@@ -350,7 +350,17 @@ def cms_heavy_hitters_per_source(spark: SparkSession, sf_dir: str, k: int = 3) -
     agg = CmsAggregator(
         eps=2e-4, depth=5, key_cols=["source"], value_col="tokens", value_kind="tokens"
     )
-    merged = agg.merged(path, spark=spark).localCheckpoint(eager=True)
+    # sketch build and exact top-k companion are independent scans —
+    # overlap them (guide §2.6); the k*sources exact rows re-enter the
+    # plan as literals so the explode+window scan runs exactly once
+    merged, exact_rows = _overlap(
+        lambda: agg.merged(path, spark=spark).localCheckpoint(eager=True),
+        exact_top_plan.collect,
+    )
+    exact_top = spark.createDataFrame(
+        [(r["source"], int(r["token"]), int(r["exact_cnt"])) for r in exact_rows],
+        "source string, token int, exact_cnt long",
+    )
     eps = float(np.e) / (1 << agg.width_log2)
 
     # group the k probe tokens per source BEFORE the sketch join: one blob
@@ -445,7 +455,7 @@ def fi_token_topk_accuracy(
     path = sequences_path(spark, sf_dir)
     seqs = sequences_for(spark, sf_dir)
     w = Window.partitionBy("source").orderBy(F.desc("exact_cnt"), F.asc("token"))
-    exact_top = (
+    exact_top_plan = (
         seqs.select("source", F.explode("tokens").alias("token"))
         .groupBy("source", "token")
         .agg(F.count("*").alias("exact_cnt"))
@@ -454,7 +464,16 @@ def fi_token_topk_accuracy(
         .drop("rk")
     )
     agg = FiAggregator(capacity=capacity, key_cols=["source"])
-    merged = agg.merged(path, spark=spark)
+    # MG sketch build and exact top-k companion are independent scans —
+    # overlap them (guide §2.6); exact rows re-enter the plan as literals
+    merged, exact_rows = _overlap(
+        lambda: agg.merged(path, spark=spark).localCheckpoint(eager=True),
+        exact_top_plan.collect,
+    )
+    exact_top = spark.createDataFrame(
+        [(r["source"], int(r["token"]), int(r["exact_cnt"])) for r in exact_rows],
+        "source string, token int, exact_cnt long",
+    )
 
     # one decode per source: probes grouped before the sketch join (same
     # lifecycle as cms_heavy_hitters_per_source's point_ests)
@@ -3029,16 +3048,23 @@ def source_jaccard_matrix(
     kmv_agg = KmvAggregator(k=k, key_cols=["source"], value_col="tokens", value_kind="tokens")
     hll_merged = kmv_merged = None
     try:
-        # the two sketch-family builds are independent scans of the same
-        # parquet — overlap them (guide §2.6) instead of paying two
-        # sequential scan+shuffle+merge jobs
-        hll_merged, kmv_merged = _overlap(
+        # the two sketch-family builds and the exact bitmask-histogram
+        # companion are independent scans of the same parquet — overlap all
+        # three (guide §2.6); the exact leg derives the source list itself
+        # (a cheap distinct) instead of waiting on the sketch rows
+        def exact_leg():
+            seqs = sequences_for(spark, sf_dir)
+            srcs = sorted(r["source"] for r in seqs.select("source").distinct().collect())
+            return _exact_pair_counts(spark, seqs, srcs)
+
+        hll_merged, kmv_merged, exact = _overlap(
             lambda: hll_agg.merged(path, spark=spark)
             .select("source", "sketch")
             .localCheckpoint(eager=True),
             lambda: kmv_agg.merged(path, spark=spark)
             .select("source", "sketch")
             .localCheckpoint(eager=True),
+            exact_leg,
         )
 
         est_udf = hll_agg.estimate_udf()
@@ -3085,8 +3111,6 @@ def source_jaccard_matrix(
                 F.expr("kmv_jaccard(sk_a, sk_b)").alias("kmv_j"),
             )
         )
-        srcs = sorted(r["source"] for r in hll_merged.select("source").collect())
-        exact = _exact_pair_counts(spark, sequences_for(spark, sf_dir), srcs)
         hll_sigma = HllSketch.std_error(p)
         kmv_sigma = KmvSketch.std_error(k)
         true_j = F.col("exact_intersection") / F.col("exact_union")

@@ -29,6 +29,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # joins: let the planner use shuffled-hash when its size conditions
+        # fit (sort-merge stays the fallback — it spills gracefully), and
+        # let AQE rewrite SMJ->SHJ at runtime when every post-shuffle
+        # partition is small (optimization guide §3.1/§9). Both are
+        # size-gated, so the behavior scales with data, not with local mode.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.selfDestruct.enabled", "true")
