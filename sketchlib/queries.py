@@ -3337,8 +3337,12 @@ def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the two state disciplines are independent streams over the same
     # source: start BOTH, then await — the state-store/checkpoint fixed
     # cost is paid concurrently, and the batch companion aggregation runs
-    # while the streams drain (shuffle-partition conf is read at START)
-    with _streaming_conf(spark):
+    # while the streams drain (shuffle-partition conf is read at START).
+    # 16 partitions, not the windowed queries' 4: applyInPandasWithState
+    # invokes Python once PER KEY, and this stream carries thousands of
+    # fingerprint keys per batch (vs ~150 window keys) — measured 2.6s ->
+    # 2.0s at sf0.1 moving 4 -> 16 (32 is flat); state rows stay tiny.
+    with _streaming_conf(spark, "16"):
         q_exact, n_exact = start_stream(
             lambda s: streaming_first_seen(s, "fp", "doc_id"), "dedup_stream"
         )
