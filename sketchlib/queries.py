@@ -2245,13 +2245,17 @@ def _timeordered_events_dir(spark: SparkSession, sf_dir: str, sentinels: int) ->
         # one-partition JVM-side literal row (range(...,numPartitions=1) +
         # lit()): a local createDataFrame + coalesce(1) pays a ~6s python
         # parallelize round trip PER WRITE for a single row
-        sentinel = spark.range(0, 1, 1, 1).select(
+        # ONE append of `sentinels` single-row partitions -> `sentinels`
+        # files in one write job (each prior per-file append paid its own
+        # job + commit). The files carry identical rows, so their relative
+        # admission order is irrelevant; they mtime-sort after the data
+        # files exactly as the per-file appends did.
+        sentinel = spark.range(0, sentinels, 1, sentinels).select(
             F.lit(max_ts + _dt.timedelta(days=400)).cast("timestamp").alias("ts"),
             F.lit("__sentinel__").alias("event_type"),
             F.lit(0).cast("long").alias("user_id"),
         )
-        for _ in range(sentinels):
-            sentinel.write.mode("append").parquet(src_dir)
+        sentinel.write.mode("append").parquet(src_dir)
     _STREAM_SRC_CACHE[key] = src_dir
     return src_dir
 
