@@ -36,6 +36,14 @@ SEQUENCES_SCHEMA = T.StructType(
 
 ROWS_BY_SF = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
 
+# load_table's unconditional input-skew rescue floor (see load_table):
+# a SINGLE-row-group file at least this large forces one task to stream
+# the whole decode+compute pipeline alone — repartition right after the
+# read no matter who the consumer is. Override via env for unusual hosts.
+_AUTO_RESCUE_BYTES = int(
+    os.environ.get("SKETCHLIB_AUTO_RESCUE_BYTES", str(16 << 20))
+)
+
 
 def rows_for_sf_dir(sf_dir: str, default: int = 20_000) -> int:
     tail = sf_dir.rstrip("/").rsplit("/", 1)[-1]
@@ -177,10 +185,22 @@ def load_table(
     row groups) never triggers the condition and the plan is untouched."""
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
-    if not parallelize:
-        return df
     try:
-        if "://" not in path and os.path.getsize(path) >= 256 * 1024:
+        if "://" in path:
+            return df  # remote paths: no local probe, plain scan
+        size = os.path.getsize(path)
+        # two tiers: the opt-in tier fires from 256 KB (callers that know
+        # their pipelined per-row work dominates); the UNCONDITIONAL tier
+        # fires from 16 MB — a single-row-group file that large means one
+        # task streams >= 16 MB of decode+compute while every other core
+        # idles, which is pathological at any scale and any consumer
+        # (scans this size are what the driver's larger scale factors
+        # produce; sub-16 MB single-task scans cost less than the exchange
+        # for collect-heavy consumers, hence the opt-in tier). Projections
+        # and deterministic filters still prune/push through the
+        # round-robin exchange, so cheap consumers stay cheap.
+        floor = 256 * 1024 if parallelize else _AUTO_RESCUE_BYTES
+        if size >= floor:
             import pyarrow.parquet as _pq
 
             n_rg = _pq.ParquetFile(path).metadata.num_row_groups
@@ -188,5 +208,5 @@ def load_table(
             if n_rg * 2 <= par:
                 return df.repartition(par)
     except OSError:
-        pass  # non-local or unreadable path probes: keep the plain scan
+        pass  # unreadable path probes: keep the plain scan
     return df
